@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare each
+Verify.scala parquet dump against its DuckDB oracle on the same
+testdata. Usage: selfcheck.py <sfDir> <outDir>.
+
+Comparison: sort columns by name, compare row count, column names,
+and cell values (exact; floats compared bit-wise after pyarrow read,
+mirroring a hash-based driver as closely as we can).
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    got = pq.read_table(files[0]) if files else None
+    if name not in oracle:
+        skips.append(name)
+        continue
+    try:
+        exp = con.sql(oracle[name]).arrow()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+    if gcols != ecols:
+        fails.append((name, f"columns differ: spark={gcols} duck={ecols}"))
+        continue
+    if got.num_rows != exp.num_rows:
+        fails.append((name, f"rows differ: spark={got.num_rows} duck={exp.num_rows}"))
+        continue
+    bad = None
+    for c in gcols:
+        gv = got.column(c).to_pylist()
+        ev = exp.column(c).to_pylist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if a != b:
+                bad = f"col {c} row {i}: spark={a!r} duck={b!r} (types {type(a).__name__}/{type(b).__name__})"
+                break
+        if bad:
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+print(f"SKIP (no oracle) {len(skips)}: {' '.join(skips)}")
+print(f"FAIL {len(fails)}:")
+for n, why in fails:
+    print(f"  {n}: {why}")
+sys.exit(1 if fails else 0)

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Read pandas-written naive parquet timestamps as TimestampType
+      // (session-UTC), not TIMESTAMP_NTZ — keeps epoch/ms functions
+      // applicable and matches DuckDB's naive-timestamp semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's track-point pipeline (reference `task.ts:97-264`),
+  * re-expressed as composable `DataFrame => DataFrame` operators.
+  *
+  * The reference (dfpc-coe/etl-everywhere-hub) ingests GPS track points
+  * and emits TAK Cursor-on-Target features, keeping a keyed
+  * latest-position cache with time-based retention. Each operator here
+  * is the Spark-native equivalent of one labelled operator in
+  * SURVEY.md §2a:
+  *
+  *  - T2 computed key            (`task.ts:122,213`)  → [[cotId]]
+  *  - T3 conditional CoT type    (`task.ts:125,216`)  → [[cotType]]
+  *  - T4 falsy coalesce callsign (`task.ts:128,219`)  → [[callsign]]
+  *  - T5 epoch-millis → ISO-8601 (`task.ts:129-130`)  → [[isoTime]]
+  *  - F1 retention filter        (`task.ts:251-258`)  → [[retained]]
+  *  - A1 latest-per-key          (`task.ts:178`)      → [[latestPerKey]]
+  *  - A2 keyed last-write upsert (`task.ts:148`)      → [[upsert]]
+  *
+  * Scale notes (100 TB / 1000-executor design):
+  *  - [[latestPerKey]] uses `max_by` over a `groupBy` — a hash
+  *    aggregate with map-side partial aggregation, so the shuffle
+  *    carries one row per key per map partition, not the raw stream.
+  *    This beats the `row_number()` window formulation, which must
+  *    shuffle + sort EVERY row before discarding all but one per key.
+  *  - [[upsert]] is `unionByName` + [[latestPerKey]]: one shuffle
+  *    total. The snapshot and delta are both partitioned by the key
+  *    after the agg, so iterative upserts reuse the partitioning.
+  *  - [[retained]] is a plain predicate → pushed into the parquet scan
+  *    by Catalyst (shows under `PushedFilters` in explain).
+  */
+object TrackPipeline {
+
+  /** CoT 2525 type codes (reference `task.ts:125`): emergency beacon
+    * vs friendly-ground-unit.
+    */
+  val EmergencyType = "b-a-o-tbl"
+  val FriendlyType  = "a-f-G-U-U-S-X"
+
+  /** T2 — `id = "inreach-" + entityId` (reference `task.ts:122,213`). */
+  def cotId(entityId: Column): Column =
+    concat(lit("inreach-"), entityId.cast("string"))
+
+  /** T3 — emergency classification (reference `task.ts:125,216`). */
+  def cotType(isEmergency: Column): Column =
+    when(isEmergency, lit(EmergencyType)).otherwise(lit(FriendlyType))
+
+  /** T4 — `alias || name` with JS falsy semantics: empty string falls
+    * through to `name`, not just null (reference `task.ts:128,219`;
+    * quirk documented in SURVEY.md §5.2.4).
+    */
+  def callsign(alias: Column, name: Column): Column =
+    coalesce(nullif(alias, lit("")), name)
+
+  /** T5 — epoch-millis → ISO-8601 with milliseconds + 'Z', exactly as
+    * JS `Date.toISOString()` renders it (reference `task.ts:129-130`).
+    * Session TZ is pinned UTC (build.sbt / Verify).
+    */
+  def isoTime(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  /** F1 — retention filter with the reference's `?? 0` rule: a missing
+    * timestamp coerces to epoch 0 and is always evicted
+    * (reference `task.ts:251-258`, quirk SURVEY.md §5.2.3).
+    */
+  def retained(df: DataFrame, tsCol: String, cutoff: Column): DataFrame =
+    df.filter(coalesce(col(tsCol), timestamp_millis(lit(0L))) >= cutoff)
+
+  /** A1 — latest row per key (`latestPositionOnly=true`, reference
+    * `task.ts:178`). Tie-break on `tieCol` so results are deterministic
+    * (SURVEY.md §7.4: JS object-key replace is last-write-wins; we pin
+    * ties to the larger id).
+    *
+    * Returns one `latest` struct column per key; callers project
+    * fields out of it. One hash-aggregate shuffle; partial aggregation
+    * keeps the exchange at |keys| × mapPartitions rows.
+    */
+  def latestPerKey(df: DataFrame, key: String, tsCol: String,
+                   tieCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(col(key))
+      .agg(max_by(payload, struct(col(tsCol), col(tieCol))).as("latest"))
+  }
+
+  /** A2 — keyed last-write-wins upsert (reference `task.ts:148`):
+    * merge fresh rows into a prior snapshot, newest per key wins.
+    * Batch formulation of the streaming state update: union + A1.
+    */
+  def upsert(snapshot: DataFrame, fresh: DataFrame, key: String,
+             tsCol: String, tieCol: String): DataFrame =
+    latestPerKey(snapshot.unionByName(fresh), key, tsCol, tieCol)
+}

@@ -1,0 +1,563 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query corpus over the TPC-H-ish star schema — SURVEY.md
+  * §2b rows: scans, projection, filters, all join types, aggregations
+  * (incl. distinct / rollup / cube / grouping sets / stats), window
+  * functions, sort/limit/top-k, set ops, tumbling windows, JSON.
+  *
+  * Determinism contract (SURVEY.md §5.3): every query is totally
+  * ordered; money sums are computed in exact DECIMAL then emitted as
+  * DOUBLE (bit-identical across engines since the decimal sum is
+  * exact and the final decimal→double conversion is correctly
+  * rounded); order-sensitive double aggregates are round()ed; sort
+  * keys are never nullable (Spark sorts NULLS FIRST asc, DuckDB NULLS
+  * LAST — we sidestep rather than annotate).
+  *
+  * Scale notes are inline per query; the global ones: dimension
+  * tables are broadcast (no shuffle of the fact side), aggregates are
+  * hash aggregates with map-side partial aggregation, top-k is
+  * TakeOrderedAndProject (no global sort), and every filter/projection
+  * reaches the parquet scan (PushedFilters / ReadSchema — asserted in
+  * PlanSpec).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact money arithmetic: cast operand to decimal before summing. */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Emit an exact decimal aggregate as a stable double. */
+  private def asDouble(c: Column, scale: Int): Column =
+    round(c.cast("double"), scale)
+
+  private def tsLit(s: String): Column = lit(s).cast("timestamp")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / projection / filter pushdown --------------------
+    // Per-row double arithmetic is IEEE-identical across engines, so
+    // `revenue` needs no rounding. Filter + 4-column projection both
+    // reach the parquet scan.
+    "q_scan_project" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+                col("l_shipdate") < tsLit("1997-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- TPC-H Q1: wide hash aggregate -----------------------------
+    // One shuffle; partial agg reduces the exchange to |groups| rows
+    // per map partition (4 groups here — negligible shuffle at any SF).
+    "q1_pricing_summary" -> { (s, dir) =>
+      val disc = (lit(1.0) - col("l_discount")).cast("decimal(12,2)")
+      val tax  = (lit(1.0) + col("l_tax")).cast("decimal(12,2)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= tsLit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          asDouble(sum(dec2(col("l_quantity"))), 2).as("sum_qty"),
+          asDouble(sum(dec2(col("l_extendedprice"))), 2).as("sum_base_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * disc), 4).as("sum_disc_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * disc * tax), 6).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- TPC-H Q3: fact-fact join + broadcast dim + top-k ---------
+    // customer is filtered then broadcast (no shuffle of lineitem for
+    // that join); lineitem⋈orders is the one real shuffle. Top-10 via
+    // sort+limit collapses to TakeOrderedAndProject.
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < tsLit("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > tsLit("1997-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderpriority"))
+        .agg(asDouble(sum(dec2(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(12,2)")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q5-ish: 6-way star join ----------------------------
+    // region/nation/supplier are broadcast; the only shuffles are
+    // lineitem⋈orders and the final 25-group aggregate. At 100 TB the
+    // same plan holds: dims stay broadcastable, facts co-shuffle once.
+    "q5_nation_revenue" -> { (s, dir) =>
+      val region = t(s, dir, "region")
+      val nation = t(s, dir, "nation")
+      val supp = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+                col("o_orderdate") < tsLit("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(asDouble(sum(dec2(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(12,2)")), 4)
+          .as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ---- join types ----------------------------------------------
+    "q_join_left" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      part.join(li, col("p_partkey") === col("l_partkey"), "left")
+        .groupBy(col("p_brand"))
+        .agg(count(col("l_orderkey")).as("n_big_lines"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("p_brand"))
+    },
+
+    "q_join_full" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val a = ord.filter(col("o_orderdate") < tsLit("1998-01-01"))
+        .groupBy(col("o_custkey").as("cust_a"))
+        .agg(asDouble(sum(dec2(col("o_totalprice"))), 2).as("early_total"))
+      val b = ord.filter(col("o_orderdate") >= tsLit("1998-01-01"))
+        .groupBy(col("o_custkey").as("cust_b"))
+        .agg(asDouble(sum(dec2(col("o_totalprice"))), 2).as("late_total"))
+      a.join(b, col("cust_a") === col("cust_b"), "full")
+        .select(coalesce(col("cust_a"), col("cust_b")).as("o_custkey"),
+          coalesce(col("early_total"), lit(0.0)).as("early_total"),
+          coalesce(col("late_total"), lit(0.0)).as("late_total"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // left_semi == EXISTS: no payload from the build side crosses the
+    // join, and each probe row emits at most once.
+    "q_join_semi" -> { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_anti" -> { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // cross join is only ever sane when one side is tiny — both sides
+    // here are ≤25 rows; Spark picks BroadcastNestedLoopJoin.
+    "q_join_cross" -> { (s, dir) =>
+      val prio = t(s, dir, "orders").select(col("o_orderpriority")).distinct()
+      t(s, dir, "region").crossJoin(prio)
+        .select(concat(col("r_name"), lit("-"), col("o_orderpriority"))
+          .as("label"))
+        .orderBy(col("label"))
+    },
+
+    // ---- aggregation variants ------------------------------------
+    "q_agg_distinct" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"),
+          asDouble(sum(dec2(col("c_acctbal"))), 2).as("acctbal_total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    "q_agg_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          asDouble(sum(dec2(col("o_totalprice"))), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    "q_agg_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          asDouble(sum(dec2(col("l_quantity"))), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n_lines"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    "q_agg_stats" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          round(avg(col("value")), 4).as("avg_v"),
+          round(stddev_samp(col("value")), 4).as("std_v"),
+          round(percentile(col("value"), lit(0.5)), 4).as("median_v"))
+        .orderBy(col("event_type"))
+    },
+
+    // GROUPING SETS via the SQL front-end (temp views registered per
+    // call) — same Catalyst plan as rollup/cube (Expand + hash agg).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")
+    },
+
+    // ---- window functions ----------------------------------------
+    "q_window_rank" -> { (s, dir) =>
+      val bucket = floor(col("o_totalprice") / 50000).cast("long")
+      val ord = t(s, dir, "orders").withColumn("bucket", bucket)
+      val wTies = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("bucket").desc)
+      val wUnique = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("bucket").desc, col("o_orderkey"))
+      ord.select(col("o_orderstatus"), col("bucket"), col("o_orderkey"),
+          row_number().over(wUnique).as("rn"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"))
+        .filter(col("rn") <= 20)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+
+    "q_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"),
+          (col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+            .as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Running/moving aggregates: engines associate the frame sums
+    // differently (Spark recompute vs DuckDB segment tree) → round(4).
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running"),
+          round(avg(col("value")).over(
+            w.rowsBetween(-2, 0)), 4).as("mov_avg3"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ---- top-k ----------------------------------------------------
+    "q_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // Global top-k: orderBy+limit fuses into TakeOrderedAndProject —
+    // each partition keeps 20 rows, driver merges; no full sort.
+    "q_sort_limit" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(20)
+    },
+
+    // ---- set ops --------------------------------------------------
+    "q_set_union" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"))
+      c.unionByName(sp)
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("nationkey"))
+    },
+
+    "q_set_intersect" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("nationkey"))
+      c.intersect(sp).orderBy(col("nationkey"))
+    },
+
+    "q_set_except" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nationkey"))
+      c.except(sp).orderBy(col("nationkey"))
+    },
+
+    // ---- event-time tumbling window (batch analogue) -------------
+    // `window()` here is the batch form of the streaming tumbling
+    // window; aligned to epoch so it equals date_trunc('day').
+    "q_window_tumbling" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 4).as("total"))
+        .select(col("window.start").cast("date").as("day"),
+          col("event_type"), col("cnt"), col("total"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // ---- JSON -----------------------------------------------------
+    "q_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+        .orderBy(col("k"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_disc_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         o_orderpriority,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, order_date, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+
+    "q_join_left" ->
+      """SELECT p_brand, count(l_orderkey) AS n_big_lines,
+         count(*) AS n_rows
+         FROM part LEFT JOIN (
+           SELECT * FROM lineitem WHERE l_quantity > 45
+         ) ON p_partkey = l_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_join_full" ->
+      """WITH a AS (
+           SELECT o_custkey AS cust_a,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS early_total
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY o_custkey
+         ), b AS (
+           SELECT o_custkey AS cust_b,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS late_total
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+           GROUP BY o_custkey
+         )
+         SELECT coalesce(cust_a, cust_b) AS o_custkey,
+           coalesce(early_total, 0.0) AS early_total,
+           coalesce(late_total, 0.0) AS late_total
+         FROM a FULL OUTER JOIN b ON cust_a = cust_b
+         ORDER BY o_custkey""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+         ORDER BY c_custkey""",
+
+    "q_join_cross" ->
+      """SELECT r_name || '-' || o_orderpriority AS label
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+         ORDER BY label""",
+
+    "q_agg_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+         count(*) AS n_cust,
+         round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS acctbal_total
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         count(*) AS n_lines,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "q_agg_stats" ->
+      """SELECT event_type, count(*) AS n,
+         min(value) AS min_v, max(value) AS max_v,
+         round(avg(value), 4) AS avg_v,
+         round(stddev_samp(value), 4) AS std_v,
+         round(quantile_cont(value, 0.5), 4) AS median_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rf, ls""",
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_orderstatus,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice / 50000) DESC, o_orderkey) AS rn,
+             rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice / 50000) DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice / 50000) DESC) AS drnk
+           FROM orders)
+         WHERE rn <= 20 ORDER BY o_orderstatus, rn""",
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS prev_v,
+         lead(value, 1) OVER w AS next_v,
+         value - coalesce(lag(value, 1) OVER w, 0.0) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+         FROM events ORDER BY user_id, event_id""",
+
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q_set_union" ->
+      """SELECT nationkey, count(*) AS cnt FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           SELECT s_nationkey AS nationkey FROM supplier)
+         GROUP BY nationkey ORDER BY nationkey""",
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+         ORDER BY nationkey""",
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+         ORDER BY nationkey""",
+
+    "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS cnt, round(sum(value), 4) AS total
+         FROM events GROUP BY day, event_type ORDER BY day, event_type""",
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         count(*) AS cnt, round(sum(value), 4) AS total
+         FROM events GROUP BY k ORDER BY k""",
+  )
+}
