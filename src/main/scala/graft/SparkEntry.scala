@@ -23,11 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ PipelineQueries.defs
+    RelationalQueries.defs ++ PipelineQueries.defs ++ FunctionQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++
+      FunctionQueries.oracles
 }
