@@ -37,6 +37,10 @@ for name in sorted(os.listdir(outdir)):
     if gcols != ecols:
         fails.append((name, f"columns differ: spark={gcols} duck={ecols}"))
         continue
+    for c in gcols:
+        gt, et = got.schema.field(c).type, exp.schema.field(c).type
+        if gt != et:
+            print(f"  [type-warn] {name}.{c}: spark={gt} duck={et}")
     if got.num_rows != exp.num_rows:
         fails.append((name, f"rows differ: spark={got.num_rows} duck={exp.num_rows}"))
         continue

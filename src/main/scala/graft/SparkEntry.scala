@@ -23,12 +23,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ PipelineQueries.defs ++ FunctionQueries.defs
+    RelationalQueries.defs ++ PipelineQueries.defs ++
+      FunctionQueries.defs ++ TextQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
-      FunctionQueries.oracles
+      FunctionQueries.oracles ++ TextQueries.oracles
 }

@@ -137,7 +137,7 @@ object FunctionQueries {
          upper(p_name) AS name_upper,
          lower(p_type) AS type_lower,
          substring(p_name, 1, 4) AS name_pre,
-         length(p_name) AS name_len,
+         CAST(length(p_name) AS INTEGER) AS name_len,
          p_brand || '/' || p_type AS brand_type,
          lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
          regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
@@ -149,12 +149,12 @@ object FunctionQueries {
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
-         year(o_orderdate) AS yr,
-         month(o_orderdate) AS mo,
-         day(o_orderdate) AS dom,
-         quarter(o_orderdate) AS qtr,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
          CAST(o_orderdate AS DATE) + 30 AS due_date,
          last_day(CAST(o_orderdate AS DATE)) AS month_end
          FROM orders WHERE o_orderkey % 10 = 0
@@ -178,12 +178,12 @@ object FunctionQueries {
 
     "q_array_funcs" ->
       """SELECT doc_id,
-         len(string_split(text, ' ')) AS n_tokens,
-         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
          string_split(text, ' ')[1] AS first_tok,
          list_contains(string_split(text, ' '), 'spark') AS has_spark,
-         len(list_filter(string_split(text, ' '),
-           x -> length(x) > 4)) AS n_long,
+         CAST(len(list_filter(string_split(text, ' '),
+           x -> length(x) > 4)) AS INTEGER) AS n_long,
          CAST(list_sum(list_transform(string_split(text, ' '),
            x -> length(x))) AS INTEGER) AS char_sum,
          list_slice(list_sort(list_distinct(string_split(text, ' '))),
@@ -202,7 +202,7 @@ object FunctionQueries {
            FROM events GROUP BY user_id, event_type)
          SELECT user_id,
            CAST(count(*) AS INTEGER) AS n_types,
-           coalesce(sum(cnt) FILTER (WHERE event_type = 'purchase'), 0)
+           CAST(coalesce(sum(cnt) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
              AS purchases,
            string_agg(event_type, ',' ORDER BY event_type) AS types_csv
          FROM counts GROUP BY user_id ORDER BY user_id""",

@@ -491,12 +491,12 @@ object RelationalQueries {
            SELECT o_orderstatus,
              CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
              o_orderkey,
-             row_number() OVER (PARTITION BY o_orderstatus
-               ORDER BY floor(o_totalprice / 50000) DESC, o_orderkey) AS rn,
-             rank() OVER (PARTITION BY o_orderstatus
-               ORDER BY floor(o_totalprice / 50000) DESC) AS rnk,
-             dense_rank() OVER (PARTITION BY o_orderstatus
-               ORDER BY floor(o_totalprice / 50000) DESC) AS drnk
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice / 50000) DESC, o_orderkey) AS INTEGER) AS rn,
+             CAST(rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice / 50000) DESC) AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY floor(o_totalprice / 50000) DESC) AS INTEGER) AS drnk
            FROM orders)
          WHERE rn <= 20 ORDER BY o_orderstatus, rn""",
 
@@ -520,8 +520,8 @@ object RelationalQueries {
     "q_topk_per_group" ->
       """SELECT * FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
 

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication corpus over `documents` and
+  * `embeddings` (north-star extensions, BASELINE.json). Approximate
+  * operators (MinHash-LSH, SimHash) have no SQL oracle — the driver
+  * records a rows-only check and DedupSpec verifies them against the
+  * exact-Jaccard ground truth instead.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** documents ∪ planted copies of doc_id<20 (id-shifted) — gives the
+    * exact-dedup queries real duplicate groups to find.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace + regex ("BPE-ish" word-run) tokens.
+    "q_text_token_stats" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_re"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length/stopword/short-token heuristics.
+    "q_text_quality" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stops = size(filter(toks,
+        x => array_contains(array(lit("the"), lit("a")), x)))
+      val stopRatio = stops.cast("double") / nTok
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        round((length(col("text")) - nTok + 1).cast("double") / nTok, 4)
+          .as("avg_tok_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(least(lit(1.0), nTok.cast("double") / 100.0) *
+          (lit(1.0) - stopRatio), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic: marker-word scoring + argmax.
+    "q_text_langid" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling-hash document fingerprint (mod 1e9+7 polynomial).
+    "q_text_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact dedup: md5 groups over the planted-duplicate corpus.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(docsWithDups(s, dir), "doc_id", "text")
+        .filter(col("n_copies") > 1)
+        .orderBy(col("canonical_id"))
+    },
+
+    // Exact dedup, keep-first: surviving ids after dropping copies.
+    "q_dedup_keep_first" -> { (s, dir) =>
+      Dedup.dropExact(docsWithDups(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact 3-gram Jaccard near-dup pairs (inverted-index join).
+    "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("common"),
+          col("n_a"), col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash-LSH near-dups (approx; rows-only check — verified
+    // against exact Jaccard in DedupSpec).
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
+          .as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dups (approx; rows-only check + DedupSpec).
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Embedding near-dup: top-20 most-similar same-label pairs,
+    // exact double-precision cosine (label acts as the blocking key).
+    "q_embed_near_pairs" -> { (s, dir) =>
+      Dedup.embeddingPairsCosine(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_re,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')), 4) AS distinct_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           / len(string_split(text, ' ')), 4) AS avg_tok_len,
+         round(CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a'))) AS DOUBLE)
+           / len(string_split(text, ' ')), 4) AS stop_ratio,
+         round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' '))), 4) AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_langid" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('window', 'stream', 'batch', 'merge'))) AS c_de,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'fast', 'big'))) AS c_en,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('data', 'table', 'row', 'column'))) AS c_es,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('join', 'filter', 'sort', 'order'))) AS c_fr,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('spark', 'query', 'vector', 'hash'))) AS c_zh
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE greatest(c_de, c_en, c_es, c_fr, c_zh)
+             WHEN c_de THEN 'de' WHEN c_en THEN 'en' WHEN c_es THEN 'es'
+             WHEN c_fr THEN 'fr' ELSE 'zh' END AS lang_pred
+         FROM scored ORDER BY doc_id""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''),
+               ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id < 20)
+         SELECT md5(text) AS text_md5, count(*) AS n_copies,
+           min(doc_id) AS canonical_id
+         FROM aug GROUP BY md5(text) HAVING count(*) > 1
+         ORDER BY canonical_id""",
+
+    "q_dedup_keep_first" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id < 20)
+         SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+         ORDER BY doc_id""",
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+           round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4)
+             AS jaccard
+         FROM pairs
+         JOIN cnt ca ON id_a = ca.doc_id
+         JOIN cnt cb ON id_b = cb.doc_id
+         WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q_embed_near_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                     for i in range(1, len(a.embedding) + 1)]) /
+           sqrt(
+             list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                       for i in range(1, len(a.embedding) + 1)]) *
+             list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                       for i in range(1, len(b.embedding) + 1)])), 4)
+           AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
+  )
+}

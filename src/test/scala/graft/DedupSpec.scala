@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Approximate dedup operators (MinHash-LSH, SimHash) verified
+  * against the exact n-gram Jaccard ground truth — they have no SQL
+  * oracle (hash functions aren't portable), so this spec IS their
+  * correctness gate (SURVEY.md §5.3).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf(), "documents")
+
+  /** Exact Jaccard pairs at the given threshold — ground truth. */
+  private def exactPairs(threshold: Double): Set[(Long, Long)] =
+    Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("minhash-LSH finds every strong near-dup pair, no false positives") {
+    val truth = exactPairs(0.6)
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Verification step is exact Jaccard → zero false positives.
+    assert((lsh -- truth).isEmpty, s"false positives: ${lsh -- truth}")
+    // At jac≥0.6 with b=32,r=4 the per-pair detection probability is
+    // 1-(1-0.6^4)^32 ≈ 0.99; planted pairs are ≈0.9 → recall 100%.
+    assert(lsh == truth, s"missed pairs: ${truth -- lsh}")
+  }
+
+  test("minhash signature approximates Jaccard") {
+    val sigs = docs.select($"doc_id",
+      TextFunctions.minhashSignature(
+        array_distinct(TextFunctions.wordShingles($"text", 3)), 128)
+        .as("sig"))
+    // signature agreement rate ≈ jaccard for one known planted pair
+    val truth = exactPairs(0.8)
+    assume(truth.nonEmpty)
+    val (ia, ib) = truth.head
+    val Seq(sa, sb) = sigs.filter($"doc_id".isin(ia, ib))
+      .orderBy($"doc_id").select("sig").as[Seq[Long]].collect().toSeq
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val exactJac = Dedup
+      .jaccardShinglePairs(docs, "doc_id", "text", 3, 0.0)
+      .filter($"id_a" === math.min(ia, ib) && $"id_b" === math.max(ia, ib))
+      .select("jaccard").as[Double].head()
+    assert(math.abs(agree - exactJac) < 0.15,
+      s"minhash estimate $agree vs exact $exactJac")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, others large") {
+    val truth = exactPairs(0.8)
+    assume(truth.nonEmpty)
+    val sketched = docs
+      .select($"doc_id", TextFunctions.wordShingles($"text", 3)
+        .as("__shingles"))
+      .select($"doc_id", TextFunctions.simhash64("__shingles").as("sim"))
+    val sims = sketched.as[(Long, Long)].collect().toMap
+    val dupHams = truth.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b))
+    }
+    // simhash is an approximation of jaccard: most strong near-dups
+    // land within hamming 7, stragglers stay well under the ~32 of
+    // unrelated docs
+    assert(dupHams.count(_ <= 7) >= dupHams.size * 0.8,
+      s"most near-dups should be close in simhash space: $dupHams")
+    assert(dupHams.forall(_ <= 16),
+      s"near-dups should never look unrelated: $dupHams")
+    // shingle-based sketches of unrelated docs ≈ uncorrelated →
+    // hamming concentrates around 32
+    val ids = sims.keys.toSeq.sorted.take(40)
+    val randHams = for {
+      Seq(a, b) <- ids.sliding(2).toSeq
+      if !truth.contains((a, b))
+    } yield java.lang.Long.bitCount(sims(a) ^ sims(b))
+    assert(randHams.sum.toDouble / randHams.size > 24,
+      s"unrelated docs should differ in ~half the bits: $randHams")
+  }
+
+  test("simhashPairs == brute-force hamming pairs (banding is lossless ≤7)") {
+    // The operator's actual contract: 8×8-bit banding recalls EVERY
+    // pair at hamming ≤ 7 (pigeonhole), and verification removes all
+    // banding false positives — so it must equal the brute-force set.
+    val sketched = docs
+      .select($"doc_id", TextFunctions.wordShingles($"text", 3)
+        .as("__shingles"))
+      .select($"doc_id", TextFunctions.simhash64("__shingles").as("sim"))
+    val sims = sketched.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b)).toSet
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == brute,
+      s"missed: ${brute -- pairs}; extra: ${pairs -- brute}")
+    // and the hamming-7 set captures the bulk of the strong jaccard dups
+    val truth = exactPairs(0.8)
+    assert((truth & pairs).size >= truth.size * 0.8,
+      s"simhash should catch most strong near-dups: missing ${truth -- pairs}")
+  }
+}
