@@ -24,12 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ PipelineQueries.defs ++
-      FunctionQueries.defs ++ TextQueries.defs
+      FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
-      FunctionQueries.oracles ++ TextQueries.oracles
+      FunctionQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import graft.functions.VectorFunctions
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (`array<float>`) — BASELINE.json north star.
+  *
+  * Scale design:
+  *  - [[topKBruteForce]]: the correctness baseline. Queries are
+  *    broadcast (they're the small side by construction), so scoring
+  *    is map-side over the candidate corpus; the window top-k then
+  *    shuffles |corpus|×|queries| scored rows.
+  *  - [[topKAggregated]]: the 100 TB path for the same exact result:
+  *    a bounded top-k [[TopKAggregator]] runs map-side partial
+  *    aggregation, so only k rows per (query, map-partition) reach
+  *    the shuffle — |queries|×k×partitions instead of
+  *    |corpus|×|queries|.
+  *  - [[annLsh]]: sub-linear candidate generation via L independent
+  *    sign-random-projection tables (Charikar SimHash-LSH). Collision
+  *    probability per hyperplane is 1−θ/π, so recall is tunable with
+  *    (bitsPerTable, tables); candidates are verified with the exact
+  *    cosine and re-ranked, so precision is exact.
+  */
+object Similarity {
+
+  /** Score every (query, candidate) pair: broadcast nested-loop join
+    * + codegen'd double-precision cosine. Excludes self-pairs.
+    */
+  def scoreAll(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        VectorFunctions.cosine(col("q_vec"), col("vec")).as("cos"))
+
+  /** Exact top-k per query via window row_number (ties → smaller id). */
+  def topKBruteForce(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id"))
+    scoreAll(vecs, queries, idCol, vecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact top-k per query via the bounded [[TopKAggregator]] —
+    * identical output to [[topKBruteForce]], shuffle-light.
+    */
+  def topKAggregated(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val scored = scoreAll(vecs, queries, idCol, vecCol)
+      .select(col("q_id"), col("id"), col("cos").as("score"))
+      .as[ScoredNeighbor]
+    scored.groupByKey(_.q_id)
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit._2").as("id"), col("hit._1").as("cos"))
+  }
+
+  /** Deterministic unit hyperplanes: tables × bitsPerTable planes of
+    * `dim` components, seeded java.util.Random (spec-fixed LCG — the
+    * same planes on every JVM, executor, and rerun).
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Dot product of a literal plane with a vector column. */
+  private def dotLit(plane: Array[Double], vec: Column): Column =
+    aggregate(
+      zip_with(array(plane.map(lit).toSeq: _*), vec,
+        (x, y) => x * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Bucket ids, one per table: the sign bits of `bitsPerTable`
+    * hyperplane projections packed into an int.
+    */
+  def bucketIds(vec: Column, planes: Array[Array[Double]],
+      tables: Int, bitsPerTable: Int): Column = {
+    val buckets = (0 until tables).map { t =>
+      (0 until bitsPerTable).map { j =>
+        val bit = when(dotLit(planes(t * bitsPerTable + j), vec) >= 0,
+          lit(1)).otherwise(lit(0))
+        (bit * lit(1 << j)).cast("int")
+      }.reduce(_ + _)
+    }
+    array(buckets: _*)
+  }
+
+  /** ANN top-k: candidates = ids colliding with the query in ≥1 of
+    * `tables` LSH tables; exact cosine re-rank on candidates.
+    */
+  def annLsh(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int = 8, bitsPerTable: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val dim = 64
+    val planes = hyperplanes(dim, tables * bitsPerTable, seed)
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), posexplode(
+        bucketIds(col(vec), planes, tables, bitsPerTable))
+        .as(Seq("table", "bucket")))
+    val vb = withBuckets(v, "id", "vec")
+    val qb = withBuckets(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_id", "q_vec")
+    val candidateIds = vb.join(qb,
+        vb("table") === qb("table") && vb("bucket") === qb("bucket") &&
+          col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id")).distinct()
+    val scored = candidateIds
+      .join(v, "id")
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))), "q_id")
+      .select(col("q_id"), col("id"),
+        VectorFunctions.cosine(col("q_vec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
+
+/** One scored (query, candidate) pair. */
+case class ScoredNeighbor(q_id: Long, id: Long, score: Double)
+
+/** Bounded top-k accumulator: the buffer never exceeds k entries, so
+  * map-side partial aggregation caps the shuffle at k rows per key
+  * per partition. Ordering: score desc, id asc (deterministic ties).
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredNeighbor, Seq[(Double, Long)],
+      Seq[(Double, Long)]] {
+
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by { case (s, id) => (-s, id) }
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, Long)],
+      row: ScoredNeighbor): Seq[(Double, Long)] =
+    ((row.score, row.id) +: buf).sorted(ord).take(k)
+
+  override def merge(a: Seq[(Double, Long)],
+      b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+
+/** Similarity-search corpus over `embeddings` (north-star extension).
+  * The exact kNN queries are oracle-checked; the two exact variants
+  * (window vs bounded-aggregator) share the same oracle because they
+  * must produce identical rows. The LSH ANN is approximate →
+  * rows-only + SimilaritySpec recall gate.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 5)
+
+  private val knnOracle =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.vec_id AS q_id, v.vec_id AS id,
+           list_sum([q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                     for i in range(1, len(q.embedding) + 1)]) /
+           sqrt(
+             list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                       for i in range(1, len(q.embedding) + 1)]) *
+             list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                       for i in range(1, len(v.embedding) + 1)])) AS cos
+         FROM q JOIN embeddings v ON v.vec_id <> q.vec_id)
+       SELECT q_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+           ORDER BY cos DESC, id) AS INTEGER) AS rank,
+         id, round(cos, 4) AS cos_sim
+       FROM scored
+       QUALIFY rank <= 5
+       ORDER BY q_id, rank"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact kNN, window formulation (correctness baseline).
+    "q_knn_bruteforce" -> { (s, dir) =>
+      Similarity.topKBruteForce(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank"), col("id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Exact kNN via the bounded TopKAggregator — same rows, the
+    // shuffle-light plan (map-side partial top-k).
+    "q_knn_topk_agg" -> { (s, dir) =>
+      Similarity.topKAggregated(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank"), col("id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // LSH-bucketed ANN (approx; rows-only — SimilaritySpec measures
+    // recall against the brute-force truth).
+    "q_ann_lsh" -> { (s, dir) =>
+      Similarity.annLsh(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank"), col("id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Per-vector stats: norm / extremes / argmax over the embedding.
+    "q_vector_stats" -> { (s, dir) =>
+      val e = col("embedding")
+      emb(s, dir).select(
+        col("vec_id"),
+        size(e).as("dim"),
+        VectorFunctions.norm(e).as("l2_norm"),
+        array_max(e).as("max_c"),
+        array_min(e).as("min_c"),
+        array_position(e, array_max(e)).as("argmax"))
+        .orderBy(col("vec_id"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_bruteforce" -> knnOracle,
+    "q_knn_topk_agg" -> knnOracle,
+
+    "q_vector_stats" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS INTEGER) AS dim,
+         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                        for i in range(1, len(embedding) + 1)])) AS l2_norm,
+         list_aggregate(embedding, 'max') AS max_c,
+         list_aggregate(embedding, 'min') AS min_c,
+         CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+           AS BIGINT) AS argmax
+         FROM embeddings ORDER BY vec_id""",
+  )
+}
