@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ PipelineQueries.defs ++
-      FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+      FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      StreamQueries.defs ++ SourceQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       FunctionQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++ StreamQueries.oracles ++
+      SourceQueries.oracles
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Source-boundary operators (SURVEY.md §2a S1/V1) and the
+  * multimodal-column pipeline, exercised over the testdata tables so
+  * they stay oracle-checkable: JSON encode→corrupt→validated-decode
+  * round trip (the webhook boundary in miniature), and the binary
+  * payload decode / frame-sampling plumbing.
+  */
+object SourceQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // V1: schema-validated decode with a corrupt-record channel.
+    // Rebuilds each event as a JSON body, corrupts every 37th one,
+    // decodes with an explicit schema, and audits per type: row
+    // counts, valid counts, and aggregates of the DECODED fields
+    // (proving the round trip, not just the validity bit).
+    "q_json_validate" -> { (s, dir) =>
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("user_id BIGINT, t BIGINT, et STRING, value DOUBLE")
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          to_json(struct(col("user_id"),
+            unix_millis(col("ts")).as("t"),
+            col("event_type").as("et"), col("value"))).as("payload"))
+        .withColumn("payload",
+          when(col("event_id") % 37 === 0, concat(lit("x"), col("payload")))
+            .otherwise(col("payload")))
+        .withColumn("rec", from_json(col("payload"), schema))
+        .withColumn("is_valid",
+          col("rec").isNotNull && col("rec.user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("is_valid"), col("rec.t"))).as("sum_t"),
+          round(avg(when(col("is_valid"), col("rec.value"))), 4)
+            .as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // Multimodal decode: binary payload → deterministic features via
+    // the typed mapPartitions boundary (Multimodal.extractFeatures).
+    "q_multimodal_decode" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.fromDocuments(Tables(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum_mod"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Frame sampling over the binary column: 64-byte frames, 32-byte
+    // stride (the audio/video access pattern).
+    "q_multimodal_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(Tables(s, dir, "documents")),
+          frameBytes = 64, stride = 32)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_json_validate" ->
+      """SELECT event_type, count(*) AS n_total,
+         count(*) FILTER (WHERE event_id % 37 <> 0) AS n_valid,
+         CAST(sum(epoch_ms(ts)) FILTER (WHERE event_id % 37 <> 0)
+           AS BIGINT) AS sum_t,
+         round(avg(value) FILTER (WHERE event_id % 37 <> 0), 4)
+           AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // documents.text is ASCII, so utf-8 byte values == ascii codes.
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(list_sum(list_transform(string_split(text, ''),
+           ch -> ascii(ch))) % 1000000007 AS BIGINT) AS byte_sum_mod
+         FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+         (octet_length(encode(text)) - 64) // 32 + 1 AS n_frames
+         FROM documents
+         WHERE octet_length(encode(text)) >= 64
+         ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing: deterministic stub decode and
+  * frame sampling (SURVEY.md north-star extension; the decode itself
+  * is a documented stub — the schema/partitioning/batch shape are
+  * what's under test).
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.fromDocuments(Tables(spark, sf(), "documents"))
+
+  test("payload bytes round-trip the source text") {
+    val (text, payload) = Tables(spark, sf(), "documents")
+      .select("text").as[String].head() ->
+      media.head().payload
+    assert(new String(payload, "UTF-8") == text)
+  }
+
+  test("feature extraction is deterministic and shape-stable") {
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(_.feat.size == 16))
+    // histogram is a distribution over byte buckets
+    assert(f1.forall(f => math.abs(f.feat.sum - 1.0) < 1e-9))
+    assert(f1.forall(f => f.n_bytes > 0))
+  }
+
+  test("frame sampling yields fixed-size overlapping windows") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 32)
+    val byDoc = frames.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val lens = Tables(spark, sf(), "documents")
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS n")
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (id, n) =>
+      assert(n == (lens(id) - 64) / 32 + 1, s"doc $id")
+    }
+    // every frame is exactly frameBytes long
+    val distinctLens = frames.selectExpr("octet_length(frame)")
+      .distinct().as[Int].collect().toSeq
+    assert(distinctLens == Seq(64))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.JsonSources
+
+/** Golden-fixture tests for the ingest boundary: the FIXTURES.md A1
+  * webhook body must decode and transform into the A3 CoT feature
+  * exactly as the reference does (`task.ts:121-143`).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val webhookA1 =
+    """{
+      "converterId": "conv-1", "deviceId": 42, "teamId": 7,
+      "trackPoint": {
+        "time": 1754956800000, "direction": 270,
+        "inboundMessageId": 9001, "isEmergency": false,
+        "source": "iridium",
+        "alertsList": [{"id": 1, "description": "low battery", "type": "device"}],
+        "point": {"x": -105.27, "y": 40.01}
+      },
+      "source": "everywhere", "entityId": 1001,
+      "deviceType": "inReach Mini 2", "name": "Unit Alpha",
+      "alias": "ALPHA-1"
+    }"""
+
+  test("webhook A1 fixture decodes and transforms to the A3 CoT feature") {
+    val decoded = JsonSources.decodeWebhook(
+      Seq(webhookA1).toDF("body"), "body")
+    assert(decoded.select("is_valid").as[Boolean].head())
+    val cot = JsonSources.webhookToCot(decoded)
+    val row = cot.selectExpr(
+      "id", "properties.type", "properties.how", "properties.course",
+      "properties.callsign", "properties.time",
+      "properties.metadata.inreachId",
+      "properties.metadata.inreachDeviceId",
+      "geometry.coordinates")
+      .as[(String, String, String, Double, String, String, String,
+        String, Seq[Double])].head()
+    assert(row == (("inreach-1001", "a-f-G-U-U-S-X", "m-g", 270.0,
+      "ALPHA-1", "2025-08-12T00:00:00.000Z", "1001", "42",
+      Seq(-105.27, 40.01))))
+  }
+
+  test("emergency flag flips the CoT type (T3)") {
+    val body = webhookA1.replace("\"isEmergency\": false",
+      "\"isEmergency\": true")
+    val cot = JsonSources.webhookToCot(
+      JsonSources.decodeWebhook(Seq(body).toDF("body"), "body"))
+    assert(cot.select("properties.type").as[String].head() == "b-a-o-tbl")
+  }
+
+  test("empty alias falls back to name (T4 falsy coalesce)") {
+    val body = webhookA1.replace("\"alias\": \"ALPHA-1\"", "\"alias\": \"\"")
+    val cot = JsonSources.webhookToCot(
+      JsonSources.decodeWebhook(Seq(body).toDF("body"), "body"))
+    assert(cot.select("properties.callsign").as[String].head() ==
+      "Unit Alpha")
+  }
+
+  test("invalid body lands on the error channel (V1), DEBUG bypasses") {
+    val bodies = Seq(webhookA1, "not json at all",
+      """{"entityId": 5}""").toDF("body")
+    val strict = JsonSources.decodeWebhook(bodies, "body")
+    assert(strict.filter(col("is_valid")).count() == 1)
+    // DEBUG mode = Type.Any(): every body is accepted (task.ts:110)
+    val debug = JsonSources.decodeWebhook(bodies, "body", validate = false)
+    assert(debug.filter(col("is_valid")).count() == 3)
+  }
+
+  test("poll response decodes and explodes its features (S2/T8)") {
+    val poll =
+      """{
+        "type": "FeatureCollection",
+        "features": [
+          {"type": "Feature",
+           "properties": {"name": "Unit Alpha", "entityId": 1001,
+             "entityType": "asset", "deviceType": "inReach Mini 2",
+             "teamId": 7, "time": 1754956800000,
+             "inboundMessageId": 9001, "isEmergency": true,
+             "direction": 270.5},
+           "geometry": {"type": "Point", "coordinates": [-105.27, 40.01]}},
+          {"type": "Feature",
+           "properties": {"name": "Unit Bravo", "entityId": 1002,
+             "entityType": "asset", "deviceType": "inReach Mini 2",
+             "teamId": 7, "time": 1754956860000,
+             "inboundMessageId": 9002, "direction": 90},
+           "geometry": {"type": "Point", "coordinates": [-106.0, 41.0]}}
+        ]
+      }"""
+    val feats = JsonSources.decodePollResponse(Seq(poll).toDF("body"), "body")
+    assert(feats.count() == 2)
+    val d = feats.select(
+      col("feature.properties.entityId"),
+      col("feature.properties.direction"),
+      col("feature.geometry.coordinates"))
+      .as[(Int, Double, Seq[Double])].collect().toSeq
+    assert(d == Seq((1001, 270.5, Seq(-105.27, 40.01)),
+      (1002, 90.0, Seq(-106.0, 41.0))))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{DeviceUpdate, TrackPoint, TrackStream}
+
+/** The Structured Streaming form of the reference pipeline, driven
+  * through MemoryStream (SURVEY.md §5.3: stateful streaming has no
+  * DuckDB oracle — these sequences ARE the gate).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def runUpdates(input: MemoryStream[TrackPoint],
+      ds: org.apache.spark.sql.Dataset[DeviceUpdate], name: String)(
+      feed: (() => Unit) => Unit): Seq[DeviceUpdate] = {
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      feed(() => q.processAllAvailable())
+      spark.table(name).as[DeviceUpdate].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("latestWithTtl: last-write-wins per device across batches") {
+    val input = MemoryStream[TrackPoint]
+    val out = runUpdates(input,
+      TrackStream.latestWithTtl(input.toDS(), retentionMs = 60 * 60000),
+      "t_lww") { sync =>
+      input.addData(TrackPoint(1, ts(0), false, 10.0),
+        TrackPoint(2, ts(1), true, 20.0))
+      sync()
+      // batch 2: newer point for 1, stale (older) point for 2
+      input.addData(TrackPoint(1, ts(5), false, 11.0),
+        TrackPoint(2, ts(0), false, 99.0))
+      sync()
+    }
+    val latest = out.filter(!_.evicted).groupBy(_.entityId)
+      .map { case (k, v) => k -> v.maxBy(_.ts.getTime).course }
+    assert(latest == Map(1L -> 11.0, 2L -> 20.0),
+      s"stale update must not clobber newer state: $out")
+  }
+
+  test("latestWithTtl: retention TTL evicts idle devices (tombstone)") {
+    val input = MemoryStream[TrackPoint]
+    val out = runUpdates(input,
+      TrackStream.latestWithTtl(input.toDS(), retentionMs = 30 * 60000),
+      "t_ttl") { sync =>
+      input.addData(TrackPoint(1, ts(0), false, 10.0))
+      sync()
+      // advance event time far past 1's timeout via another device
+      input.addData(TrackPoint(2, ts(120), false, 20.0))
+      sync()
+      input.addData(TrackPoint(2, ts(130), false, 21.0))
+      sync()
+    }
+    assert(out.exists(u => u.entityId == 1 && u.evicted),
+      s"device 1 should be evicted after 30min idle: $out")
+    assert(!out.exists(u => u.entityId == 2 && u.evicted))
+  }
+
+  test("dedupWithinWatermark drops redelivered points") {
+    val input = MemoryStream[TrackPoint]
+    val q = TrackStream.dedupWithinWatermark(input.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(TrackPoint(1, ts(0), false, 1.0),
+        TrackPoint(1, ts(0), false, 1.0)) // duplicate delivery
+      q.processAllAvailable()
+      input.addData(TrackPoint(1, ts(0), false, 1.0)) // redelivery later
+      q.processAllAvailable()
+      val n = spark.table("t_dedup").count()
+      assert(n == 1, s"expected single surviving row, got $n")
+    } finally q.stop()
+  }
+
+  test("windowedCounts: tumbling event-time aggregation with watermark") {
+    val input = MemoryStream[TrackPoint]
+    val q = TrackStream.windowedCounts(input.toDS(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("t_win")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(TrackPoint(1, ts(10), false, 1.0),
+        TrackPoint(2, ts(20), false, 1.0),
+        TrackPoint(3, ts(70), true, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_win")
+        .select("window_start", "isEmergency", "cnt")
+        .as[(java.sql.Timestamp, Boolean, Long)].collect().toSet
+      assert(rows == Set((ts(0), false, 2L), (ts(60), true, 1L)))
+    } finally q.stop()
+  }
+}
