@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.plans.Sketches
 
 /** Document deduplication operators (BASELINE.json north star).
   *
@@ -21,8 +22,13 @@ import graft.functions.TextFunctions._
   *    so the shuffle volume is k/r keys per doc, and verification
   *    runs per-candidate-pair as a codegen'd array intersection.
   *  - [[simhashPairs]]: constant 8-byte sketch per doc; banding on
-  *    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal)
-  *    keeps candidate generation to 4 equality joins.
+  *    8-bit chunks (pigeonhole: hamming ≤ 7 ⇒ some chunk equal)
+  *    keeps candidate generation to 8 equality joins.
+  *
+  * The sketches themselves are native Catalyst expressions
+  * ([[graft.plans.Sketches]]) — the HOF formulations in TextFunctions
+  * are interpreted and hash every shingle k times (~400 s/query at
+  * sf0.1); the native ones hash once per shingle (sub-second).
   */
 object Dedup {
 
@@ -81,8 +87,8 @@ object Dedup {
     require(k % bands == 0, "k must be a multiple of bands")
     val r = k / bands
     val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(array_distinct(wordShingles(col(textCol), n)), k)
-        .as("sig"))
+      Sketches.minhashSignature(
+        array_distinct(wordShingles(col(textCol), n)), k).as("sig"))
     val bandKeys = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => hash(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))))
@@ -123,10 +129,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
-    val sketched = docs
-      .select(col(idCol).as("id"),
-        wordShingles(col(textCol), 3).as("__shingles"))
-      .select(col("id"), simhash64("__shingles").as("sim"))
+    val sketched = docs.select(col(idCol).as("id"),
+      Sketches.simhash64(wordShingles(col(textCol), 3)).as("sim"))
     // shiftright needs a literal shift in the Scala DSL; chunk in SQL.
     val chunked = sketched.select(col("id"), col("sim"),
       posexplode(expr(
@@ -156,7 +160,7 @@ object Dedup {
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.VectorFunctions
-          .cosine(col("a.vec"), col("b.vec")).as("cos"))
+        graft.plans.CosineSimExpr
+          .cosine_native(col("a.vec"), col("b.vec")).as("cos"))
   }
 }

@@ -37,7 +37,8 @@ object Similarity {
         col(vecCol).as("q_vec"))))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
-        VectorFunctions.cosine(col("q_vec"), col("vec")).as("cos"))
+        graft.plans.CosineSimExpr.cosine_native(col("q_vec"), col("vec"))
+          .as("cos"))
 
   /** Exact top-k per query via window row_number (ties → smaller id). */
   def topKBruteForce(vecs: DataFrame, queries: DataFrame,
@@ -125,7 +126,8 @@ object Similarity {
       .join(broadcast(queries.select(col(idCol).as("q_id"),
         col(vecCol).as("q_vec"))), "q_id")
       .select(col("q_id"), col("id"),
-        VectorFunctions.cosine(col("q_vec"), col("vec")).as("cos"))
+        graft.plans.CosineSimExpr.cosine_native(col("q_vec"), col("vec"))
+          .as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

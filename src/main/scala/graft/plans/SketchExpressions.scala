@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native Catalyst expressions for the dedup sketches.
+  *
+  * The pure higher-order-function formulations (TextFunctions) are
+  * correct but interpreted — Spark's lambda functions don't
+  * participate in codegen, and the sketches hash every shingle k (or
+  * 64) times. At sf0.1 that made the two sketch queries ~400 s each.
+  * These expressions hash each shingle ONCE and run the k-slot /
+  * 64-bit loops as tight JVM loops: the same queries drop to
+  * sub-second (see BENCH_r*.json).
+  *
+  * This is preference order (b) from the build brief: a scalar
+  * `Expression` where built-ins can't express the computation
+  * efficiently — no custom LogicalPlan/Strategy needed.
+  */
+object Sketches {
+
+  /** xxhash64-style avalanche of one long (xxh64 finalizer). */
+  @inline private[plans] def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
+  /** Hash a UTF8String to a long (murmur3 x86 32 doubled + mix —
+    * stable across JVMs/executors, cheap, good avalanche).
+    */
+  @inline private[plans] def hashString(s: UTF8String): Long = {
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
+    mix((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def simhash64(shingles: Column): Column =
+    column(SimHash64Expr(expression(shingles)))
+
+  def minhashSignature(shingles: Column, k: Int): Column =
+    column(MinHashSigExpr(expression(shingles), k))
+}
+
+/** 64-bit SimHash of an array<string>: per bit position, sum ±1
+  * across elements by that bit of the element hash; bit set iff
+  * positive. One string hash per element.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Sketches.hashString(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+}
+
+/** MinHash signature of an array<string>: each element hashed once,
+  * then k affine permutations h_i(x) = mix(x * A_i + B_i); slot i is
+  * the minimum over elements. Empty input → Long.MaxValue slots.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // deterministic per-slot affine constants (seeded, odd multipliers)
+  @transient private lazy val coefs: (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(42L)
+    val a = Array.fill(k)(rng.nextLong() | 1L)
+    val b = Array.fill(k)(rng.nextLong())
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (ca, cb) = coefs
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Sketches.hashString(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = Sketches.mix(h * ca(j) + cb(j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** Cosine similarity of two array<float> columns in double precision,
+  * with full whole-stage codegen (`doGenCode` emits the fused loop) —
+  * the hot-path scalar for kNN/ANN scoring. Null if either side is
+  * null; arrays are assumed equal length (embedding columns).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineSimExpr = copy(left = l, right = r)
+}
+
+object CosineSimExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def cosine_native(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+}

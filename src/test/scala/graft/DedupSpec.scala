@@ -55,10 +55,9 @@ class DedupSpec extends SparkSpec {
   test("simhash: near-dup pairs have small hamming distance, others large") {
     val truth = exactPairs(0.8)
     assume(truth.nonEmpty)
-    val sketched = docs
-      .select($"doc_id", TextFunctions.wordShingles($"text", 3)
-        .as("__shingles"))
-      .select($"doc_id", TextFunctions.simhash64("__shingles").as("sim"))
+    val sketched = docs.select($"doc_id",
+      graft.plans.Sketches.simhash64(TextFunctions.wordShingles($"text", 3))
+        .as("sim"))
     val sims = sketched.as[(Long, Long)].collect().toMap
     val dupHams = truth.toSeq.map { case (a, b) =>
       java.lang.Long.bitCount(sims(a) ^ sims(b))
@@ -85,10 +84,9 @@ class DedupSpec extends SparkSpec {
     // The operator's actual contract: 8×8-bit banding recalls EVERY
     // pair at hamming ≤ 7 (pigeonhole), and verification removes all
     // banding false positives — so it must equal the brute-force set.
-    val sketched = docs
-      .select($"doc_id", TextFunctions.wordShingles($"text", 3)
-        .as("__shingles"))
-      .select($"doc_id", TextFunctions.simhash64("__shingles").as("sim"))
+    val sketched = docs.select($"doc_id",
+      graft.plans.Sketches.simhash64(TextFunctions.wordShingles($"text", 3))
+        .as("sim"))
     val sims = sketched.as[(Long, Long)].collect()
     val brute = (for {
       (a, sa) <- sims; (b, sb) <- sims

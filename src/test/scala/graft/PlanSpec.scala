@@ -1,0 +1,72 @@
+package graft
+
+/** Plan-shape audits: the properties that make these queries scale
+  * are asserted, not assumed — filter/column pushdown into the
+  * parquet scan, broadcast joins for dims, map-side partial
+  * aggregation, TakeOrderedAndProject for top-k, whole-stage codegen
+  * in the hot paths, and no shuffle for per-row function families.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution
+      .executedPlan.toString
+
+  test("q_scan_project: filter and projection reach the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double"),
+      s"column pruning missing:\n$p")
+  }
+
+  test("q3: dimension join is broadcast, not shuffled") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q5: star joins broadcast every dimension") {
+    val p = plan("q5_nation_revenue")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3,
+      s"expected ≥3 broadcast joins in the star:\n$p")
+  }
+
+  test("q1: hash aggregate runs map-side partials") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no partial aggregation — full rows would cross the shuffle:\n$p")
+  }
+
+  test("q_sort_limit: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("flagship latest-per-key avoids the window-sort formulation") {
+    val p = plan("tp_pipeline_e2e")
+    assert(p.contains("max_by") || p.contains("HashAggregate"), p)
+    assert(!p.contains("row_number"),
+      s"latest-per-key should be an aggregate, not a window sort:\n$p")
+  }
+
+  test("scalar function families stay inside whole-stage codegen") {
+    for (q <- Seq("q_math_funcs", "q_string_funcs", "tp_cot_transform")) {
+      val p = withoutAqe {
+        SparkEntry.queries(q)(spark, sf()).queryExecution
+          .explainString(org.apache.spark.sql.execution.CodegenMode)
+      }
+      assert("Found \\d+ WholeStageCodegen subtrees".r.findFirstIn(p).isDefined
+          && !p.startsWith("Found 0"),
+        s"$q fell out of codegen:\n${p.take(500)}")
+    }
+  }
+
+  test("per-row queries have no exchange except the final order") {
+    val p = plan("q_text_token_stats")
+    // rangepartitioning for the final orderBy is the only exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected shuffles:\n$p")
+  }
+}

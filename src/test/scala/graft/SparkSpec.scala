@@ -8,6 +8,16 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(d: String = "0.001"): String = s"/root/testdata/sf$d"
+
+  /** Run a block with AQE off — plan-shape assertions need the
+    * static physical plan (AdaptiveSparkPlan hides codegen subtrees
+    * until execution).
+    */
+  def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
 
 object SparkSpec {
