@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ PipelineQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      StreamQueries.defs ++ SourceQueries.defs
+      StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       FunctionQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ StreamQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++ JoinExtQueries.oracles
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: attach to each left row the newest right row with
+  * `right.ts <= left.ts` within the same key — the time-series
+  * enrichment operator (trades⋈quotes, event⋈last-config, …).
+  *
+  * Spark has no built-in as-of join; the naive non-equi formulation
+  * (`l.key = r.key AND r.ts <= l.ts` + argmax) explodes into a range
+  * join with O(|matches|) intermediate rows. This implementation is
+  * the scale-correct composition (build-brief preference (a)):
+  * tag both sides, union, ONE shuffle+sort by (key, ts, side), then a
+  * running `last(payload, ignoreNulls)` window — O(n log n) with no
+  * pair blow-up, and the window frame is growing-only so Spark keeps
+  * a single running value (no frame re-scan).
+  *
+  * Ties: a right row at exactly left.ts is visible (side orders
+  * right-before-left at equal ts), matching `>=` as-of semantics.
+  * Right payload is wrapped in a struct internally so genuinely-null
+  * payload fields survive `last(ignoreNulls)`.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val rp = right.select(
+      col(key), col(ts),
+      struct(payloadCols.map(col): _*).as("__asof_payload"))
+      .withColumn("__side", lit(0))
+    val lp = left.withColumn("__side", lit(1))
+    val unioned = lp.unionByName(rp, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val attached = unioned.withColumn("__asof_match",
+      last(col("__asof_payload"), ignoreNulls = true).over(w))
+    val out = attached.filter(col("__side") === 1)
+    payloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(c, col(s"__asof_match.$c"))
+    }.drop("__side", "__asof_payload", "__asof_match")
+  }
+}

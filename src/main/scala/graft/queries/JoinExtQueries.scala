@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Extended join/aggregation surface: as-of join, range join, pivot,
+  * multiset set-ops, HLL approximate distinct.
+  */
+object JoinExtQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: for each purchase, the user's most recent prior
+    // (or simultaneous) error event. One shuffle+sort, no range
+    // explosion (see AsOfJoin docs).
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("err_id"), col("ts").as("err_ts"))
+      AsOfJoin.asOf(purchases, errors, "user_id", "ts",
+          Seq("err_id", "err_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("time_ms"),
+          col("err_id"),
+          unix_millis(col("err_ts")).as("err_ms"))
+        .orderBy(col("event_id"))
+    },
+
+    // Range join against a tiny literal tier table: broadcast
+    // nested-loop on the band predicate — the correct shape when one
+    // side is a handful of bands (never shuffle the fact side).
+    "q_range_join" -> { (s, dir) =>
+      val tiers = s.range(0, 12).toDF("tier")
+        .select(col("tier").cast("int").as("tier"),
+          (col("tier") * 25.0).as("lo"), ((col("tier") + 1) * 25.0).as("hi"))
+      t(s, dir, "events")
+        .join(broadcast(tiers),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4)
+          .as("avg_v"))
+        .orderBy(col("tier"))
+    },
+
+    // Pivot: per-user event-type counts as fixed columns (explicit
+    // value list keeps the schema static — required for both the
+    // oracle and any sane production plan).
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    // Multiset EXCEPT ALL: order statuses of even orderkeys minus the
+    // multiset of odd ones (duplicates preserved).
+    "q_set_except_all" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderstatus").as("status"))
+        .exceptAll(ord.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderstatus").as("status")))
+        .orderBy(col("status"))
+    },
+
+    // HLL approximate distinct (no oracle — sketch internals differ
+    // across engines; JoinExtSpec gates the relative error ≤ 5%).
+    "q_agg_approx_hll" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         e AS (
+           SELECT user_id, ts, event_id AS err_id FROM events
+           WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS time_ms,
+           e.err_id, epoch_ms(e.ts) AS err_ms
+         FROM p ASOF LEFT JOIN e
+           ON p.user_id = e.user_id AND p.ts >= e.ts
+         ORDER BY p.event_id""",
+
+    "q_range_join" ->
+      """SELECT tier, count(*) AS cnt, round(avg(value), 4) AS avg_v
+         FROM events
+         JOIN (SELECT CAST(range AS INTEGER) AS tier,
+                 range * 25.0 AS lo, (range + 1) * 25.0 AS hi
+               FROM range(0, 12)) tiers
+           ON value >= lo AND value < hi
+         GROUP BY tier ORDER BY tier""",
+
+    "q_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_set_except_all" ->
+      """SELECT o_orderstatus AS status FROM orders
+         WHERE o_orderkey % 2 = 0
+         EXCEPT ALL
+         SELECT o_orderstatus AS status FROM orders
+         WHERE o_orderkey % 2 = 1
+         ORDER BY status""",
+  )
+}
