@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-stage salted aggregation.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to
+  * one reducer. Salting splits each key into `salts` sub-keys for a
+  * partial aggregate, then combines — the hot key's work spreads over
+  * `salts` reducers and the final stage only sees `salts` rows per
+  * key. Only decomposable aggregates (sum/count/min/max + those
+  * derivable from them, e.g. avg = sum/count) can be salted this way.
+  *
+  * Note Spark's map-side partial aggregation already covers skew for
+  * these aggregates when upstream data is spread across partitions;
+  * explicit salting matters when the input is ALREADY partitioned by
+  * the hot key (e.g. after a join on it) or for high-cardinality
+  * intermediate state. AQE's skew-join handling covers the join case;
+  * this operator covers the aggregation case.
+  */
+object Skew {
+
+  /** groupBy(key) with sum/count decomposed through a salt stage.
+    * Result is identical to the unsalted aggregate (oracle-checked
+    * by q_salted_agg).
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(valueCol)), lit(salts)))
+    val partial = salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_v"), sum(col("__pcnt")).as("cnt"))
+  }
+
+  /** Deterministic salt from a row id — use when no value column is
+    * suitable for salting (must distribute the hot key's rows).
+    */
+  def saltFromId(id: Column, salts: Int): Column =
+    pmod(hash(id), lit(salts))
+}

@@ -74,6 +74,18 @@ object JoinExtQueries {
         .orderBy(col("status"))
     },
 
+    // Skew-safe two-stage salted aggregation — result is identical
+    // to the plain aggregate (the oracle IS the plain aggregate);
+    // decimal sums make the two-stage decomposition exact.
+    "q_salted_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("v", col("value").cast("decimal(12,2)"))
+      graft.operators.Skew.saltedSumCount(ev, "user_id", "v", salts = 8)
+        .select(col("user_id"),
+          round(col("sum_v").cast("double"), 2).as("sum_v"), col("cnt"))
+        .orderBy(col("user_id"))
+    },
+
     // HLL approximate distinct (no oracle — sketch internals differ
     // across engines; JoinExtSpec gates the relative error ≤ 5%).
     "q_agg_approx_hll" -> { (s, dir) =>
@@ -115,6 +127,13 @@ object JoinExtQueries {
          count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
          count(*) FILTER (WHERE event_type = 'signup') AS signup,
          count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_salted_agg" ->
+      """SELECT user_id,
+         round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS sum_v,
+         count(*) AS cnt
          FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q_set_except_all" ->

@@ -80,6 +80,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink receives every micro-batch (K1 submit analogue)") {
+    val input = MemoryStream[TrackPoint]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TrackPoint],
+          id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) }; ()
+      }
+      .start()
+    try {
+      input.addData(TrackPoint(1, ts(0), false, 1.0),
+        TrackPoint(2, ts(1), false, 2.0))
+      q.processAllAvailable()
+      input.addData(TrackPoint(3, ts(2), true, 3.0))
+      q.processAllAvailable()
+      val total = seen.synchronized(seen.map(_._2).sum)
+      assert(total == 3, s"sink saw $seen")
+    } finally q.stop()
+  }
+
   test("windowedCounts: tumbling event-time aggregation with watermark") {
     val input = MemoryStream[TrackPoint]
     val q = TrackStream.windowedCounts(input.toDS(), "1 hour", "30 minutes")
