@@ -16,9 +16,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles; a doc with fewer than n tokens yields an
-    * empty shingle set.
+    * empty shingle set. Delegates to the native expression — the HOF
+    * form below is the semantic reference (interpreted, 2×|tokens|
+    * lambda evals per row).
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    graft.plans.Sketches.wordShingles(text, n)
+
+  /** HOF reference implementation of [[wordShingles]] (kept for the
+    * native-vs-reference equivalence spec).
+    */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),

@@ -54,13 +54,15 @@ object Dedup {
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
-    val pruned = maxShingleDocFreq match {
+    val pruned = (maxShingleDocFreq match {
       case Some(maxDf) =>
         val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("sh")
         sh.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => sh
-    }
+      // persisted: the exploded shingle index feeds the self-join
+      // (twice) and the per-doc counts — 3 reuses of one scan
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val pairs = pruned.as("a")
       .join(pruned.as("b"),
@@ -89,10 +91,13 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("id"),
       Sketches.minhashSignature(
         array_distinct(wordShingles(col(textCol), n)), k).as("sig"))
+    // persist the (tiny: bands rows per doc) band table — both sides
+    // of the self-join would otherwise recompute shingling+signatures
     val bandKeys = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => hash(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))))
         .as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") &&
@@ -132,10 +137,12 @@ object Dedup {
     val sketched = docs.select(col(idCol).as("id"),
       Sketches.simhash64(wordShingles(col(textCol), 3)).as("sim"))
     // shiftright needs a literal shift in the Scala DSL; chunk in SQL.
+    // Persisted: 8 small rows per doc, reused by both self-join sides.
     val chunked = sketched.select(col("id"), col("sim"),
       posexplode(expr(
         "transform(sequence(0, 7), j -> (shiftright(sim, j * 8) & 255L))"))
         .as(Seq("chunk", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
@@ -144,8 +151,10 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.functions.TextFunctions.hamming64(col("a.sim"), col("b.sim"))
           .as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: the hamming filter kills ~99.9% of the
+      // banding candidates, so the distinct only shuffles survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster

@@ -56,6 +56,9 @@ object Sketches {
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSigExpr(expression(shingles), k))
 
+  def wordShingles(text: Column, n: Int): Column =
+    column(ShinglesExpr(expression(text), n))
+
   /** Expose the native expressions to the SQL front-end:
     * `simhash64(arr)`, `minhash_sig(arr, k)`, `cosine_sim(a, b)`.
     */
@@ -67,6 +70,40 @@ object Sketches {
     registerFunction(spark, "cosine_sim",
       es => CosineSimExpr(es.head, es(1)))
   }
+}
+
+/** Word n-gram shingles of a space-separated string, as one native
+  * pass: split + sliding join. Matches the HOF reference
+  * (`TextFunctions.wordShinglesHof`) exactly, including Spark `split`
+  * empty-token semantics, but without 2×|tokens| interpreted lambda
+  * evals per row. Fewer than n tokens → empty array.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val space = UTF8String.fromString(" ")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = toks.length - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        out(i) = UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
 }
 
 /** 64-bit SimHash of an array<string>: per bit position, sum ±1

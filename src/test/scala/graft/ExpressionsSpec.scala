@@ -58,6 +58,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(r1.values.map(_._1).toSet.size > r1.size / 2)
   }
 
+  test("native shingles == HOF reference shingles on the corpus") {
+    val cmp = docs.select(
+      TextFunctions.wordShingles($"text", 3).as("native"),
+      TextFunctions.wordShinglesHof($"text", 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { case (n, h) => assert(n == h) }
+    // short-input edge: fewer than n tokens → empty
+    val edge = Seq("a b", "", "one two three").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3).as("s"),
+        TextFunctions.wordShinglesHof(col("text"), 3).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    edge.foreach { case (n, h) => assert(n == h) }
+    assert(edge(2)._1 == Seq("one two three"))
+  }
+
   test("minhash signature slot count and empty-input behavior") {
     val sig = Seq(("a b", 0)).toDF("text", "pad")
       .select(Sketches.minhashSignature(
