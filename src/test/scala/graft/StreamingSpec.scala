@@ -64,6 +64,39 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(u => u.entityId == 2 && u.evicted))
   }
 
+  test("streaming latest-cache == batch latestPerKey on the same data") {
+    // Feed real testdata events through the stream in micro-batches;
+    // the final per-device state must equal the batch operator's
+    // answer on the identical rows (retention long enough that
+    // nothing times out).
+    val rows = Tables(spark, sf(), "events")
+      .orderBy("ts").limit(300)
+      .select($"user_id", $"ts", ($"event_type" === "error").as("emg"),
+        $"value")
+      .as[(Long, java.sql.Timestamp, Boolean, Double)]
+      .collect()
+      .map { case (u, t, e, v) => TrackPoint(u, t, e, v) }
+    val input = MemoryStream[TrackPoint]
+    val out = runUpdates(input,
+      TrackStream.latestWithTtl(input.toDS(),
+        retentionMs = 365L * 24 * 3600 * 1000), "t_equiv") { sync =>
+      rows.grouped(100).foreach { chunk =>
+        input.addData(chunk.toSeq); sync()
+      }
+    }
+    val streamed = out.filter(!_.evicted).groupBy(_.entityId)
+      .map { case (k, us) =>
+        k -> { val b = us.maxBy(_.ts.getTime); (b.ts.getTime, b.course) }
+      }
+    val batch = graft.operators.TrackPipeline
+      .latestPerKey(rows.toSeq.toDF("entityId", "ts", "isEmergency",
+        "course"), "entityId", "ts", "course")
+      .select($"entityId", $"latest.ts", $"latest.course")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .map { case (k, t, c) => k -> ((t.getTime, c)) }.toMap
+    assert(streamed == batch)
+  }
+
   test("dedupWithinWatermark drops redelivered points") {
     val input = MemoryStream[TrackPoint]
     val q = TrackStream.dedupWithinWatermark(input.toDS(), "1 hour")
