@@ -96,6 +96,21 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Jaccard with document-frequency pruning: shingles present in
+    // >10% of docs carry no near-dup signal but dominate the inverted
+    // index join — dropping them is the hot-key mitigation at scale.
+    // Jaccard is then computed over the PRUNED shingle sets (the
+    // oracle mirrors the same pruning).
+    "q_dedup_jaccard_pruned" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val maxDf = (d.count() / 10).toInt.max(1)
+      Dedup.jaccardShinglePairs(d, "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDocFreq = Some(maxDf))
+        .select(col("id_a"), col("id_b"), col("common"),
+          col("n_a"), col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // MinHash-LSH near-dups (approx; rows-only check — verified
     // against exact Jaccard in DedupSpec).
     "q_dedup_minhash_lsh" -> { (s, dir) =>
@@ -205,6 +220,37 @@ object TextQueries {
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                        for i in range(1, len(t) - 1)]) AS sh
              FROM toks)),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+           round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4)
+             AS jaccard
+         FROM pairs
+         JOIN cnt ca ON id_a = ca.doc_id
+         JOIN cnt cb ON id_b = cb.doc_id
+         WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q_dedup_jaccard_pruned" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh0 AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         maxdf AS (
+           SELECT greatest(CAST(count(*) // 10 AS INTEGER), 1) AS m
+           FROM documents),
+         hot AS (
+           SELECT sh FROM sh0 GROUP BY sh
+           HAVING count(*) > (SELECT m FROM maxdf)),
+         sh AS (
+           SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
          cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
