@@ -26,7 +26,63 @@ object TextQueries {
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** Shared quality sub-expressions (mirrored in oracle SQL). */
+  private def qualityCols = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stops = size(filter(toks,
+      x => array_contains(array(lit("the"), lit("a")), x)))
+    (nTok, stops.cast("double") / nTok)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The end-to-end corpus-curation flow an LLM-data pipeline runs:
+    // planted-dup corpus → exact dedup (keep first) → quality gate →
+    // language-ID → per-language corpus stats. One declarative plan:
+    // Catalyst fuses the per-row stages; the only shuffles are the
+    // dedup groupBy and the final language aggregate.
+    "q_curation_pipeline" -> { (s, dir) =>
+      val aug = docsWithDups(s, dir)
+      val survivors = Dedup.dropExact(aug, "doc_id", "text")
+        .join(docs(s, dir), Seq("doc_id"))
+      val (nTok, stopRatio) = qualityCols
+      survivors
+        .withColumn("n_tokens", nTok)
+        .withColumn("quality",
+          least(lit(1.0), nTok.cast("double") / 100.0) *
+            (lit(1.0) - stopRatio))
+        .filter(col("quality") >= 0.3 && col("n_tokens") >= 20)
+        .withColumn("lang_pred", langId(col("text")))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 4).as("avg_quality"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang_pred"))
+    },
+
+    // Seeded sampling (rows-only: RNG streams differ across engines;
+    // SamplingSpec gates determinism + stratum proportions). The
+    // hash-split assignment IS engine-portable → oracle-checked.
+    "q_sample_stratified" -> { (s, dir) =>
+      graft.operators.Sampling.stratified(docs(s, dir), "lang",
+          Map("en" -> 0.5, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5,
+            "zh" -> 0.5), seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+
+    // Deterministic train/valid/test hash split — pure function of
+    // doc_id (xxhash64), reproducible anywhere; oracle recomputes the
+    // same buckets via Spark's published xxhash64? No — rows-only is
+    // wrong here; instead the oracle checks the INVARIANTS: split
+    // sizes sum to total (checked in SamplingSpec); the driver gets
+    // rows-only. See SamplingSpec for the full gate.
+    "q_hash_split" -> { (s, dir) =>
+      graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id", 80, 10)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))
+    },
 
     // Token counting: whitespace + regex ("BPE-ish" word-run) tokens.
     "q_text_token_stats" -> { (s, dir) =>
@@ -139,6 +195,48 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id < 20),
+         keep AS (
+           SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+         d AS (
+           SELECT k.doc_id, doc.text FROM keep k
+           JOIN documents doc ON k.doc_id = doc.doc_id),
+         q AS (
+           SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(string_split(text, ' '))) AS quality
+           FROM d),
+         f AS (SELECT * FROM q WHERE quality >= 0.3 AND n_tokens >= 20),
+         scored AS (
+           SELECT *,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('window', 'stream', 'batch', 'merge'))) AS c_de,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'fast', 'big'))) AS c_en,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('data', 'table', 'row', 'column'))) AS c_es,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('join', 'filter', 'sort', 'order'))) AS c_fr,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('spark', 'query', 'vector', 'hash'))) AS c_zh
+           FROM f)
+         SELECT
+           CASE greatest(c_de, c_en, c_es, c_fr, c_zh)
+             WHEN c_de THEN 'de' WHEN c_en THEN 'en' WHEN c_es THEN 'es'
+             WHEN c_fr THEN 'fr' ELSE 'zh' END AS lang_pred,
+           count(*) AS n_docs,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM scored GROUP BY lang_pred ORDER BY lang_pred""",
+
     "q_text_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
