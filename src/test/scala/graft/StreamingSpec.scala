@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{DeviceUpdate, TrackPoint, TrackStream}
 
@@ -131,6 +132,59 @@ class StreamingSpec extends SparkSpec {
       val total = seen.synchronized(seen.map(_._2).sum)
       assert(total == 3, s"sink saw $seen")
     } finally q.stop()
+  }
+
+  test("end-to-end: webhook JSON stream → decode → CoT → latest cache → sink") {
+    // The reference's whole webhook program (task.ts:97-164) as one
+    // streaming flow: S1 source, V1 validated decode, T1-T7
+    // transform, A2 keyed cache, K1 sink.
+    def body(entity: Long, timeMs: Long, emergency: Boolean,
+        dir: Double): String =
+      s"""{"entityId": $entity, "deviceId": 42, "name": "Unit-$entity",
+          "alias": "", "deviceType": "inReach",
+          "trackPoint": {"time": $timeMs, "direction": $dir,
+            "isEmergency": $emergency,
+            "point": {"x": -105.0, "y": 40.0}}}"""
+    val t0 = 1754956800000L
+    val input = MemoryStream[String]
+    val decoded = graft.sources.JsonSources
+      .decodeWebhook(input.toDF().toDF("body"), "body")
+      .filter($"is_valid")
+      .select($"rec.entityId".cast("long").as("entityId"),
+        timestamp_millis($"rec.trackPoint.time").as("ts"),
+        coalesce($"rec.trackPoint.isEmergency", lit(false))
+          .as("isEmergency"),
+        $"rec.trackPoint.direction".as("course"))
+      .as[TrackPoint]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    val q = TrackStream.latestWithTtl(decoded, retentionMs = 3600000L)
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DeviceUpdate],
+          _: Long) =>
+        // K1: the CoT feature submit — apply T2/T3 at the sink edge
+        val rows = batch.filter(!$"evicted")
+          .select(
+            graft.operators.TrackPipeline.cotId($"entityId").as("id"),
+            graft.operators.TrackPipeline.cotType($"isEmergency")
+              .as("cot_type"),
+            $"course")
+          .as[(String, String, Double)].collect()
+        sunk.synchronized { sunk ++= rows }; ()
+      }.start()
+    try {
+      input.addData(body(1001, t0, emergency = false, 270.0),
+        "garbage not json", // V1 rejects, stream keeps going
+        body(1002, t0 + 1000, emergency = true, 90.0))
+      q.processAllAvailable()
+      input.addData(body(1001, t0 + 5000, emergency = false, 275.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = sunk.synchronized {
+      sunk.groupBy(_._1).map { case (k, vs) => k -> vs.last }
+    }
+    assert(latest("inreach-1001") == (("inreach-1001", "a-f-G-U-U-S-X", 275.0)))
+    assert(latest("inreach-1002") == (("inreach-1002", "b-a-o-tbl", 90.0)))
+    assert(latest.size == 2) // the garbage body never produced output
   }
 
   test("windowedCounts: tumbling event-time aggregation with watermark") {
