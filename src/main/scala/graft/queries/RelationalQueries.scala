@@ -278,6 +278,38 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // RANGE frame over event time: all events of the same user within
+    // the trailing 10 minutes (value-based frame, not row-based).
+    "q_window_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_10min"),
+          round(sum(col("value")).over(w), 4).as("sum_10min"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Analytic window functions: first/last/nth value, ntile,
+    // percent_rank, cume_dist.
+    "q_window_analytics" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wFull).as("cheapest_key"),
+          last(col("o_orderkey")).over(wFull).as("dearest_key"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("o_orderkey") % 25 === 0)
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+
     // ---- top-k ----------------------------------------------------
     "q_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -516,6 +548,35 @@ object RelationalQueries {
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
          FROM events ORDER BY user_id, event_id""",
+
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id,
+         count(*) OVER w AS n_10min,
+         round(sum(value) OVER w, 4) AS sum_10min
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
+    "q_window_analytics" ->
+      """SELECT * FROM (
+           SELECT o_orderstatus, o_orderkey,
+             first_value(o_orderkey) OVER wf AS cheapest_key,
+             last_value(o_orderkey) OVER wf AS dearest_key,
+             nth_value(o_orderkey, 2) OVER wf AS second_key,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+           FROM orders
+           WINDOW
+             w AS (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey),
+             wf AS (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING))
+         WHERE o_orderkey % 25 = 0
+         ORDER BY o_orderstatus, o_orderkey""",
 
     "q_topk_per_group" ->
       """SELECT * FROM (
