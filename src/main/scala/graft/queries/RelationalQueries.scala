@@ -223,6 +223,25 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     },
 
+    // Bivariate / dispersion statistics (variance, population
+    // stddev, correlation, covariance) — order-sensitive double
+    // aggregates, rounded per the determinism contract.
+    "q_agg_stats_bivariate" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(var_samp(col("value")), 4).as("var_s"),
+          round(var_pop(col("value")), 4).as("var_p"),
+          round(stddev_pop(col("value")), 4).as("std_p"),
+          round(corr(col("value"), col("user_id").cast("double")), 6)
+            .as("corr_vu"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 4)
+            .as("covar_s"),
+          round(covar_pop(col("value"), col("user_id").cast("double")), 4)
+            .as("covar_p"))
+        .orderBy(col("event_type"))
+    },
+
     // GROUPING SETS via the SQL front-end (temp views registered per
     // call) — same Catalyst plan as rollup/cube (Expand + hash agg).
     "q_grouping_sets" -> { (s, dir) =>
@@ -508,6 +527,16 @@ object RelationalQueries {
          round(avg(value), 4) AS avg_v,
          round(stddev_samp(value), 4) AS std_v,
          round(quantile_cont(value, 0.5), 4) AS median_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_agg_stats_bivariate" ->
+      """SELECT event_type,
+         round(var_samp(value), 4) AS var_s,
+         round(var_pop(value), 4) AS var_p,
+         round(stddev_pop(value), 4) AS std_p,
+         round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+         round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_s,
+         round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_p
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_grouping_sets" ->
