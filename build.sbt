@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `runMain graft.Bench` stdout for one bare JSON line;
+// sbt's default LoggedOutput prefixes forked output with "[info] " and
+// appends a "[success]" line, which broke round-1 bench parsing
+// (BENCH_r01.json "parsed": null). Inherit stdout and drop the banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -96,7 +96,10 @@ object FunctionQueries {
           size(filter(tokens, x => length(x) > 4)).as("n_long"),
           aggregate(transform(tokens, x => length(x)), lit(0),
             (acc, x) => acc + x).as("char_sum"),
-          slice(sort_array(array_distinct(tokens)), 1, 3).as("top3_sorted"))
+          // CSV-joined, not a raw array: the driver's pandas compare
+          // can't sort/hash ndarray cells (round-1 q_array_funcs err).
+          array_join(slice(sort_array(array_distinct(tokens)), 1, 3), ",")
+            .as("top3_csv"))
         .orderBy(col("doc_id"))
     },
 
@@ -186,8 +189,8 @@ object FunctionQueries {
            x -> length(x) > 4)) AS INTEGER) AS n_long,
          CAST(list_sum(list_transform(string_split(text, ' '),
            x -> length(x))) AS INTEGER) AS char_sum,
-         list_slice(list_sort(list_distinct(string_split(text, ' '))),
-           1, 3) AS top3_sorted
+         array_to_string(list_slice(list_sort(list_distinct(
+           string_split(text, ' '))), 1, 3), ',') AS top3_csv
          FROM documents ORDER BY doc_id""",
 
     "q_array_explode" ->

@@ -48,7 +48,13 @@ object PipelineQueries {
         lit("m-g").as("how"),
         col("value").as("course"),
         TrackPipeline.isoTime(col("ts")).as("time_iso"),
-        array(col("value"), col("user_id").cast("double")).as("point"))
+        // T7 builds the coordinates array; emit its elements as scalar
+        // doubles — the driver's pandas compare can't hash ndarray
+        // cells (round-1 tp_cot_transform err).
+        element_at(array(col("value"), col("user_id").cast("double")), 1)
+          .as("point_x"),
+        element_at(array(col("value"), col("user_id").cast("double")), 2)
+          .as("point_y"))
         .orderBy(col("id"), col("event_id"))
     },
 
@@ -113,7 +119,8 @@ object PipelineQueries {
               ELSE 'a-f-G-U-U-S-X' END AS cot_type,
          'm-g' AS how, value AS course,
          strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') AS time_iso,
-         [value, CAST(user_id AS DOUBLE)] AS point
+         [value, CAST(user_id AS DOUBLE)][1] AS point_x,
+         [value, CAST(user_id AS DOUBLE)][2] AS point_y
          FROM events ORDER BY id, event_id""",
 
     "tp_callsign_coalesce" ->

@@ -61,23 +61,22 @@ object TextQueries {
         .orderBy(col("lang_pred"))
     },
 
-    // Seeded sampling (rows-only: RNG streams differ across engines;
-    // SamplingSpec gates determinism + stratum proportions). The
-    // hash-split assignment IS engine-portable → oracle-checked.
+    // Deterministic stratified sample: per-language keep-fractions
+    // decided by an md5 Bernoulli trial per doc — identical survivors
+    // in any engine, so the oracle recomputes the exact same sample
+    // (the seeded-RNG variant stays in Sampling.stratified +
+    // SamplingSpec; RNG streams are engine-specific).
     "q_sample_stratified" -> { (s, dir) =>
-      graft.operators.Sampling.stratified(docs(s, dir), "lang",
-          Map("en" -> 0.5, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5,
-            "zh" -> 0.5), seed = 42L)
+      graft.operators.Sampling.hashStratified(docs(s, dir), "lang",
+          "doc_id", Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.75,
+            "fr" -> 0.5, "zh" -> 0.1))
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))
     },
 
     // Deterministic train/valid/test hash split — pure function of
-    // doc_id (xxhash64), reproducible anywhere; oracle recomputes the
-    // same buckets via Spark's published xxhash64? No — rows-only is
-    // wrong here; instead the oracle checks the INVARIANTS: split
-    // sizes sum to total (checked in SamplingSpec); the driver gets
-    // rows-only. See SamplingSpec for the full gate.
+    // doc_id (md5 bucket), reproducible anywhere; the oracle
+    // recomputes the same buckets from the same md5.
     "q_hash_split" -> { (s, dir) =>
       graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id", 80, 10)
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
@@ -195,6 +194,26 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000
+           < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+                       WHEN 'de' THEN 7500 WHEN 'fr' THEN 5000
+                       WHEN 'zh' THEN 1000 ELSE -1 END
+         GROUP BY lang ORDER BY lang""",
+
+    "q_hash_split" ->
+      """WITH b AS (
+           SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'valid'
+                     ELSE 'test' END AS split,
+                count(*) AS n
+         FROM b GROUP BY 1 ORDER BY split""",
+
     "q_curation_pipeline" ->
       """WITH aug AS (
            SELECT doc_id, text FROM documents
