@@ -45,38 +45,76 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .drop("text_md5")
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted-index
-    * self-join on distinct shingles. Returns
-    * (id_a, id_b, common, n_a, n_b, jaccard) for jaccard ≥ threshold.
+  /** Distinct word-n-gram shingle set per doc, persisted. All
+    * shingle-based dedup paths (Jaccard, MinHash-LSH) start from this
+    * plan; Spark's CacheManager matches the identical sub-plan across
+    * calls, so the corpus is shingled once per (table, n), not once
+    * per query. Also a correctness guard: without the cache barrier,
+    * Catalyst re-derives `size(..) > 0` constraints under the explode
+    * and evaluates the shingling expression 3× per row per join side.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact n-gram Jaccard near-dup pairs, prefix-filtered.
+    *
+    * Shingles are first hashed to 64-bit keys (distinctness and
+    * intersection sizes are preserved short of an xxhash64 collision,
+    * ~n²/2⁶⁵ for n distinct shingles corpus-wide), so every later
+    * stage moves 8-byte longs instead of ~40-byte strings.
+    *
+    * The inverted-index self-join matches docs per shared shingle and
+    * counts matches per pair — the pair count IS the intersection
+    * size, so no second pass over the sets is needed. The per-doc set
+    * size rides along through the explode (constant per doc, min() in
+    * the pair aggregate recovers it), so Jaccard falls out of one
+    * groupBy. Measured against both a prefix-filtered variant
+    * (Chaudhuri ICDE'06 / Vernica VLDB'10: explode only the first
+    * |s| − ceil(t·|s|) + 1 shingles, verify survivors by
+    * array_intersect) and an inline array-carry variant, this
+    * formulation wins at bench scale — fewest shuffle stages — and
+    * its one scale risk (the pair-match stream shuffles under
+    * nearly-unique keys) is bounded by df-pruning, which caps match
+    * multiplicity per shingle; at extreme corpus sizes flip to
+    * [[minhashLshPairs]], whose shuffle volume is constant per doc.
+    *
+    * Returns (id_a, id_b, common, n_a, n_b, jaccard), jaccard ≥
+    * threshold, computed over the (optionally df-pruned) sets.
     */
   def jaccardShinglePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
-    val pruned = (maxShingleDocFreq match {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val hashed = sets.select(col("id"),
+      sort_array(transform(col("shs"), s => xxhash64(s))).as("hs"))
+    // df-pruning stays array-level: the hot set (shingles in > maxDf
+    // docs) is tiny by definition, so collect it into one broadcast
+    // row and array_except per doc — no extra shuffle.
+    val pruned = maxShingleDocFreq match {
       case Some(maxDf) =>
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("sh")
-        sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      case None => sh
-      // persisted: the exploded shingle index feeds the self-join
-      // (twice) and the per-doc counts — 3 reuses of one scan
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        val hot = hashed.select(explode(col("hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .agg(collect_set(col("h")).as("hot"))
+        hashed.crossJoin(broadcast(hot))
+          .select(col("id"), array_except(col("hs"), col("hot")).as("hs"))
+      case None => hashed
+    }
+    // bigint set sizes: DuckDB count()/len() are 64-bit, and the
+    // driver's oracle compare is schema-exact
+    val sh = pruned.select(col("id"),
+      size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(broadcast(cnt).as("ca"), col("id_a") === col("ca.id"))
-      .join(broadcast(cnt).as("cb"), col("id_b") === col("cb.id"))
-      .select(col("id_a"), col("id_b"), col("common"),
-        col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
-        (col("common").cast("double") /
-          (col("ca.n_sh") + col("cb.n_sh") - col("common")))
-          .as("jaccard"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -88,9 +126,8 @@ object Dedup {
       n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be a multiple of bands")
     val r = k / bands
-    val sigs = docs.select(col(idCol).as("id"),
-      Sketches.minhashSignature(
-        array_distinct(wordShingles(col(textCol), n)), k).as("sig"))
+    val sigs = shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), Sketches.minhashSignature(col("shs"), k).as("sig"))
     // persist the (tiny: bands rows per doc) band table — both sides
     // of the self-join would otherwise recompute shingling+signatures
     val bandKeys = sigs.select(col("id"),
@@ -114,11 +151,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
-    val shingleSets = docs.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), n)).as("shs"))
+    val sets = shingleSets(docs, idCol, textCol, n)
     minhashLshCandidates(docs, idCol, textCol, n, k, bands)
-      .join(shingleSets.as("sa"), col("id_a") === col("sa.id"))
-      .join(shingleSets.as("sb"), col("id_b") === col("sb.id"))
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
           size(array_union(col("sa.shs"), col("sb.shs")))).as("jaccard"))

@@ -77,27 +77,15 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Dot product of a literal plane with a vector column. */
-  private def dotLit(plane: Array[Double], vec: Column): Column =
-    aggregate(
-      zip_with(array(plane.map(lit).toSeq: _*), vec,
-        (x, y) => x * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Bucket ids, one per table: the sign bits of `bitsPerTable`
-    * hyperplane projections packed into an int.
+    * hyperplane projections packed into an int. Native single-pass
+    * expression — the HOF formulation (zip_with+aggregate per plane)
+    * is interpreted and evaluated 32× per row; see
+    * [[graft.plans.LshBucketsExpr]].
     */
   def bucketIds(vec: Column, planes: Array[Array[Double]],
-      tables: Int, bitsPerTable: Int): Column = {
-    val buckets = (0 until tables).map { t =>
-      (0 until bitsPerTable).map { j =>
-        val bit = when(dotLit(planes(t * bitsPerTable + j), vec) >= 0,
-          lit(1)).otherwise(lit(0))
-        (bit * lit(1 << j)).cast("int")
-      }.reduce(_ + _)
-    }
-    array(buckets: _*)
-  }
+      tables: Int, bitsPerTable: Int): Column =
+    graft.plans.LshBucketsExpr.lsh_buckets(vec, planes, tables, bitsPerTable)
 
   /** ANN top-k: candidates = ids colliding with the query in ≥1 of
     * `tables` LSH tables; exact cosine re-rank on candidates.

@@ -243,3 +243,58 @@ object CosineSimExpr {
   def cosine_native(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 }
+
+/** All sign-random-projection LSH bucket ids of an array<float>
+  * vector in one pass: `tables` buckets, each packing `bitsPerTable`
+  * hyperplane sign bits. Replaces the HOF formulation (one
+  * interpreted zip_with+aggregate per plane — 32 lambda evals per
+  * row) with a single tight loop over the plane matrix; same bits,
+  * same semantics (left-to-right double accumulation, `>= 0` bit).
+  */
+case class LshBucketsExpr(child: Expression,
+    planes: Seq[IndexedSeq[Double]], tables: Int, bitsPerTable: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bitsPerTable) {
+        val plane = planeArr(t * bitsPerTable + j)
+        val m = math.min(n, plane.length)
+        var dot = 0.0
+        var i = 0
+        while (i < m) {
+          dot += plane(i) * vec.getFloat(i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucketsExpr =
+    copy(child = c)
+}
+
+object LshBucketsExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def lsh_buckets(vec: Column, planes: Array[Array[Double]],
+      tables: Int, bitsPerTable: Int): Column =
+    column(LshBucketsExpr(expression(vec),
+      planes.map(_.toIndexedSeq).toSeq, tables, bitsPerTable))
+}
