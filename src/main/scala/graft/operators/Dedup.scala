@@ -126,19 +126,26 @@ object Dedup {
       n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be a multiple of bands")
     val r = k / bands
+    // empty shingle sets are excluded (they'd all collide on the
+    // MaxValue signature; the oracle, where such docs simply have no
+    // shingle rows, excludes them too)
     val sigs = shingleSets(docs, idCol, textCol, n)
+      .filter(size(col("shs")) > 0)
       .select(col("id"), Sketches.minhashSignature(col("shs"), k).as("sig"))
-    // persist the (tiny: bands rows per doc) band table — both sides
-    // of the self-join would otherwise recompute shingling+signatures
+    // band key = the r-slot slice itself (not an engine-specific hash
+    // of it): collision ⇔ slice equality, which any engine — and the
+    // DuckDB oracle — reproduces exactly. Persist the (bands rows per
+    // doc) band table: both sides of the self-join would otherwise
+    // recompute shingling+signatures.
     val bandKeys = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => hash(j, slice(col("sig"), j * lit(r) + lit(1), lit(r)))))
-        .as(Seq("band", "band_hash")))
+        j => slice(col("sig"), j * lit(r) + lit(1), lit(r))))
+        .as(Seq("band", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -170,8 +177,13 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
-    val sketched = docs.select(col(idCol).as("id"),
-      Sketches.simhash64(wordShingles(col(textCol), 3)).as("sim"))
+    // shingle-less docs are excluded (their sketch would degenerate
+    // to 0 and pair with every other empty doc; the oracle has no
+    // shingle rows for them either)
+    val sketched = docs
+      .filter(size(wordShingles(col(textCol), 3)) > 0)
+      .select(col(idCol).as("id"),
+        Sketches.simhash64(wordShingles(col(textCol), 3)).as("sim"))
     // shiftright needs a literal shift in the Scala DSL; chunk in SQL.
     // Persisted: 8 small rows per doc, reused by both self-join sides.
     val chunked = sketched.select(col("id"), col("sim"),

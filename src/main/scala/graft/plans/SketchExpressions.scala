@@ -48,6 +48,30 @@ object Sketches {
     mix((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-portable 60-bit string hash: the first 15 hex characters
+    * of md5, read base-16 — i.e. exactly what ANSI SQL computes as
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT` (DuckDB) or
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (Spark). 60 bits keeps
+    * the value inside a signed 64-bit integer in every engine, so the
+    * sketches built on it can be re-derived bit-for-bit by the DuckDB
+    * oracle. md5 costs ~3× murmur per shingle but is paid once per
+    * shingle, off the per-slot hot loop.
+    */
+  @inline private[plans] def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def simhash64(shingles: Column): Column =
@@ -106,9 +130,11 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
-/** 64-bit SimHash of an array<string>: per bit position, sum ±1
-  * across elements by that bit of the element hash; bit set iff
-  * positive. One string hash per element.
+/** 60-bit SimHash of an array<string>: per bit position, sum ±1
+  * across elements by that bit of the element's portable md5-derived
+  * hash ([[Sketches.md5Hash60]]); bit set iff positive. One string
+  * hash per element. 60 bits (not 64) so the DuckDB oracle can
+  * recompute the identical sketch in signed-BIGINT arithmetic.
   */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -117,14 +143,14 @@ case class SimHash64Expr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Sketches.hashString(arr.getUTF8String(i))
+        val h = Sketches.md5Hash60(arr.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -133,7 +159,7 @@ case class SimHash64Expr(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -144,24 +170,28 @@ case class SimHash64Expr(child: Expression)
     copy(child = c)
 }
 
-/** MinHash signature of an array<string>: each element hashed once,
-  * then k affine permutations h_i(x) = mix(x * A_i + B_i); slot i is
-  * the minimum over elements. Empty input → Long.MaxValue slots.
+/** MinHash signature of an array<string>: each element hashed once to
+  * a portable 60-bit value ([[Sketches.md5Hash60]]) reduced mod
+  * p = 2³¹−1, then k affine permutations
+  * h_j(x) = (a_j·x + b_j) mod p with index-derived coefficients
+  * a_j = (j·2654435761) mod (p−1) + 1, b_j = (j·40503) mod p; slot j
+  * is the minimum over elements. Every step stays below 2⁶³, so the
+  * DuckDB oracle reproduces the signature exactly in BIGINT SQL.
+  * Empty input → Long.MaxValue slots.
   */
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // deterministic per-slot affine constants (seeded, odd multipliers)
   @transient private lazy val coefs: (Array[Long], Array[Long]) = {
-    val rng = new java.util.Random(42L)
-    val a = Array.fill(k)(rng.nextLong() | 1L)
-    val b = Array.fill(k)(rng.nextLong())
-    (a, b)
+    val p = MinHashSigExpr.P
+    (Array.tabulate(k)(j => (j * 2654435761L) % (p - 1) + 1),
+      Array.tabulate(k)(j => (j * 40503L) % p))
   }
 
   override def nullSafeEval(input: Any): Any = {
+    val p = MinHashSigExpr.P
     val (ca, cb) = coefs
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(k)(Long.MaxValue)
@@ -169,10 +199,10 @@ case class MinHashSigExpr(child: Expression, k: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Sketches.hashString(arr.getUTF8String(i))
+        val h = Sketches.md5Hash60(arr.getUTF8String(i)) % p
         var j = 0
         while (j < k) {
-          val v = Sketches.mix(h * ca(j) + cb(j))
+          val v = (ca(j) * h + cb(j)) % p
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -184,6 +214,13 @@ case class MinHashSigExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
     copy(child = c)
+}
+
+object MinHashSigExpr {
+  /** Mersenne prime 2³¹−1: products a_j·h stay under 2⁶² (no signed
+    * overflow in any engine's BIGINT).
+    */
+  val P: Long = 2147483647L
 }
 
 /** Cosine similarity of two array<float> columns in double precision,

@@ -166,8 +166,9 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash-LSH near-dups (approx; rows-only check — verified
-    // against exact Jaccard in DedupSpec).
+    // MinHash-LSH near-dups. The sketch hashing is engine-portable
+    // (md5-based), so this carries an EXACT DuckDB oracle that
+    // replays signature + banding + verification bit-for-bit.
     "q_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
           n = 3, k = 128, bands = 32, threshold = 0.5)
@@ -176,7 +177,7 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dups (approx; rows-only check + DedupSpec).
+    // SimHash near-dups — portable 60-bit sketch, exact DuckDB oracle.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
@@ -380,6 +381,96 @@ object TextQueries {
          JOIN cnt ca ON id_a = ca.doc_id
          JOIN cnt cb ON id_b = cb.doc_id
          WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // Exact oracle for the MinHash-LSH pairs: the signature is
+    // engine-portable by construction (md5-derived 60-bit base hash,
+    // affine permutations mod 2^31-1 — see graft.plans.MinHashSigExpr),
+    // so DuckDB recomputes the identical signatures, bands on the
+    // identical 4-slot slices, and verifies with the identical exact
+    // Jaccard.
+    "q_dedup_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         hs AS (
+           SELECT doc_id,
+             ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483647 AS h
+           FROM sh),
+         sigm AS (
+           SELECT doc_id, j,
+             min((((j * 2654435761) % 2147483646 + 1) * h
+                  + ((j * 40503) % 2147483647)) % 2147483647) AS m
+           FROM hs CROSS JOIN range(128) r(j) GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id, list(m ORDER BY j) AS sig FROM sigm
+           GROUP BY doc_id),
+         bandk AS (
+           SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
+           FROM sig CROSS JOIN range(32) r(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandk a JOIN bandk b
+             ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         com AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT c.id_a, c.id_b,
+           round(CAST(cm.common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - cm.common), 4) AS jaccard
+         FROM cand c
+         JOIN com cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+         JOIN cnt ca ON c.id_a = ca.doc_id
+         JOIN cnt cb ON c.id_b = cb.doc_id
+         WHERE CAST(cm.common AS DOUBLE)
+               / (ca.n_sh + cb.n_sh - cm.common) >= 0.5
+         ORDER BY c.id_a, c.id_b""",
+
+    // Exact oracle for the SimHash pairs: 60-bit portable sketch
+    // (see graft.plans.SimHash64Expr), 8x8-bit chunk banding, exact
+    // hamming verification — all reproduced in BIGINT SQL.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         shc AS (
+           SELECT doc_id, sh, count(*) AS c FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)
+           GROUP BY doc_id, sh),
+         hs AS (
+           SELECT doc_id,
+             ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h, c
+           FROM shc),
+         bits AS (
+           SELECT doc_id, j,
+             CASE WHEN sum(c * (CASE WHEN ((h >> j) & 1) = 1
+                                     THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END AS bit
+           FROM hs CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+         sims AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits
+           GROUP BY doc_id),
+         chunks AS (
+           SELECT doc_id, sim, i,
+             (sim >> CAST(i*8 AS INTEGER)) & 255 AS cv
+           FROM sims CROSS JOIN range(8) r(i)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sa, b.sim AS sb
+           FROM chunks a JOIN chunks b
+             ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 7
          ORDER BY id_a, id_b""",
 
     "q_embed_near_pairs" ->
