@@ -77,6 +77,28 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Engine-portable Rademacher (±1) hyperplanes: component (p, i) is
+    * +1 when the first md5 hex digit of "p_i" is odd, −1 otherwise —
+    * i.e. `('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2` in
+    * ANSI SQL, so the DuckDB oracle regenerates the identical planes.
+    * Sign-random-projection LSH only needs the projection directions
+    * to be symmetric and independent; ±1 components (Achlioptas-style
+    * sparse projections) preserve the Charikar collision-probability
+    * guarantee while making every product ±v[i], exactly
+    * representable, so bucket bits are reproducible across engines
+    * up to the (identical) left-to-right double accumulation.
+    */
+  def rademacherPlanes(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        md.reset()
+        val d = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
   /** Bucket ids, one per table: the sign bits of `bitsPerTable`
     * hyperplane projections packed into an int. Native single-pass
     * expression — the HOF formulation (zip_with+aggregate per plane)
@@ -89,14 +111,15 @@ object Similarity {
 
   /** ANN top-k: candidates = ids colliding with the query in ≥1 of
     * `tables` LSH tables; exact cosine re-rank on candidates.
+    * Planes are the portable Rademacher family, so the whole operator
+    * (bucketing → candidates → re-rank) has an exact DuckDB oracle.
     */
   def annLsh(vecs: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      tables: Int = 8, bitsPerTable: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val dim = 64
-    val planes = hyperplanes(dim, tables * bitsPerTable, seed)
+    val planes = rademacherPlanes(dim, tables * bitsPerTable)
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), posexplode(
         bucketIds(col(vec), planes, tables, bitsPerTable))

@@ -61,8 +61,10 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // LSH-bucketed ANN (approx; rows-only — SimilaritySpec measures
-    // recall against the brute-force truth).
+    // LSH-bucketed ANN. Portable Rademacher planes make the full
+    // operator (bucketing -> candidates -> exact re-rank) exactly
+    // reproducible in DuckDB; SimilaritySpec additionally gates
+    // recall against the brute-force truth.
     "q_ann_lsh" -> { (s, dir) =>
       Similarity.annLsh(emb(s, dir), queriesDf(s, dir),
           "vec_id", "embedding", k = 5)
@@ -88,6 +90,58 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "q_knn_bruteforce" -> knnOracle,
     "q_knn_topk_agg" -> knnOracle,
+
+    // Replays Similarity.annLsh exactly: the Rademacher plane family
+    // is regenerated from md5 parity, bucket bits use the same
+    // left-to-right double accumulation and >= 0 rule, candidates
+    // share any (table, bucket), and the re-rank is the same exact
+    // cosine as the kNN oracle.
+    "q_ann_lsh" ->
+      """WITH planes AS (
+           SELECT p,
+             list(CASE WHEN ('0x' || substring(
+                        md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1))::INT
+                        % 2 = 1
+                       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+                  ORDER BY i) AS pl
+           FROM range(32) rp(p) CROSS JOIN range(64) ri(i)
+           GROUP BY p),
+         buck AS (
+           SELECT e.vec_id, t.t AS tbl,
+             sum(CASE WHEN list_reduce(
+                        [pl.pl[i] * e.embedding[i]::DOUBLE
+                         for i in range(1, 65)],
+                        (a, b) -> a + b) >= 0
+                      THEN (1 << j.j) ELSE 0 END) AS bucket
+           FROM embeddings e
+           CROSS JOIN range(8) t(t) CROSS JOIN range(4) j(j)
+           JOIN planes pl ON pl.p = t.t * 4 + j.j
+           GROUP BY e.vec_id, t.t),
+         cand AS (
+           SELECT DISTINCT qb.vec_id AS q_id, vb.vec_id AS id
+           FROM buck qb JOIN buck vb
+             ON qb.tbl = vb.tbl AND qb.bucket = vb.bucket
+                AND vb.vec_id <> qb.vec_id
+           WHERE qb.vec_id < 5),
+         scored AS (
+           SELECT c.q_id, c.id,
+             list_sum([q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                       for i in range(1, len(q.embedding) + 1)]) /
+             sqrt(
+               list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                         for i in range(1, len(q.embedding) + 1)]) *
+               list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                         for i in range(1, len(v.embedding) + 1)])) AS cos
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.q_id
+           JOIN embeddings v ON v.vec_id = c.id)
+         SELECT q_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, id) AS INTEGER) AS rank,
+           id, round(cos, 4) AS cos_sim
+         FROM scored
+         QUALIFY rank <= 5
+         ORDER BY q_id, rank""",
 
     "q_vector_stats" ->
       """SELECT vec_id,
