@@ -144,6 +144,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+  /** IVF-Flat ANN top-k: a deterministic sample of `nCells` vectors
+    * (md5 order on the id — engine-portable, the usual k-means-init
+    * sample without Lloyd iterations, which would break cross-engine
+    * reproducibility) acts as the coarse quantizer. Every vector is
+    * assigned map-side to its nearest centroid by exact cosine
+    * ([[graft.plans.NearestCellsExpr]] — the centroid matrix is a
+    * plan-time literal, so building the inverted index is one
+    * narrow pass); a query probes its `nProbe` nearest cells and
+    * exact-cosine re-ranks the vectors in them.
+    *
+    * Scale: nCells ~ √N keeps both the quantizer (collected once —
+    * O(√N) rows on the driver, same envelope as any broadcast dim)
+    * and the per-query candidate list (~nProbe·N/nCells) sub-linear;
+    * the only shuffle is the probe↔cell join, keyed on cell id.
+    */
+  def annIvf(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents: Array[Array[Double]] = vecs
+      .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
+      .orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def cells(vec: Column): Column =
+      graft.plans.NearestCellsExpr.nearest_cells(vec, cents)
+    val assigned = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", element_at(cells(col("vec")), 1))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(cells(col("q_vec")), 1, nProbe)).as("cell"))
+    // every vector lives in exactly one cell and a query's probed
+    // cells are distinct, so each (q_id, id) pair scores at most once
+    val scored = probes.join(assigned, "cell")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        graft.plans.CosineSimExpr.cosine_native(col("q_vec"), col("vec"))
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** One scored (query, candidate) pair. */

@@ -335,3 +335,59 @@ object LshBucketsExpr {
     column(LshBucketsExpr(expression(vec),
       planes.map(_.toIndexedSeq).toSeq, tables, bitsPerTable))
 }
+
+/** IVF coarse quantizer: all centroid indices of an array<float>
+  * vector, ranked by exact double-precision cosine (descending; ties
+  * by ascending index). Element 1 is the vector's cell assignment;
+  * the first nprobe elements are the query's probe list. The centroid
+  * matrix rides along as a literal (it is small by construction —
+  * O(√N) rows collected once at plan time), so assignment is
+  * map-side: no shuffle, no join, one fused loop per row. The cosine
+  * is computed with the same formula/associativity as
+  * [[CosineSimExpr]], so an engine that replays the formula (the
+  * DuckDB oracle) ranks identically.
+  */
+case class NearestCellsExpr(child: Expression,
+    cents: Seq[IndexedSeq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val carr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val m = carr.length
+    val cos = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cent = carr(c)
+      val d = math.min(n, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = cent(i)
+        val y = vec.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = dot / math.sqrt(na * nb)
+      c += 1
+    }
+    val idx = Array.range(0, m).sortBy(i => (-cos(i), i))
+    new GenericArrayData(idx.map(i => i: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellsExpr =
+    copy(child = c)
+}
+
+object NearestCellsExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  def nearest_cells(vec: Column, cents: Array[Array[Double]]): Column =
+    column(NearestCellsExpr(expression(vec),
+      cents.map(_.toIndexedSeq).toSeq))
+}

@@ -9,8 +9,10 @@ import graft.functions.VectorFunctions
 /** Similarity-search corpus over `embeddings` (north-star extension).
   * The exact kNN queries are oracle-checked; the two exact variants
   * (window vs bounded-aggregator) share the same oracle because they
-  * must produce identical rows. The LSH ANN is approximate →
-  * rows-only + SimilaritySpec recall gate.
+  * must produce identical rows. The two ANN variants (LSH tables,
+  * IVF cells) are approximate w.r.t. the brute-force truth but fully
+  * deterministic and engine-portable, so they are ALSO oracle-exact;
+  * SimilaritySpec additionally gates their recall.
   */
 object VectorQueries {
 
@@ -68,6 +70,17 @@ object VectorQueries {
     "q_ann_lsh" -> { (s, dir) =>
       Similarity.annLsh(emb(s, dir), queriesDf(s, dir),
           "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank"), col("id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // IVF-Flat ANN: md5-sampled coarse quantizer, map-side cell
+    // assignment, probe-2 candidate lists, exact re-rank. Fully
+    // deterministic -> exact oracle.
+    "q_ann_ivf" -> { (s, dir) =>
+      Similarity.annIvf(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2)
         .select(col("q_id"), col("rank"), col("id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
@@ -135,6 +148,66 @@ object VectorQueries {
            FROM cand c
            JOIN embeddings q ON q.vec_id = c.q_id
            JOIN embeddings v ON v.vec_id = c.id)
+         SELECT q_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, id) AS INTEGER) AS rank,
+           id, round(cos, 4) AS cos_sim
+         FROM scored
+         QUALIFY rank <= 5
+         ORDER BY q_id, rank""",
+
+    // Replays Similarity.annIvf: same md5-ordered centroid sample,
+    // same exact-cosine assignment/probe ranking (ties by centroid
+    // rank), same exact re-rank.
+    "q_ann_ivf" ->
+      """WITH cents AS (
+           SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+               AS cr
+           FROM embeddings
+           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         acell AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cr AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum([e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                           for i in range(1, len(e.embedding) + 1)]) /
+                 sqrt(
+                   list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                             for i in range(1, len(e.embedding) + 1)]) *
+                   list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                             for i in range(1, len(c.embedding) + 1)]))
+                 DESC, c.cr) AS rn
+             FROM embeddings e CROSS JOIN cents c) t
+           WHERE rn = 1),
+         probe AS (
+           SELECT q_id, cell FROM (
+             SELECT q.vec_id AS q_id, c.cr AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                           for i in range(1, len(q.embedding) + 1)]) /
+                 sqrt(
+                   list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                             for i in range(1, len(q.embedding) + 1)]) *
+                   list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                             for i in range(1, len(c.embedding) + 1)]))
+                 DESC, c.cr) AS rn
+             FROM embeddings q CROSS JOIN cents c
+             WHERE q.vec_id < 5) t
+           WHERE rn <= 2),
+         scored AS (
+           SELECT p.q_id, a.vec_id AS id,
+             list_sum([q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                       for i in range(1, len(q.embedding) + 1)]) /
+             sqrt(
+               list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                         for i in range(1, len(q.embedding) + 1)]) *
+               list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                         for i in range(1, len(v.embedding) + 1)])) AS cos
+           FROM probe p
+           JOIN acell a ON a.cell = p.cell AND a.vec_id <> p.q_id
+           JOIN embeddings q ON q.vec_id = p.q_id
+           JOIN embeddings v ON v.vec_id = a.vec_id)
          SELECT q_id,
            CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, id) AS INTEGER) AS rank,

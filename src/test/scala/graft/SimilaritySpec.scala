@@ -47,6 +47,41 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, f"recall collapsed: $mean%.2f")
   }
 
+  test("IVF ANN: exact precision, useful recall, sub-linear candidates") {
+    val k = 5
+    val brute = Similarity
+      .topKBruteForce(emb, qs, "vec_id", "embedding", k)
+      .select($"q_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity
+      .annIvf(emb, qs, "vec_id", "embedding", k, nCells = 16, nProbe = 2)
+      .select($"q_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@$k = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.2, f"recall collapsed: $mean%.2f")
+    // candidate space: nProbe/nCells of the corpus per query (±skew)
+    val n = emb.count() - 1
+    val scored = Similarity
+      .annIvf(emb, qs, "vec_id", "embedding", Int.MaxValue,
+        nCells = 16, nProbe = 2).count()
+    assert(scored < 5 * n,
+      s"IVF scored $scored pairs — no better than brute force")
+  }
+
+  test("IVF assigns every vector to exactly one cell") {
+    // probing ALL cells must return every non-self vector exactly once
+    val all = Similarity
+      .annIvf(emb, qs, "vec_id", "embedding", Int.MaxValue,
+        nCells = 16, nProbe = 16)
+      .groupBy($"q_id").count().as[(Long, Long)].collect().toMap
+    val n = emb.count() - 1
+    assert(all.values.forall(_ == n), s"expected $n candidates/query: $all")
+  }
+
   test("LSH ANN actually prunes the candidate space") {
     // bucket join must score fewer pairs than brute force would
     val n = emb.count() - 1
