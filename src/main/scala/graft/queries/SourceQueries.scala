@@ -63,9 +63,43 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id"))
     },
+
+    // S2/F2 for real: the REST-poll analogue as a DataSource V2 with
+    // source-side predicate pushdown (the noEarlierThan cutoff is
+    // evaluated inside the reader) and column pruning, followed by
+    // the poll path's latestPositionOnly aggregation (A1). The JSONL
+    // fixture derives deterministically from `events`, so the oracle
+    // recomputes the result from the parquet directly.
+    "q_source_dsv2" -> { (s, dir) =>
+      val path = graft.sources.TrackPointFixture.ensure(s, dir)
+      s.read.format("graft.sources.TrackPointSource")
+        .option("path", path).load()
+        .filter(col("ts") >= 1704844800000L) // 2024-01-10T00:00Z
+        .groupBy(col("entity_id"))
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("name"),
+            col("lon"), col("lat"), col("emergency")),
+          struct(col("ts"), col("event_id"))).as("l"))
+        .select(col("entity_id"), col("l.ts").as("last_ms"),
+          col("l.name").as("name"), col("l.lon").as("lon"),
+          col("l.lat").as("lat"),
+          col("l.emergency").cast("int").as("emergency"))
+        .orderBy(col("entity_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_dsv2" ->
+      """SELECT user_id AS entity_id, epoch_ms(ts) AS last_ms,
+         'u' || CAST(user_id AS VARCHAR) AS name,
+         value AS lon, -value AS lat,
+         CAST(event_type = 'error' AS INTEGER) AS emergency
+         FROM events
+         WHERE epoch_ms(ts) >= 1704844800000
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+         ORDER BY entity_id""",
+
     "q_json_validate" ->
       """SELECT event_type, count(*) AS n_total,
          count(*) FILTER (WHERE event_id % 37 <> 0) AS n_valid,

@@ -99,4 +99,39 @@ class SourcesSpec extends SparkSpec {
     assert(d == Seq((1001, 270.5, Seq(-105.27, 40.01)),
       (1002, 90.0, Seq(-106.0, 41.0))))
   }
+
+  test("DSv2 source: filter + column pushdown reach the reader") {
+    val path = graft.sources.TrackPointFixture.ensure(spark, sf())
+    val df = spark.read.format("graft.sources.TrackPointSource")
+      .option("path", path).load()
+      .filter(col("ts") >= 1704844800000L && col("name").startsWith("u"))
+      .select(col("entity_id"), col("ts"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the numeric ts predicate is pushed into the scan...
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(ts,1704844800000)"),
+      s"ts filter not pushed:\n$plan")
+    // ...the unsupported string predicate stays a Spark-side Filter...
+    assert(plan.contains("StartsWith"), s"residual filter lost:\n$plan")
+    // ...and parsing is pruned to the required columns (+ filter refs)
+    assert(!plan.contains("lon"), s"column pruning failed:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("DSv2 source roundtrips events exactly") {
+    import spark.implicits._
+    val path = graft.sources.TrackPointFixture.ensure(spark, sf())
+    val viaSource = spark.read
+      .format("graft.sources.TrackPointSource")
+      .option("path", path).load()
+      .filter(col("ts") >= 1704844800000L)
+      .select($"entity_id", $"ts", $"lon", $"emergency")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val direct = Tables(spark, sf(), "events")
+      .select($"user_id", unix_millis($"ts").as("ms"), $"value",
+        ($"event_type" === "error").as("em"))
+      .filter($"ms" >= 1704844800000L)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(viaSource.nonEmpty)
+    assert(viaSource == direct)
+  }
 }
