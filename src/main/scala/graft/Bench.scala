@@ -16,15 +16,24 @@ object Bench {
     // queries don't absorb JVM startup (3-4 s skew otherwise).
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two passes, report min per query: steady-state timing. A single
+    // pass swings ±40% on this box (GC phase, page-cache state, JIT
+    // tiers) — larger than any per-query difference worth measuring.
+    val runs = 2
+    def timeAll(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val passes = Seq.fill(runs)(timeAll())
+    val results = passes.head.keys.map { name =>
+      name -> passes.map(_(name)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -32,6 +32,30 @@ class PlanSpec extends SparkSpec {
       s"expected ≥3 broadcast joins in the star:\n$p")
   }
 
+  test("q_topk_per_group: rank limit is pruned map-side before the shuffle") {
+    // Spark's WindowGroupLimit (the built-in grouped-top-k physical
+    // optimization) must fire in Partial mode under the exchange:
+    // each map task forwards at most k rows per group instead of its
+    // whole partition — the property that makes rank-filter top-k
+    // viable at 100 TB. Guard it so a query rewrite can't silently
+    // fall back to sorting full groups.
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"),
+      s"group-limit not applied map-side (Partial):\n$p")
+  }
+
+  test("q_ann_ivf: index build is a narrow map; only the probe join shuffles") {
+    val p = plan("q_ann_ivf")
+    // cell assignment must not introduce a per-vector shuffle or a
+    // centroid join: the quantizer is a plan-time literal inside one
+    // projection
+    assert(p.contains("nearestcellsexpr") || p.contains("NearestCells"),
+      s"native quantizer expression missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF fell back to a cartesian centroid join:\n$p")
+  }
+
   test("q1: hash aggregate runs map-side partials") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
