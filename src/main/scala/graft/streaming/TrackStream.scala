@@ -90,4 +90,36 @@ object TrackStream {
       .dropDuplicatesWithinWatermark("entityId", "ts")
       .as[TrackPoint]
   }
+
+  /** Stream–static enrichment: each micro-batch of points joins the
+    * (small) device dimension; `broadcast` keeps it map-side per
+    * batch — the streaming analogue of the reference's per-device
+    * metadata lookup (`task.ts:131-137`).
+    */
+  def enrich(points: Dataset[TrackPoint], deviceDim: DataFrame): DataFrame =
+    points.join(broadcast(deviceDim), Seq("entityId"), "left")
+
+  /** Stream–stream interval join: an alert attaches to the track
+    * point of the same entity it follows within `maxDelay`. Both
+    * sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can size and expire the join state
+    * (unbounded state otherwise — the streaming scale hazard).
+    */
+  def correlateAlerts(points: Dataset[TrackPoint], alerts: Dataset[Alert],
+      watermark: String, maxDelay: String): DataFrame = {
+    val p = points.withWatermark("ts", watermark)
+    val a = alerts.withWatermark("a_ts", watermark)
+    p.join(a,
+      p("entityId") === a("entityId") &&
+        a("a_ts") >= p("ts") &&
+        a("a_ts") <= p("ts") + expr(s"interval $maxDelay"))
+      .select(p("entityId").as("entityId"), p("ts").as("ts"),
+        a("a_ts").as("a_ts"), a("kind").as("kind"), p("course").as("course"))
+  }
 }
+
+/** An alert event correlated against track points (the reference's
+  * `alertsList` items — `task.ts:24-28` — lifted to a first-class
+  * stream).
+  */
+case class Alert(entityId: Long, a_ts: java.sql.Timestamp, kind: String)

@@ -187,6 +187,47 @@ class StreamingSpec extends SparkSpec {
     assert(latest.size == 2) // the garbage body never produced output
   }
 
+  test("stream-static enrich: device dim joins map-side per batch") {
+    val input = MemoryStream[TrackPoint]
+    val dim = Seq((1L, "inReach Mini 2"), (2L, "inReach SE"))
+      .toDF("entityId", "deviceType")
+    val q = TrackStream.enrich(input.toDS(), dim)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(TrackPoint(1, ts(0), false, 10.0),
+        TrackPoint(3, ts(1), false, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_enrich")
+        .select($"entityId", $"deviceType").as[(Long, Option[String])]
+        .collect().toSet
+      // matched row enriched; unmatched keeps left row with null dim
+      assert(rows == Set((1L, Some("inReach Mini 2")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: alerts attach within the delay bound") {
+    val points = MemoryStream[TrackPoint]
+    val alerts = MemoryStream[graft.streaming.Alert]
+    val joined = TrackStream.correlateAlerts(points.toDS(), alerts.toDS(),
+      watermark = "10 minutes", maxDelay = "2 minutes")
+    val q = joined.writeStream.format("memory").queryName("t_corr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      points.addData(TrackPoint(1, ts(0), false, 10.0),
+        TrackPoint(1, ts(30), false, 11.0),
+        TrackPoint(2, ts(0), true, 20.0))
+      alerts.addData(graft.streaming.Alert(1, ts(1), "sos"), // joins t0 only
+        graft.streaming.Alert(1, ts(31), "low-batt"), // joins t30 only
+        graft.streaming.Alert(2, ts(5), "sos")) // outside 2-min bound
+      q.processAllAvailable()
+      val rows = spark.table("t_corr")
+        .select($"entityId", $"course", $"kind").as[(Long, Double, String)]
+        .collect().toSet
+      assert(rows == Set((1L, 10.0, "sos"), (1L, 11.0, "low-batt")))
+    } finally q.stop()
+  }
+
   test("windowedCounts: tumbling event-time aggregation with watermark") {
     val input = MemoryStream[TrackPoint]
     val q = TrackStream.windowedCounts(input.toDS(), "1 hour", "30 minutes")
