@@ -1,12 +1,13 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.AsOfJoin
 
 /** Extended join/aggregation surface: as-of join, range join, pivot,
-  * multiset set-ops, HLL approximate distinct.
+  * multiset set-ops, approximate distinct (HLL + portable KMV).
   */
 object JoinExtQueries {
 
@@ -95,9 +96,55 @@ object JoinExtQueries {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     },
+
+    // KMV (k-minimum-values) distinct sketch, k = 64: estimate =
+    // (k−1)·2⁶⁰ / h₍ₖ₎ over the portable md5-derived 60-bit hash
+    // (Bar-Yossef et al. RANDOM'02). Unlike HLL the whole estimator
+    // is plain deterministic arithmetic, so the DuckDB oracle
+    // reproduces the ESTIMATE exactly — approximate w.r.t. the true
+    // count, exact w.r.t. the spec. Scale shape: distinct shuffle on
+    // (group, 8-byte hash), then the rank ≤ k filter is pruned
+    // map-side by WindowGroupLimit — only k rows per group reach the
+    // final aggregation.
+    "q_agg_distinct_kmv" -> { (s, dir) =>
+      val k = 64
+      val h = t(s, dir, "orders").select(col("o_orderstatus"),
+        expr("cast(conv(substring(md5(cast(o_custkey as string)),1,15)" +
+          ",16,10) as bigint)").as("h"))
+        .distinct()
+      val w = Window.partitionBy("o_orderstatus").orderBy("h")
+      h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col("o_orderstatus"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+        .select(col("o_orderstatus"),
+          round(when(col("m") < k, col("m").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 1152921504606846976.0)
+              / col("hk").cast("double")), 4).as("est_cust"))
+        .orderBy(col("o_orderstatus"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_distinct_kmv" ->
+      """WITH h AS (
+           SELECT DISTINCT o_orderstatus,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+           FROM orders),
+         topk AS (
+           SELECT o_orderstatus, h,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY h)
+               AS rn
+           FROM h QUALIFY rn <= 64),
+         agg AS (
+           SELECT o_orderstatus, max(h) AS hk, count(*) AS m
+           FROM topk GROUP BY o_orderstatus)
+         SELECT o_orderstatus,
+           round(CASE WHEN m < 64 THEN m::DOUBLE
+                      ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE
+                 END, 4) AS est_cust
+         FROM agg ORDER BY o_orderstatus""",
+
     "q_asof_join" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events

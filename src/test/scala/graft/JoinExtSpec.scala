@@ -48,4 +48,22 @@ class JoinExtSpec extends SparkSpec {
         s"status $st: approx $a vs exact $e")
     }
   }
+
+  test("KMV estimate stays within 3 standard errors of exact") {
+    val est = SparkEntry.queries("q_agg_distinct_kmv")(spark, sf("0.01"))
+      .as[(String, Double)].collect().toMap
+    val exact = Tables(spark, sf("0.01"), "orders")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    // KMV relative standard error ≈ 1/sqrt(k-2) ≈ 12.7% at k = 64
+    exact.foreach { case (st, e) =>
+      val rel = math.abs(est(st) - e) / e
+      assert(e < 64 || rel <= 3 * 0.127,
+        f"status $st: kmv ${est(st)}%.1f vs exact $e (rel $rel%.3f)")
+      if (e < 64) assert(est(st) == e.toDouble,
+        s"small group must be exact: ${est(st)} vs $e")
+    }
+  }
 }
