@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.plans.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, ShinglesExpr}
+
+/** Session-extension entry point: makes every native graft expression
+  * available to pure-SQL users of ANY session built with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * — the idiomatic deployment path for a Spark library (no code
+  * changes in the host application, works from spark-sql / JDBC /
+  * notebooks). This complements `Sketches.registerSql`, which
+  * registers the same functions imperatively on an existing session.
+  *
+  * Functions injected (all codegen-era native expressions, no UDFs):
+  *   - `cosine_sim(a, b)`      — fused double-precision cosine
+  *   - `simhash64(arr)`        — portable 60-bit SimHash
+  *   - `minhash_sig(arr, k)`   — portable MinHash signature
+  *   - `word_shingles(s, n)`   — word n-gram shingles
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - double cosine similarity"),
+      (es: Seq[Expression]) => CosineSimExpr(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(arr) - portable 60-bit simhash"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(arr, k) - portable minhash"),
+      (es: Seq[Expression]) => MinHashSigExpr(es.head, intArg(es(1)))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(s, n) - word n-grams"),
+      (es: Seq[Expression]) => ShinglesExpr(es.head, intArg(es(1)))))
+  }
+}

@@ -32,4 +32,41 @@ class SqlFunctionsSpec extends SparkSpec {
       .as[Long].head()
     assert(sh == viaApi)
   }
+
+  test("GraftExtensions injects the functions via spark.sql.extensions") {
+    // a genuinely new session wired through the extensions mechanism.
+    // `spark.sql.extensions` is a STATIC conf read at SparkContext
+    // creation, so inside the suite JVM (shared context) we exercise
+    // the same injection through the public builder.withExtensions
+    // hook. getOrCreate() would reuse the suite session, so clear the
+    // default/active slots first and restore after (same SparkContext
+    // underneath; do NOT stop s2 — that would kill it).
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-spec")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val row = s2.sql("""
+        SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+               simhash64(array('a b c', 'b c d')) AS sh,
+               minhash_sig(array('a b c'), 4) AS mh,
+               word_shingles('a b c d', 3) AS ws""").collect().head
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getLong(1) != 0L)
+      assert(row.getSeq[Long](2).size == 4)
+      assert(row.getSeq[String](3) == Seq("a b c", "b c d"))
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
 }
