@@ -84,4 +84,22 @@ object Multimodal {
               i -> substring(payload, i * $stride + 1, $frameBytes))"""))
         .as(Seq("frame_no", "frame")))
       .filter(octet_length(col("frame")) === frameBytes)
+
+  /** STUB resize (the image/audio "downsample to target resolution"
+    * step): keep every `factor`-th byte — a deterministic decimation
+    * standing in for a real resampler, with the production shape
+    * (binary in → smaller binary out, map-side, payload never
+    * shuffled). Returns the resized payload plus before/after sizes.
+    */
+  def resize(media: Dataset[MediaRecord], factor: Int): DataFrame =
+    media.toDF().select(col("doc_id"),
+      octet_length(col("payload")).as("orig_bytes"),
+      expr(
+        s"""transform(
+              sequence(1, octet_length(payload), $factor),
+              i -> substring(payload, i, 1))""").as("kept"))
+      .select(col("doc_id"), col("orig_bytes"),
+        expr("array_size(kept)").cast("int").as("resized_bytes"),
+        expr("aggregate(kept, 0L, (acc, b) -> acc + ascii(cast(b as string)))")
+          .as("resized_sum"))
 }

@@ -64,6 +64,15 @@ object SourceQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Resize (multimodal downsample stub): every-4th-byte decimation
+    // with before/after sizes and a checksum of the kept bytes.
+    "q_multimodal_resize" -> { (s, dir) =>
+      Multimodal.resize(
+          Multimodal.fromDocuments(Tables(s, dir, "documents")),
+          factor = 4)
+        .orderBy(col("doc_id"))
+    },
+
     // S2/F2 for real: the REST-poll analogue as a DataSource V2 with
     // source-side predicate pushdown (the noEarlierThan cutoff is
     // evaluated inside the reader) and column pruning, followed by
@@ -89,6 +98,17 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // documents.text is ASCII → utf-8 bytes == characters.
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+         CAST(strlen(text) AS INTEGER) AS orig_bytes,
+         CAST(len([text[i] for i in range(1, strlen(text) + 1, 4)])
+           AS INTEGER) AS resized_bytes,
+         CAST(list_sum([ascii(text[i])
+                        for i in range(1, strlen(text) + 1, 4)])
+           AS BIGINT) AS resized_sum
+         FROM documents ORDER BY doc_id""",
+
     "q_source_dsv2" ->
       """SELECT user_id AS entity_id, epoch_ms(ts) AS last_ms,
          'u' || CAST(user_id AS VARCHAR) AS name,

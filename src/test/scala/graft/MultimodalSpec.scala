@@ -45,4 +45,21 @@ class MultimodalSpec extends SparkSpec {
       .distinct().as[Int].collect().toSeq
     assert(distinctLens == Seq(64))
   }
+
+  test("resize keeps every factor-th byte") {
+    val media = Multimodal.fromDocuments(
+      Tables(spark, sf(), "documents").limit(20))
+    val resized = Multimodal.resize(media, factor = 4)
+      .as[(Long, Int, Int, Long)].collect()
+    val texts = Tables(spark, sf(), "documents").limit(20)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(resized.nonEmpty)
+    resized.foreach { case (id, orig, kept, sum) =>
+      val t = texts(id)
+      val expected = t.indices.collect { case i if i % 4 == 0 => t(i) }
+      assert(orig == t.length)
+      assert(kept == expected.size, s"doc $id")
+      assert(sum == expected.map(_.toLong).sum, s"doc $id")
+    }
+  }
 }
