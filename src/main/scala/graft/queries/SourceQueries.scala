@@ -73,6 +73,25 @@ object SourceQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CSV source leg: header + explicit schema (no inference pass —
+    // at 100 TB schema inference is a full extra scan), doubles
+    // round-tripping through shortest-repr text. Aggregates the
+    // decoded columns so the oracle proves the parse, not just counts.
+    "q_source_csv" -> { (s, dir) =>
+      val path = graft.sources.CsvFixture.ensure(s, dir)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, t BIGINT, " +
+          "event_type STRING, value DOUBLE")
+        .option("header", "true")
+        .csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("t")).as("min_t"), max(col("t")).as("max_t"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+
     // S2/F2 for real: the REST-poll analogue as a DataSource V2 with
     // source-side predicate pushdown (the noEarlierThan cutoff is
     // evaluated inside the reader) and column pruning, followed by
@@ -108,6 +127,13 @@ object SourceQueries {
                         for i in range(1, strlen(text) + 1, 4)])
            AS BIGINT) AS resized_sum
          FROM documents ORDER BY doc_id""",
+
+    "q_source_csv" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         min(epoch_ms(ts)) AS min_t, max(epoch_ms(ts)) AS max_t,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_dsv2" ->
       """SELECT user_id AS entity_id, epoch_ms(ts) AS last_ms,

@@ -218,3 +218,29 @@ object TrackPointFixture {
       out
     })
 }
+
+/** Deterministic CSV fixture (header + explicit schema read-back),
+  * derived from `events` like [[TrackPointFixture]] — covers the
+  * delimited-text leg of the source matrix.
+  */
+object CsvFixture {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+
+  private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensure(s: SparkSession, dir: String): String =
+    done.computeIfAbsent(dir, { _ =>
+      val out = new java.io.File(
+        s"target/fixtures/events_csv_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        graft.Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("t"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+      }
+      out
+    })
+}
