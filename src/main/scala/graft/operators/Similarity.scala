@@ -12,13 +12,16 @@ import graft.functions.VectorFunctions
   * Scale design:
   *  - [[topKBruteForce]]: the correctness baseline. Queries are
   *    broadcast (they're the small side by construction), so scoring
-  *    is map-side over the candidate corpus; the window top-k then
-  *    shuffles |corpus|×|queries| scored rows.
-  *  - [[topKAggregated]]: the 100 TB path for the same exact result:
-  *    a bounded top-k [[TopKAggregator]] runs map-side partial
-  *    aggregation, so only k rows per (query, map-partition) reach
-  *    the shuffle — |queries|×k×partitions instead of
-  *    |corpus|×|queries|.
+  *    is map-side over the candidate corpus; Spark's WindowGroupLimit
+  *    then prunes the rank filter map-side, so only ≤ k rows per
+  *    query per map partition cross the shuffle (measured in
+  *    ShuffleBudgetSpec — NOT the |corpus|×|queries| scored stream).
+  *  - [[topKAggregated]]: the same exact result with the bound
+  *    enforced by the operator itself: a bounded top-k
+  *    [[TopKAggregator]] caps the buffer at k entries, independent of
+  *    plan shape or optimizer version — the belt-and-braces form for
+  *    embedding in larger plans where the window rewrite may not
+  *    apply.
   *  - [[annLsh]]: sub-linear candidate generation via L independent
   *    sign-random-projection tables (Charikar SimHash-LSH). Collision
   *    probability per hyperplane is 1−θ/π, so recall is tunable with

@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** The scale claims in the operator docs, measured: shuffle-row
+  * budgets captured from real task metrics, not asserted in prose.
+  * Shuffle volume is THE cost that survives a 1000× scale-up — a
+  * formulation that shuffles O(corpus) loses to one that shuffles
+  * O(k·partitions) no matter how the constants fall out locally.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  /** Total shuffle records written by everything `f` runs. The
+    * listener bus is async, so poll until the tally goes quiet.
+    */
+  private def shuffledRecords(f: => Unit): Long = {
+    val tally = new AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          tally.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      var prev = -1L
+      var cur = tally.get
+      var spins = 0
+      while (prev != cur && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = tally.get; spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private lazy val emb = Tables(spark, sf(), "embeddings")
+  private lazy val qs = emb.filter(col("vec_id") < 5)
+
+  test("every top-k formulation shuffles O(k·queries), never the corpus") {
+    val corpus = emb.count()
+    val nQueries = qs.count()
+    // window formulation: WindowGroupLimit prunes map-side, so ≤ k
+    // rows per query per map partition cross the shuffle — NOT the
+    // |corpus|×|queries| scored stream
+    val brute = shuffledRecords(
+      Similarity.topKBruteForce(emb, qs, "vec_id", "embedding", 5).count())
+    // bounded aggregator: the same bound, enforced by the Aggregator
+    // buffer itself (works on any Spark version / plan shape)
+    val agged = shuffledRecords(
+      Similarity.topKAggregated(emb, qs, "vec_id", "embedding", 5).count())
+    info(s"scored ${corpus * nQueries} pairs; window shuffled $brute " +
+      s"rows, bounded aggregator $agged")
+    assert(brute > 0 && agged > 0)
+    assert(brute < corpus, s"window top-k shuffled the corpus: $brute")
+    assert(agged < corpus, s"aggregator shuffled the corpus: $agged")
+  }
+
+  test("jaccard match-stream shuffle stays far below the pair space") {
+    val docs = Tables(spark, sf(), "documents")
+    val n = docs.count()
+    val rows = shuffledRecords(
+      Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5).count())
+    info(s"jaccard shuffled $rows rows for $n docs " +
+      s"(${n * (n - 1) / 2} possible pairs)")
+    // the inverted index must never materialize O(n²): its shuffle is
+    // the shared-shingle match stream plus the exploded index
+    assert(rows > 0)
+    assert(rows < n * (n - 1) / 2,
+      s"match stream reached the quadratic pair space: $rows")
+  }
+
+  test("IVF candidate scoring is bounded by probed cells, not the corpus") {
+    // with nProbe=2 of 16 cells a query scores ~n/8 vectors; the probe
+    // join's shuffle must stay proportional to candidates, not corpus
+    val corpus = emb.count()
+    val ivf = shuffledRecords(
+      Similarity.annIvf(emb, qs, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 2).count())
+    info(s"IVF shuffled $ivf rows for a $corpus-vector corpus")
+    assert(ivf > 0 && ivf < corpus,
+      s"IVF shuffle should stay below the corpus size: $ivf")
+  }
+}
