@@ -55,6 +55,30 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ---- SQL front-end + correlated subqueries -------------------
+    // The same engine through spark.sql(): EXISTS / NOT EXISTS and a
+    // correlated scalar count — Catalyst decorrelates all three into
+    // semi/anti/aggregate joins (asserted in PlanSpec; a naive
+    // per-row subquery re-execution would be O(n·m) at scale). All
+    // predicates are exact (literal-vs-stored compare, string
+    // equality, integer count), so the identical SQL is its own
+    // DuckDB oracle.
+    "q_sql_correlated" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_name,
+          (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_totalprice > 200000) AS n_big
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    },
+
     // ---- TPC-H Q1: wide hash aggregate -----------------------------
     // One shuffle; partial agg reduces the exchange to |groups| rows
     // per map partition (4 groups here — negligible shuffle at any SF).
@@ -405,6 +429,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_correlated" ->
+      """SELECT c_custkey, c_name,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > 200000) AS n_big
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1.0 - l_discount) AS revenue

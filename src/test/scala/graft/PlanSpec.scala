@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
       s"IVF fell back to a cartesian centroid join:\n$p")
   }
 
+  test("q_sql_correlated: subqueries decorrelate into joins") {
+    // EXISTS → semi join, NOT EXISTS → anti join, the correlated
+    // scalar count → aggregate + join; none may survive as a per-row
+    // re-executed subquery or a cartesian product
+    val p = plan("q_sql_correlated")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      s"EXISTS not decorrelated:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+  }
+
   test("q1: hash aggregate runs map-side partials") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
