@@ -95,6 +95,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-ish tokenization: a GPT-2-style pretokenizer regex
+    // (contraction suffixes | space-prefixed word | space-prefixed
+    // number | punctuation run) — the token-count heuristic an LLM
+    // data pipeline budgets by. Pure regexp_extract_all: codegen'd,
+    // scan-speed, no UDF.
+    "q_text_bpe_tokens" -> { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as("n_bpe"),
+        length(col("text")).as("n_chars"))
+        .withColumn("chars_per_tok",
+          round(col("n_chars").cast("double") / col("n_bpe"), 4))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality scoring: length/stopword/short-token heuristics.
     "q_text_quality" -> { (s, dir) =>
       val toks = split(col("text"), " ")
@@ -307,6 +324,18 @@ object TextQueries {
              list_transform(string_split(text, ''),
                ch -> CAST(ascii(ch) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+           AS INTEGER) AS n_bpe,
+         CAST(strlen(text) AS INTEGER) AS n_chars,
+         round(CAST(strlen(text) AS DOUBLE) /
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 4)
+           AS chars_per_tok
          FROM documents ORDER BY doc_id""",
 
     "q_dedup_exact" ->
