@@ -22,6 +22,28 @@ object FunctionQueries {
 
     // String family: case, substring, length, concat_ws, lpad,
     // replace, split+element_at, regexp_extract, LIKE (as filter).
+    // Edit distance (the char-level near-dup primitive) + a numeric
+    // histogram via floor-bucketing: both pure integer outputs, so
+    // engine-exact without rounding.
+    "q_string_editdist" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).as("lev_name_type"),
+          levenshtein(element_at(split(col("p_name"), " "), 1),
+            element_at(split(col("p_name"), " "), -1)).as("lev_first_last"))
+        .orderBy(col("p_partkey"))
+    },
+
+    "q_agg_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     "q_string_funcs" -> { (s, dir) =>
       t(s, dir, "part")
         .filter(col("p_name").like("%ring%") ||
@@ -135,6 +157,20 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_string_editdist" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev_name_type,
+         CAST(levenshtein(string_split(p_name, ' ')[1],
+                          string_split(p_name, ' ')[-1]) AS INTEGER)
+           AS lev_first_last
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
+
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(value / 100) AS BIGINT) AS bucket,
+         count(*) AS n,
+         round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM events GROUP BY 1 ORDER BY bucket""",
+
     "q_string_funcs" ->
       """SELECT p_partkey,
          upper(p_name) AS name_upper,
