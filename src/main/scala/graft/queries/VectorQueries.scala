@@ -76,11 +76,11 @@ object VectorQueries {
     },
 
     // IVF-Flat ANN: md5-sampled coarse quantizer, map-side cell
-    // assignment, probe-2 candidate lists, exact re-rank. Fully
+    // assignment, probe-4 candidate lists, exact re-rank. Fully
     // deterministic -> exact oracle.
     "q_ann_ivf" -> { (s, dir) =>
       Similarity.annIvf(emb(s, dir), queriesDf(s, dir),
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2)
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
         .select(col("q_id"), col("rank"), col("id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
@@ -194,7 +194,7 @@ object VectorQueries {
                  DESC, c.cr) AS rn
              FROM embeddings q CROSS JOIN cents c
              WHERE q.vec_id < 5) t
-           WHERE rn <= 2),
+           WHERE rn <= 4),
          scored AS (
            SELECT p.q_id, a.vec_id AS id,
              list_sum([q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE

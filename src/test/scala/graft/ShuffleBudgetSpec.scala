@@ -74,12 +74,12 @@ class ShuffleBudgetSpec extends SparkSpec {
   }
 
   test("IVF candidate scoring is bounded by probed cells, not the corpus") {
-    // with nProbe=2 of 16 cells a query scores ~n/8 vectors; the probe
+    // with nProbe=4 of 16 cells a query scores ~n/4 vectors; the probe
     // join's shuffle must stay proportional to candidates, not corpus
     val corpus = emb.count()
     val ivf = shuffledRecords(
       Similarity.annIvf(emb, qs, "vec_id", "embedding", 5,
-        nCells = 16, nProbe = 2).count())
+        nCells = 16, nProbe = 4).count())
     info(s"IVF shuffled $ivf rows for a $corpus-vector corpus")
     assert(ivf > 0 && ivf < corpus,
       s"IVF shuffle should stay below the corpus size: $ivf")
