@@ -89,7 +89,7 @@ object Dedup {
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val hashed = sets.select(col("id"),
-      sort_array(transform(col("shs"), s => xxhash64(s))).as("hs"))
+      transform(col("shs"), s => xxhash64(s)).as("hs"))
     // df-pruning stays array-level: the hot set (shingles in > maxDf
     // docs) is tiny by definition, so collect it into one broadcast
     // row and array_except per doc — no extra shuffle.
