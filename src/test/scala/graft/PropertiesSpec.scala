@@ -73,4 +73,50 @@ class PropertiesSpec extends SparkSpec {
       assert(a == b, s"seed=$seed")
     }
   }
+
+  test("jaccard pair invariants: symmetry-free ids, bounded overlap") {
+    val docs = Tables(spark, sf(), "documents")
+    val pairs = graft.operators.Dedup
+      .jaccardShinglePairs(docs, "doc_id", "text", 3, 0.3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, common, na, nb, j) =>
+      assert(a < b, s"pair not canonical: ($a,$b)")
+      assert(common >= 1 && common <= math.min(na, nb),
+        s"overlap out of bounds: $common vs ($na,$nb)")
+      assert(j >= 0.3 && j <= 1.0, s"jaccard out of range: $j")
+      assert(math.abs(j - common.toDouble / (na + nb - common)) < 1e-12)
+    }
+    // no duplicate pairs
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
+
+  test("jaccard threshold is monotone: tighter threshold ⊆ looser") {
+    val docs = Tables(spark, sf(), "documents")
+    def ids(t: Double): Set[(Long, Long)] = graft.operators.Dedup
+      .jaccardShinglePairs(docs, "doc_id", "text", 3, t)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val loose = ids(0.3)
+    val tight = ids(0.6)
+    assert(tight.subsetOf(loose),
+      s"tight threshold found pairs the loose one missed: ${tight -- loose}")
+    assert(loose.nonEmpty)
+  }
+
+  test("LSH candidates are a superset of no false-negative band collisions") {
+    // any pair the exact jaccard marks ≥ 0.9 must collide in ≥1 of 32
+    // bands with overwhelming probability — at band size r=4,
+    // P(miss) = (1-j^4)^32 ≤ 3e-3 at j=0.9; the fixed corpus has no
+    // miss (deterministic given the fixed hash family)
+    val docs = Tables(spark, sf(), "documents")
+    val strong = graft.operators.Dedup
+      .jaccardShinglePairs(docs, "doc_id", "text", 3, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty)
+    assert(strong.subsetOf(lsh),
+      s"LSH missed strong pairs: ${strong -- lsh}")
+  }
 }
