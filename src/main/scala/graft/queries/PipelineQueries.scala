@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.TrackPipeline
 
@@ -80,6 +81,28 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
+    // SCD2 history build: each event becomes a validity interval
+    // [valid_from, valid_to) per entity — valid_to is the next
+    // event's time (lead window), open intervals get a far-future
+    // sentinel and is_current=1. The standard dimension-history shape
+    // a warehouse pipeline derives from a change stream; one shuffle
+    // on the entity key, WindowGroupLimit-free (full history kept by
+    // design).
+    "tp_scd2_intervals" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      val sentinel = 253402300800000L // 9999-01-01 UTC, epoch ms
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("valid_from"),
+          col("event_type").as("state"), col("value"))
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(w), lit(sentinel)))
+        .withColumn("is_current",
+          (col("valid_to") === sentinel).cast("int"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    },
+
     // A1: latest row per key with deterministic tie-break
     // (`latestPositionOnly=true`, reference `task.ts:178`).
     "tp_latest_per_key" -> { (s, dir) =>
@@ -113,6 +136,18 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tp_scd2_intervals" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS valid_from,
+         event_type AS state, value,
+         coalesce(lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+           ORDER BY epoch_ms(ts), event_id), 253402300800000)
+           AS valid_to,
+         CAST(coalesce(lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+           ORDER BY epoch_ms(ts), event_id), 253402300800000)
+           = 253402300800000 AS INTEGER) AS is_current
+         FROM events
+         ORDER BY user_id, valid_from, event_id""",
+
     "tp_cot_transform" ->
       """SELECT 'inreach-' || user_id AS id, event_id,
          CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
