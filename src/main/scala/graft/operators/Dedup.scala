@@ -205,6 +205,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup PAIRS collapsed into dedup CLUSTERS: every node gets
+    * the minimum doc id reachable through the pair graph — the step
+    * that turns a pair list into "keep one canonical doc per group".
+    *
+    * Pregel-style min-label propagation: each round joins current
+    * labels across the (symmetrized) edge list and keeps the
+    * per-node minimum; converged when no label changes. Rounds are
+    * bounded by the cluster diameter (near-dup clusters are shallow —
+    * a handful of rounds), each round is one shuffle of |edges|
+    * rows, and the loop itself is a driver-side iteration count, not
+    * a per-row collect. Intermediate labels persist per round and
+    * unpersist eagerly, so lineage doesn't accumulate across rounds.
+    *
+    * Returns (id, cluster_id) for every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 20): DataFrame = {
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size-adaptive layout: iterative rounds over a small edge list
+    // are pure scheduler overhead at full parallelism (every round
+    // launches |partitions| tasks for KBs of data); a graph under ~1M
+    // edges iterates single-partition. Big graphs keep the parallel
+    // layout — the round structure is identical.
+    val edges =
+      if (edges0.count() < (1L << 20)) edges0.coalesce(1) else edges0
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val propagated = edges
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(propagated, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"),
+            col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed(
+          "cluster_id", "old_cid"), "id")
+        .filter(col("cluster_id") < col("old_cid")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges0.unpersist()
+    labels
+  }
+
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster
     * label or LSH bucket): exact double-precision cosine on the
     * blocked pair space. Blocking keeps the join linear-ish; the

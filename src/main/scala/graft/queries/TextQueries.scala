@@ -183,6 +183,17 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Pairs -> clusters: connected components over the exact-jaccard
+    // near-dup graph (min-label propagation; oracle = recursive CTE
+    // transitive closure). The step that picks one canonical doc per
+    // duplicate group.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
     // MinHash-LSH near-dups. The sketch hashing is engine-portable
     // (md5-based), so this carries an EXACT DuckDB oracle that
     // replays signature + banding + verification bit-for-bit.
@@ -411,6 +422,36 @@ object TextQueries {
          JOIN cnt cb ON id_b = cb.doc_id
          WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs0 AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS common
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2) p
+           JOIN cnt ca ON id_a = ca.doc_id
+           JOIN cnt cb ON id_b = cb.doc_id
+           WHERE CAST(common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - common) >= 0.5),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs0
+           UNION SELECT id_b, id_a FROM pairs0),
+         reach(a, b) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS id, min(b) AS cluster_id FROM reach
+         GROUP BY a ORDER BY id""",
 
     // Exact oracle for the MinHash-LSH pairs: the signature is
     // engine-portable by construction (md5-derived 60-bit base hash,

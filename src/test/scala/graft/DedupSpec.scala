@@ -101,4 +101,22 @@ class DedupSpec extends SparkSpec {
     assert((truth & pairs).size >= truth.size * 0.8,
       s"simhash should catch most strong near-dups: missing ${truth -- pairs}")
   }
+
+  test("connectedComponents: chains merge, disjoint pairs stay apart") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 9L), // chain → cluster 1
+      (20L, 21L), // separate pair → cluster 20
+      (30L, 40L), (31L, 40L) // shared sink → cluster 30
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 40L -> 30L, 31L -> 30L))
+    // component labels are fixpoint-stable: re-running on the
+    // derived (id, cluster_id) edges changes nothing
+    val again = Dedup.connectedComponents(
+      got.toSeq.toDF("id_a", "id_b").filter($"id_a" =!= $"id_b"),
+      "id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(again.forall { case (id, c) => got(id) == c || id == c })
+  }
 }
