@@ -222,8 +222,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String,
       bCol: String, maxRounds: Int = 20): DataFrame = {
-    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // persist the pair list before symmetrizing: the union reads it
+    // twice, and pairs are typically the output of an expensive
+    // similarity join
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges0 = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size-adaptive layout: iterative rounds over a small edge list
@@ -256,6 +261,7 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    p.unpersist()
     edges0.unpersist()
     labels
   }
