@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
@@ -14,28 +11,7 @@ import graft.operators.{Dedup, Similarity}
   */
 class ShuffleBudgetSpec extends SparkSpec {
 
-  /** Total shuffle records written by everything `f` runs. The
-    * listener bus is async, so poll until the tally goes quiet.
-    */
-  private def shuffledRecords(f: => Unit): Long = {
-    val tally = new AtomicLong
-    val l = new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
-          tally.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      f
-      var prev = -1L
-      var cur = tally.get
-      var spins = 0
-      while (prev != cur && spins < 50) {
-        Thread.sleep(100); prev = cur; cur = tally.get; spins += 1
-      }
-      cur
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
+  // shuffledRecords comes from SparkSpec (shared with ScalingSpec)
 
   private lazy val emb = Tables(spark, sf(), "embeddings")
   private lazy val qs = emb.filter(col("vec_id") < 5)

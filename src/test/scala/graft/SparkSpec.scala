@@ -18,6 +18,30 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  /** Total shuffle records written by everything `f` runs, from real
+    * task metrics. The listener bus is async, so poll to quiescence.
+    */
+  def shuffledRecords(f: => Unit): Long = {
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          tally.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      var prev = -1L
+      var cur = tally.get
+      var spins = 0
+      while (prev != cur && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = tally.get; spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
 
 object SparkSpec {
