@@ -213,6 +213,30 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // NULL-semantics parity — the classic engine-divergence trap,
+    // pinned by oracle: count(*) vs count(col) vs count(DISTINCT col)
+    // over nulls, null-ignoring avg, null-safe equality (<=> /
+    // IS NOT DISTINCT FROM) as a join condition, nullif/coalesce.
+    // 'view' events get a nulled value to create the nulls.
+    "q_null_semantics" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"),
+        when(col("event_type") === "view", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      val buckets = e.select(col("user_id"),
+        nullif(floor(col("v") / 200).cast("long"), lit(0L)).as("vb"))
+      val dim = e.sparkSession.range(-1, 3)
+        .select(nullif(col("id"), lit(0L)).as("vb"),
+          concat(lit("b"), col("id").cast("string")).as("bucket_name"))
+      buckets.join(dim, buckets("vb") <=> dim("vb"))
+        .groupBy(col("bucket_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(buckets("vb")).as("n_nonnull"),
+          countDistinct(buckets("vb")).as("n_distinct"),
+          count(lit(1)).minus(count(buckets("vb"))).as("n_null"))
+        .orderBy(col("bucket_name"))
+    },
+
     "q_agg_rollup" -> { (s, dir) =>
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -429,6 +453,25 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_null_semantics" ->
+      """WITH e AS (
+           SELECT user_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+           FROM events),
+         b AS (
+           SELECT user_id,
+             nullif(CAST(floor(v / 200) AS BIGINT), 0) AS vb FROM e),
+         dim AS (
+           SELECT nullif(id, 0) AS vb,
+             'b' || CAST(id AS VARCHAR) AS bucket_name
+           FROM range(-1, 3) t(id))
+         SELECT bucket_name, count(*) AS n_rows,
+           count(b.vb) AS n_nonnull,
+           count(DISTINCT b.vb) AS n_distinct,
+           count(*) - count(b.vb) AS n_null
+         FROM b JOIN dim ON b.vb IS NOT DISTINCT FROM dim.vb
+         GROUP BY bucket_name ORDER BY bucket_name""",
+
     "q_sql_correlated" ->
       """SELECT c_custkey, c_name,
          (SELECT count(*) FROM orders o
