@@ -86,18 +86,35 @@ object Dedup {
     */
   def jaccardShinglePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+      maxShingleDocFreq: Option[Int] = None,
+      maxShingleDocFreqDivisor: Option[Int] = None): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val hashed = sets.select(col("id"),
       transform(col("shs"), s => xxhash64(s)).as("hs"))
+    // The pruning threshold is either a constant or derived IN-PLAN
+    // as max(⌊|docs| / divisor⌋, 1) — a one-row aggregate broadcast
+    // into the df stream. No driver-side count(): building this query
+    // launches zero Spark jobs (PlanAudit asserts it), which matters
+    // at 100 TB where a plan-time count() is a full extra scan.
+    val thr: Option[DataFrame] =
+      (maxShingleDocFreq, maxShingleDocFreqDivisor) match {
+        case (Some(m), _) =>
+          Some(docs.sparkSession.range(1)
+            .select(lit(m.toLong).as("max_df")))
+        case (_, Some(d)) =>
+          Some(docs.agg(greatest(
+            floor(count(lit(1)) / d).cast("long"), lit(1L)).as("max_df")))
+        case _ => None
+      }
     // df-pruning stays array-level: the hot set (shingles in > maxDf
     // docs) is tiny by definition, so collect it into one broadcast
     // row and array_except per doc — no extra shuffle.
-    val pruned = maxShingleDocFreq match {
-      case Some(maxDf) =>
+    val pruned = thr match {
+      case Some(t) =>
         val hot = hashed.select(explode(col("hs")).as("h"))
           .groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
+          .crossJoin(broadcast(t))
+          .filter(col("df") > col("max_df"))
           .agg(collect_set(col("h")).as("hot"))
         hashed.crossJoin(broadcast(hot))
           .select(col("id"), array_except(col("hs"), col("hot")).as("hs"))

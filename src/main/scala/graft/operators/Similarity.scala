@@ -200,6 +200,15 @@ case class ScoredNeighbor(q_id: Long, id: Long, score: Double)
 /** Bounded top-k accumulator: the buffer never exceeds k entries, so
   * map-side partial aggregation caps the shuffle at k rows per key
   * per partition. Ordering: score desc, id asc (deterministic ties).
+  *
+  * The buffer is kept SORTED (best-first) as an invariant, so the hot
+  * path is O(1): once the buffer is full, a row worse than the
+  * current k-th is rejected with a single comparison and zero
+  * allocation — the overwhelmingly common case when scoring a large
+  * candidate stream. Insertions binary-search the slot (O(log k)
+  * comparisons) and copy once; `merge` is a linear merge of two
+  * sorted runs. This replaces the earlier re-sort-per-row
+  * formulation (O(k log k) comparisons + a fresh Seq per input row).
   */
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[(Double, Long)],
@@ -211,12 +220,43 @@ class TopKAggregator(k: Int)
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long)],
-      row: ScoredNeighbor): Seq[(Double, Long)] =
-    ((row.score, row.id) +: buf).sorted(ord).take(k)
+      row: ScoredNeighbor): Seq[(Double, Long)] = {
+    val e = (row.score, row.id)
+    val n = buf.size
+    if (n >= k && ord.lteq(buf(n - 1), e)) buf // worse than current k-th
+    else {
+      // binary-search the insertion slot in the sorted buffer
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(buf(mid), e)) lo = mid + 1 else hi = mid
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      out.sizeHint(math.min(n + 1, k))
+      out ++= buf.view.slice(0, lo)
+      out += e
+      out ++= buf.view.slice(lo, math.min(n, k - 1))
+      out.toSeq
+    }
+  }
 
   override def merge(a: Seq[(Double, Long)],
-      b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (a ++ b).sorted(ord).take(k)
+      b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    // linear merge of two sorted runs, truncated at k
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    out.sizeHint(math.min(a.size + b.size, k))
+    var i = 0
+    var j = 0
+    while (out.size < k && (i < a.size || j < b.size)) {
+      if (j >= b.size || (i < a.size && ord.lteq(a(i), b(j)))) {
+        out += a(i); i += 1
+      } else {
+        out += b(j); j += 1
+      }
+    }
+    out.toSeq
+  }
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 

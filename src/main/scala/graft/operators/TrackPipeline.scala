@@ -62,6 +62,34 @@ object TrackPipeline {
   def isoTime(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
+  /** K1' — the CoT event XML wire format (reference `task.ts:2,121`:
+    * the emitted feature is serialized to Cursor-on-Target XML by the
+    * peer `node-cot` library before submission; this is the only
+    * output shape a real TAK consumer accepts). Deterministic string
+    * construction — every numeric field goes through a fixed-scale
+    * decimal render, timestamps through the ISO-8601-with-millis
+    * render — so the full XML string carries an exact SQL oracle.
+    * Pure codegen'd `concat`: scan-speed, no UDF, no shuffle.
+    */
+  def cotXml(entityId: Column, isEmergency: Column, ts: Column,
+      course: Column, lat: Column, lon: Column): Column = {
+    def f2(c: Column) = c.cast("decimal(12,2)").cast("string")
+    val uid = cotId(entityId)
+    val stale = isoTime(ts + expr("INTERVAL 10 MINUTES"))
+    concat(
+      lit("<event version=\"2.0\" uid=\""), uid,
+      lit("\" type=\""), cotType(isEmergency),
+      lit("\" how=\"m-g\" time=\""), isoTime(ts),
+      lit("\" start=\""), isoTime(ts),
+      lit("\" stale=\""), stale,
+      lit("\"><point lat=\""), f2(lat),
+      lit("\" lon=\""), f2(lon),
+      lit("\" hae=\"0.0\" ce=\"9999999.0\" le=\"9999999.0\"/>"),
+      lit("<detail><contact callsign=\""), uid,
+      lit("\"/><track course=\""), f2(course),
+      lit("\"/></detail></event>"))
+  }
+
   /** F1 — retention filter with the reference's `?? 0` rule: a missing
     * timestamp coerces to epoch 0 and is always evicted
     * (reference `task.ts:251-258`, quirk SURVEY.md §5.2.3).

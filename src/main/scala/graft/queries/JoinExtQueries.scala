@@ -87,13 +87,24 @@ object JoinExtQueries {
         .orderBy(col("user_id"))
     },
 
-    // HLL approximate distinct (no oracle — sketch internals differ
-    // across engines; JoinExtSpec gates the relative error ≤ 5%).
+    // HLL approximate distinct with an ORACLE-CHECKABLE contract:
+    // sketch internals differ across engines, so the HLL estimate
+    // itself can't be hash-compared — instead the query emits the
+    // exact distinct count alongside a boolean asserting the HLL
+    // estimate landed within 5% of it. The oracle reproduces the
+    // exact side and pins hll_ok = TRUE, so the correctness gate now
+    // checks the error bound (the meaningful contract of an
+    // approximate aggregate) rather than skipping the query.
+    // JoinExtSpec additionally gates the raw relative error.
     "q_agg_approx_hll" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+          count_distinct(col("o_custkey")).as("exact_cust"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("exact_cust"), col("n"),
+          (abs(col("approx") - col("exact_cust")).cast("double") <=
+            col("exact_cust") * 0.05).as("hll_ok"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -125,6 +136,15 @@ object JoinExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The exact side is reproduced; hll_ok = TRUE pins the 5%
+    // error-bound contract of the Spark-side HLL estimate.
+    "q_agg_approx_hll" ->
+      """SELECT o_orderstatus,
+         count(DISTINCT o_custkey) AS exact_cust,
+         count(*) AS n,
+         TRUE AS hll_ok
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "q_agg_distinct_kmv" ->
       """WITH h AS (
            SELECT DISTINCT o_orderstatus,

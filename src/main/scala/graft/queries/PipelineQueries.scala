@@ -131,6 +131,22 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     },
 
+    // K1': the CoT XML wire format — each event rendered as the
+    // Cursor-on-Target <event> document a TAK consumer ingests
+    // (reference task.ts:2,121 via the peer node-cot serializer).
+    // Deterministic string construction, so the whole XML is
+    // hash-compared against the oracle.
+    "tp_cot_xml" -> { (s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        TrackPipeline.cotId(col("user_id")).as("uid"),
+        TrackPipeline.cotXml(col("user_id"),
+          col("event_type") === "error", col("ts"),
+          course = col("value"), lat = col("value"),
+          lon = col("user_id").cast("double")).as("cot_xml"))
+        .orderBy(col("uid"), col("event_id"))
+    },
+
     // The full scheduled-poll dataflow (flagship, also SparkEntry.entry).
     "tp_pipeline_e2e" -> { (s, dir) => flagship(s, dir) },
   )
@@ -193,6 +209,26 @@ object PipelineQueries {
          QUALIFY row_number() OVER (PARTITION BY user_id
            ORDER BY ts DESC, event_id DESC) = 1
          ORDER BY user_id""",
+
+    "tp_cot_xml" ->
+      """SELECT event_id, 'inreach-' || user_id AS uid,
+         '<event version="2.0" uid="inreach-' || user_id ||
+         '" type="' ||
+           CASE WHEN event_type = 'error' THEN 'b-a-o-tbl'
+                ELSE 'a-f-G-U-U-S-X' END ||
+         '" how="m-g" time="' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') ||
+         '" start="' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ') ||
+         '" stale="' || strftime(ts + INTERVAL 10 MINUTE,
+                                 '%Y-%m-%dT%H:%M:%S.%gZ') ||
+         '"><point lat="' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) ||
+         '" lon="' || CAST(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(12,2))
+                           AS VARCHAR) ||
+         '" hae="0.0" ce="9999999.0" le="9999999.0"/>' ||
+         '<detail><contact callsign="inreach-' || user_id ||
+         '"/><track course="' ||
+           CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) ||
+         '"/></detail></event>' AS cot_xml
+         FROM events ORDER BY uid, event_id""",
 
     "tp_pipeline_e2e" ->
       """SELECT 'inreach-' || user_id AS id,

@@ -172,12 +172,11 @@ object TextQueries {
     // >10% of docs carry no near-dup signal but dominate the inverted
     // index join — dropping them is the hot-key mitigation at scale.
     // Jaccard is then computed over the PRUNED shingle sets (the
-    // oracle mirrors the same pruning).
+    // oracle mirrors the same pruning). The 10% threshold is derived
+    // in-plan (one-row aggregate, broadcast) — no driver-side count.
     "q_dedup_jaccard_pruned" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val maxDf = (d.count() / 10).toInt.max(1)
-      Dedup.jaccardShinglePairs(d, "doc_id", "text",
-          n = 3, threshold = 0.5, maxShingleDocFreq = Some(maxDf))
+      Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDocFreqDivisor = Some(10))
         .select(col("id_a"), col("id_b"), col("common"),
           col("n_a"), col("n_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -190,6 +189,23 @@ object TextQueries {
     "q_dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id",
         "text", n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    },
+
+    // Pairs -> clusters, LSH edition — THE 100 TB dedup pipeline:
+    // constant-per-doc minhash signatures -> band-bucket candidate
+    // join -> exact verify on survivors -> min-label clustering.
+    // Shuffle volume is k/bands keys per doc regardless of doc
+    // length (ScalingSpec: ×14.5 at a 10× corpus vs ×98 for the
+    // exact inverted index), so this — not q_dedup_clusters — is the
+    // canonical corpus-scale dedup; the exact-Jaccard variant stays
+    // as ground truth. md5-portable sketches keep the oracle EXACT:
+    // DuckDB replays signatures, banding, verification, and the
+    // transitive closure (recursive CTE) bit-for-bit.
+    "q_dedup_clusters_lsh" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.5)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy(col("id"))
     },
@@ -443,6 +459,61 @@ object TextQueries {
            JOIN cnt cb ON id_b = cb.doc_id
            WHERE CAST(common AS DOUBLE)
                  / (ca.n_sh + cb.n_sh - common) >= 0.5),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs0
+           UNION SELECT id_b, id_a FROM pairs0),
+         reach(a, b) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS id, min(b) AS cluster_id FROM reach
+         GROUP BY a ORDER BY id""",
+
+    // Exact oracle for the LSH-fed clusters: the minhash-LSH pair
+    // oracle (portable md5 signatures + band slices + exact verify)
+    // feeding the same recursive-CTE transitive closure as
+    // q_dedup_clusters.
+    "q_dedup_clusters_lsh" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         hs AS (
+           SELECT doc_id,
+             ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483647 AS h
+           FROM sh),
+         sigm AS (
+           SELECT doc_id, j,
+             min((((j * 2654435761) % 2147483646 + 1) * h
+                  + ((j * 40503) % 2147483647)) % 2147483647) AS m
+           FROM hs CROSS JOIN range(128) r(j) GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id, list(m ORDER BY j) AS sig FROM sigm
+           GROUP BY doc_id),
+         bandk AS (
+           SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
+           FROM sig CROSS JOIN range(32) r(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandk a JOIN bandk b
+             ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         com AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs0 AS (
+           SELECT c.id_a, c.id_b
+           FROM cand c
+           JOIN com cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+           JOIN cnt ca ON c.id_a = ca.doc_id
+           JOIN cnt cb ON c.id_b = cb.doc_id
+           WHERE CAST(cm.common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - cm.common) >= 0.5),
          edges AS (
            SELECT id_a AS a, id_b AS b FROM pairs0
            UNION SELECT id_b, id_a FROM pairs0),

@@ -104,4 +104,32 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"unexpected shuffles:\n$p")
   }
+
+  test("q_dedup_jaccard_pruned: plan build runs no extra driver job") {
+    // the df-pruning threshold must be derived IN-PLAN (one-row
+    // aggregate broadcast), not by a driver-side count() at query
+    // construction — at 100 TB a plan-time count() is an extra full
+    // scan per plan build. Baseline is the unpruned query (same
+    // table-load footer job); the pruned build must add nothing.
+    def jobsDuringBuild(name: String): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        SparkEntry.queries(name)(spark, sf())
+          .queryExecution.executedPlan // force full planning
+        Thread.sleep(500) // let any job-start events drain
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val baseline = jobsDuringBuild("q_dedup_ngram_jaccard")
+    val pruned = jobsDuringBuild("q_dedup_jaccard_pruned")
+    assert(pruned <= baseline,
+      s"pruned build launched $pruned jobs vs $baseline unpruned — " +
+        "a plan-time driver action crept back in")
+  }
 }

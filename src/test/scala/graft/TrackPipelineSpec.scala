@@ -39,6 +39,23 @@ class TrackPipelineSpec extends SparkSpec {
     assert(got == "inreach-1001")
   }
 
+  test("K1' cotXml renders the golden CoT event document") {
+    val df = Seq((7L, "error", 1705314600000L, 123.456))
+      .toDF("user_id", "event_type", "ms", "value")
+    val got = df.select(TrackPipeline.cotXml($"user_id",
+      $"event_type" === "error", timestamp_millis($"ms"),
+      course = $"value", lat = $"value",
+      lon = $"user_id".cast("double"))).as[String].head()
+    val want =
+      """<event version="2.0" uid="inreach-7" type="b-a-o-tbl" how="m-g"""" +
+      """ time="2024-01-15T10:30:00.000Z" start="2024-01-15T10:30:00.000Z"""" +
+      """ stale="2024-01-15T10:40:00.000Z"><point lat="123.46" lon="7.00"""" +
+      """ hae="0.0" ce="9999999.0" le="9999999.0"/><detail>""" +
+      """<contact callsign="inreach-7"/><track course="123.46"/>""" +
+      """</detail></event>"""
+    assert(got == want)
+  }
+
   test("F1 retention: null timestamp coerces to epoch 0 and is evicted (quirk §5.2.3)") {
     val df = Seq(
       (1L, Some(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))),
