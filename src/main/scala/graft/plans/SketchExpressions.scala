@@ -385,9 +385,58 @@ case class NearestCellsExpr(child: Expression,
     copy(child = c)
 }
 
+/** [[NearestCellsExpr]] with the centroid matrix carried as a Spark
+  * broadcast variable instead of a plan-time literal. Semantically
+  * identical (same cosine, same ranking); structurally different at
+  * scale: the expression tree holds only a broadcast HANDLE, so plan
+  * size, plan serialization, and codegen constant-pool pressure stay
+  * O(1) in nCells — executors fetch the matrix once per JVM through
+  * the torrent broadcast, not once per task closure. This is the
+  * required shape once nCells·dim outgrows what a literal can carry
+  * (√N ≈ 3·10⁵ centroids at the 100 TB corner).
+  */
+case class NearestCellsBcastExpr(child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val carr = bcast.value
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val m = carr.length
+    val cos = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cent = carr(c)
+      val d = math.min(n, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = cent(i)
+        val y = vec.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = dot / math.sqrt(na * nb)
+      c += 1
+    }
+    val idx = Array.range(0, m).sortBy(i => (-cos(i), i))
+    new GenericArrayData(idx.map(i => i: Any))
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): NearestCellsBcastExpr = copy(child = c)
+}
+
 object NearestCellsExpr {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def nearest_cells(vec: Column, cents: Array[Array[Double]]): Column =
     column(NearestCellsExpr(expression(vec),
       cents.map(_.toIndexedSeq).toSeq))
+  def nearest_cells_bcast(vec: Column,
+      b: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    column(NearestCellsBcastExpr(expression(vec), b))
 }

@@ -63,10 +63,11 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // LSH-bucketed ANN. Portable Rademacher planes make the full
-    // operator (bucketing -> candidates -> exact re-rank) exactly
-    // reproducible in DuckDB; SimilaritySpec additionally gates
-    // recall against the brute-force truth.
+    // LSH-bucketed ANN, 24 tables x 8 bits with Hamming-1 query-side
+    // multi-probe (recall@5 >= 0.9, SimilaritySpec-gated). Portable
+    // Rademacher planes make the full operator (bucketing ->
+    // multi-probe candidates -> exact re-rank) exactly reproducible
+    // in DuckDB.
     "q_ann_lsh" -> { (s, dir) =>
       Similarity.annLsh(emb(s, dir), queriesDf(s, dir),
           "vec_id", "embedding", k = 5)
@@ -75,12 +76,13 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // IVF-Flat ANN: md5-sampled coarse quantizer, map-side cell
-    // assignment, probe-4 candidate lists, exact re-rank. Fully
-    // deterministic -> exact oracle.
+    // IVF-Flat ANN: md5-sampled 32-cell coarse quantizer, assign-3
+    // multi-assignment, probe-14 candidate lists, exact re-rank
+    // (recall@5 >= 0.9, SimilaritySpec-gated). Fully deterministic
+    // -> exact oracle.
     "q_ann_ivf" -> { (s, dir) =>
       Similarity.annIvf(emb(s, dir), queriesDf(s, dir),
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+          "vec_id", "embedding", k = 5)
         .select(col("q_id"), col("rank"), col("id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
@@ -107,8 +109,9 @@ object VectorQueries {
     // Replays Similarity.annLsh exactly: the Rademacher plane family
     // is regenerated from md5 parity, bucket bits use the same
     // left-to-right double accumulation and >= 0 rule, candidates
-    // share any (table, bucket), and the re-rank is the same exact
-    // cosine as the kNN oracle.
+    // share any (table, bucket-within-Hamming-1) — the query-side
+    // multi-probe is the XOR-popcount condition — and the re-rank is
+    // the same exact cosine as the kNN oracle.
     "q_ann_lsh" ->
       """WITH planes AS (
            SELECT p,
@@ -117,7 +120,7 @@ object VectorQueries {
                         % 2 = 1
                        THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
                   ORDER BY i) AS pl
-           FROM range(32) rp(p) CROSS JOIN range(64) ri(i)
+           FROM range(192) rp(p) CROSS JOIN range(64) ri(i)
            GROUP BY p),
          buck AS (
            SELECT e.vec_id, t.t AS tbl,
@@ -125,15 +128,16 @@ object VectorQueries {
                         [pl.pl[i] * e.embedding[i]::DOUBLE
                          for i in range(1, 65)],
                         (a, b) -> a + b) >= 0
-                      THEN (1 << j.j) ELSE 0 END) AS bucket
+                      THEN (1 << j.j) ELSE 0 END)::BIGINT AS bucket
            FROM embeddings e
-           CROSS JOIN range(8) t(t) CROSS JOIN range(4) j(j)
-           JOIN planes pl ON pl.p = t.t * 4 + j.j
+           CROSS JOIN range(24) t(t) CROSS JOIN range(8) j(j)
+           JOIN planes pl ON pl.p = t.t * 8 + j.j
            GROUP BY e.vec_id, t.t),
          cand AS (
            SELECT DISTINCT qb.vec_id AS q_id, vb.vec_id AS id
            FROM buck qb JOIN buck vb
-             ON qb.tbl = vb.tbl AND qb.bucket = vb.bucket
+             ON qb.tbl = vb.tbl
+                AND bit_count(xor(qb.bucket, vb.bucket)) <= 1
                 AND vb.vec_id <> qb.vec_id
            WHERE qb.vec_id < 5),
          scored AS (
@@ -158,14 +162,15 @@ object VectorQueries {
 
     // Replays Similarity.annIvf: same md5-ordered centroid sample,
     // same exact-cosine assignment/probe ranking (ties by centroid
-    // rank), same exact re-rank.
+    // rank), assign-3 / probe-14, candidate pairs deduplicated
+    // before the same exact re-rank.
     "q_ann_ivf" ->
       """WITH cents AS (
            SELECT vec_id, embedding,
              row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
                AS cr
            FROM embeddings
-           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32),
          acell AS (
            SELECT vec_id, cell FROM (
              SELECT e.vec_id, c.cr AS cell,
@@ -179,7 +184,7 @@ object VectorQueries {
                              for i in range(1, len(c.embedding) + 1)]))
                  DESC, c.cr) AS rn
              FROM embeddings e CROSS JOIN cents c) t
-           WHERE rn = 1),
+           WHERE rn <= 3),
          probe AS (
            SELECT q_id, cell FROM (
              SELECT q.vec_id AS q_id, c.cr AS cell,
@@ -194,9 +199,13 @@ object VectorQueries {
                  DESC, c.cr) AS rn
              FROM embeddings q CROSS JOIN cents c
              WHERE q.vec_id < 5) t
-           WHERE rn <= 4),
+           WHERE rn <= 14),
+         cand AS (
+           SELECT DISTINCT p.q_id, a.vec_id AS id
+           FROM probe p
+           JOIN acell a ON a.cell = p.cell AND a.vec_id <> p.q_id),
          scored AS (
-           SELECT p.q_id, a.vec_id AS id,
+           SELECT c.q_id, c.id,
              list_sum([q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
                        for i in range(1, len(q.embedding) + 1)]) /
              sqrt(
@@ -204,10 +213,9 @@ object VectorQueries {
                          for i in range(1, len(q.embedding) + 1)]) *
                list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
                          for i in range(1, len(v.embedding) + 1)])) AS cos
-           FROM probe p
-           JOIN acell a ON a.cell = p.cell AND a.vec_id <> p.q_id
-           JOIN embeddings q ON q.vec_id = p.q_id
-           JOIN embeddings v ON v.vec_id = a.vec_id)
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.q_id
+           JOIN embeddings v ON v.vec_id = c.id)
          SELECT q_id,
            CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, id) AS INTEGER) AS rank,

@@ -50,14 +50,30 @@ class ShuffleBudgetSpec extends SparkSpec {
   }
 
   test("IVF candidate scoring is bounded by probed cells, not the corpus") {
-    // with nProbe=4 of 16 cells a query scores ~n/4 vectors; the probe
-    // join's shuffle must stay proportional to candidates, not corpus
+    // single-assignment: scoring is map-side in the broadcast probe
+    // join and nothing needs dedup, so the shuffle must stay below
+    // the corpus size (only WindowGroupLimit survivors cross)
     val corpus = emb.count()
     val ivf = shuffledRecords(
       Similarity.annIvf(emb, qs, "vec_id", "embedding", 5,
-        nCells = 16, nProbe = 4).count())
-    info(s"IVF shuffled $ivf rows for a $corpus-vector corpus")
+        nCells = 16, nProbe = 4, nAssign = 1).count())
+    info(s"IVF (assign-1) shuffled $ivf rows for a $corpus-vector corpus")
     assert(ivf > 0 && ivf < corpus,
       s"IVF shuffle should stay below the corpus size: $ivf")
+  }
+
+  test("IVF multi-assign dedup shuffle stays below the scored pair space") {
+    // defaults (assign-3, probe-14/32): the only shuffle is the pair
+    // dedup, and its duplicates are co-located so map-side partial
+    // aggregation collapses them — the wire must carry at most ~one
+    // row per distinct candidate pair, well under queries × corpus
+    val corpus = emb.count()
+    val nQueries = qs.count()
+    val ivf = shuffledRecords(
+      Similarity.annIvf(emb, qs, "vec_id", "embedding", 5).count())
+    info(s"IVF (defaults) shuffled $ivf rows; pair space is " +
+      s"${nQueries * (corpus - 1)}")
+    assert(ivf > 0 && ivf < nQueries * (corpus - 1),
+      s"IVF dedup shuffle reached the scored pair space: $ivf")
   }
 }

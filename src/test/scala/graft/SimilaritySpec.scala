@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Similarity-search operators: the two exact formulations must agree
-  * row-for-row; the LSH ANN is gated on measured recall against the
-  * brute-force truth (it has no SQL oracle).
+  * row-for-row; the ANN variants are gated on measured recall ≥ 0.9
+  * against the brute-force truth AND on candidate-count budgets (an
+  * ANN that scores the whole corpus is brute force with extra steps).
   */
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -17,6 +18,19 @@ class SimilaritySpec extends SparkSpec {
     df.select($"q_id", $"rank", $"id").as[(Long, Int, Long)]
       .collect().toSet
 
+  private def truthSets(k: Int): Map[Long, Set[Long]] =
+    Similarity.topKBruteForce(emb, qs, "vec_id", "embedding", k)
+      .select($"q_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def meanRecall(ann: Map[Long, Set[Long]],
+      truth: Map[Long, Set[Long]]): Double = {
+    val recalls = truth.map { case (q, t) =>
+      (ann.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }
+    recalls.sum / recalls.size
+  }
+
   test("topKAggregated produces exactly the brute-force result") {
     val brute = asTriples(
       Similarity.topKBruteForce(emb, qs, "vec_id", "embedding", 5))
@@ -26,70 +40,76 @@ class SimilaritySpec extends SparkSpec {
     assert(agged == brute)
   }
 
-  test("LSH ANN: exact precision on returned pairs, useful recall") {
+  test("LSH ANN: exact precision on returned pairs, recall >= 0.9") {
     val k = 5
-    val brute = Similarity
-      .topKBruteForce(emb, qs, "vec_id", "embedding", k)
-      .select($"q_id", $"id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = truthSets(k)
     val ann = Similarity
       .annLsh(emb, qs, "vec_id", "embedding", k)
       .select($"q_id", $"id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = brute.map { case (q, truth) =>
-      (ann.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
-    }
-    val mean = recalls.sum / recalls.size
-    info(f"ANN recall@$k = $mean%.2f over ${recalls.size} queries")
-    // random 64-d gaussian-ish corpus: neighbors sit near 60-75° so
-    // per-table collision is weak; 8 tables x 4 bits keeps recall
-    // usable while pruning most of the corpus
-    assert(mean >= 0.4, f"recall collapsed: $mean%.2f")
+    val mean = meanRecall(ann, truth)
+    info(f"ANN recall@$k = $mean%.2f over ${truth.size} queries")
+    // isotropic random 64-d corpus: neighbors sit at 66-75°, the
+    // LSH-adversarial case. 24 tables x 8 bits + Hamming-1
+    // multi-probe holds recall >= 0.9 while still pruning (budget
+    // gated below).
+    assert(mean >= 0.9, f"recall below contract: $mean%.2f")
   }
 
-  test("IVF ANN: exact precision, useful recall, sub-linear candidates") {
+  test("IVF ANN: exact precision, recall >= 0.9, bounded candidates") {
     val k = 5
-    val brute = Similarity
-      .topKBruteForce(emb, qs, "vec_id", "embedding", k)
-      .select($"q_id", $"id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = truthSets(k)
     val ivf = Similarity
-      .annIvf(emb, qs, "vec_id", "embedding", k, nCells = 16, nProbe = 4)
+      .annIvf(emb, qs, "vec_id", "embedding", k)
       .select($"q_id", $"id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = brute.map { case (q, truth) =>
-      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
-    }
-    val mean = recalls.sum / recalls.size
-    info(f"IVF recall@$k = $mean%.2f over ${recalls.size} queries")
-    assert(mean >= 0.35, f"recall collapsed: $mean%.2f")
-    // candidate space: nProbe/nCells of the corpus per query (±skew)
+    val mean = meanRecall(ivf, truth)
+    info(f"IVF recall@$k = $mean%.2f over ${truth.size} queries")
+    assert(mean >= 0.9, f"recall below contract: $mean%.2f")
+    // candidate budget: multi-assign x probe-14 of 32 cells scores a
+    // bounded fraction of the corpus (isotropic data needs a large
+    // probe budget; clustered data runs far leaner)
     val n = emb.count() - 1
     val scored = Similarity
-      .annIvf(emb, qs, "vec_id", "embedding", Int.MaxValue,
-        nCells = 16, nProbe = 4).count()
+      .annIvf(emb, qs, "vec_id", "embedding", Int.MaxValue).count()
     assert(scored < 5 * n,
       s"IVF scored $scored pairs — no better than brute force")
   }
 
-  test("IVF assigns every vector to exactly one cell") {
-    // probing ALL cells must return every non-self vector exactly once
+  test("IVF multi-assignment dedups candidates (full probe = corpus)") {
+    // probing ALL cells must return every non-self vector exactly
+    // once even though assign-3 indexes each vector under 3 cells —
+    // the candidate dedup is what makes that hold
     val all = Similarity
       .annIvf(emb, qs, "vec_id", "embedding", Int.MaxValue,
-        nCells = 16, nProbe = 16)
+        nCells = 32, nProbe = 32, nAssign = 3)
       .groupBy($"q_id").count().as[(Long, Long)].collect().toMap
     val n = emb.count() - 1
     assert(all.values.forall(_ == n), s"expected $n candidates/query: $all")
   }
 
+  test("IVF broadcast-variable quantizer path matches the literal path") {
+    // above bcastThresholdDoubles the centroid matrix ships as a
+    // broadcast variable, not a plan-time literal; rows must be
+    // identical. Forcing threshold 0 exercises the broadcast path at
+    // test scale.
+    val lit = asTriples(Similarity.annIvf(emb, qs, "vec_id", "embedding",
+      5, bcastThresholdDoubles = Long.MaxValue))
+    val bc = asTriples(Similarity.annIvf(emb, qs, "vec_id", "embedding",
+      5, bcastThresholdDoubles = 0L))
+    assert(lit.nonEmpty)
+    assert(bc == lit)
+  }
+
   test("LSH ANN actually prunes the candidate space") {
-    // bucket join must score fewer pairs than brute force would
+    // bucket+probe join must score fewer pairs than brute force would
     val n = emb.count() - 1
     val scoredPairs = Similarity
-      .annLsh(emb, qs, "vec_id", "embedding", 500, tables = 8,
-        bitsPerTable = 4)
-      .count() // rank<=500 ≈ all candidates kept
+      .annLsh(emb, qs, "vec_id", "embedding", Int.MaxValue)
+      .count() // unbounded k ≈ all candidates kept
     assert(scoredPairs < 5 * n,
       s"LSH scored $scoredPairs pairs — no better than brute force")
+    info(s"LSH scored $scoredPairs of ${5 * n} possible pairs " +
+      f"(${scoredPairs.toDouble / (5 * n)}%.2f of corpus)")
   }
 }
