@@ -226,19 +226,26 @@ object Dedup {
     * the minimum doc id reachable through the pair graph — the step
     * that turns a pair list into "keep one canonical doc per group".
     *
-    * Pregel-style min-label propagation: each round joins current
-    * labels across the (symmetrized) edge list and keeps the
-    * per-node minimum; converged when no label changes. Rounds are
-    * bounded by the cluster diameter (near-dup clusters are shallow —
-    * a handful of rounds), each round is one shuffle of |edges|
-    * rows, and the loop itself is a driver-side iteration count, not
-    * a per-row collect. Intermediate labels persist per round and
-    * unpersist eagerly, so lineage doesn't accumulate across rounds.
+    * Min-label propagation accelerated by pointer jumping: each
+    * round a node takes the minimum of (its label, its neighbors'
+    * labels, its label's OWN label). The label is always the id of a
+    * node in the same component, so the label-of-label lookup is a
+    * legal shortcut — it is the path-halving step of classic
+    * union-find, collapsing convergence from O(diameter) rounds to
+    * O(log diameter). Each round is one Spark action: the
+    * changed-label count rides on that action as an `observe()`
+    * metric instead of a second convergence job. Intermediate labels
+    * persist per round and unpersist eagerly, so lineage doesn't
+    * accumulate across rounds.
+    *
+    * Throws if `maxRounds` is hit before convergence (a silently
+    * part-propagated labeling looks exactly like a correct one —
+    * fail loudly instead).
     *
     * Returns (id, cluster_id) for every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int = 20): DataFrame = {
+      bCol: String, maxRounds: Int = 50): DataFrame = {
     // persist the pair list before symmetrizing: the union reads it
     // twice, and pairs are typically the output of an expensive
     // similarity join
@@ -252,7 +259,9 @@ object Dedup {
     // are pure scheduler overhead at full parallelism (every round
     // launches |partitions| tasks for KBs of data); a graph under ~1M
     // edges iterates single-partition. Big graphs keep the parallel
-    // layout — the round structure is identical.
+    // layout — the round structure is identical. The count() here is
+    // the operator's one EAGER driver action: it sizes the layout and
+    // materializes the edge persist every round reuses.
     val edges =
       if (edges0.count() < (1L << 20)) edges0.coalesce(1) else edges0
     var labels = edges.select(col("src").as("id")).distinct()
@@ -264,15 +273,26 @@ object Dedup {
       val propagated = edges
         .join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+      // pointer jumping: look up the label of the current label
+      val hop2 = labels.as("l1")
+        .join(labels.as("l2"), col("l1.cluster_id") === col("l2.id"))
+        .select(col("l1.id").as("h_id"), col("l2.cluster_id").as("jump_min"))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$round")
       val next = labels
         .join(propagated, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"),
-            col("cluster_id"))).as("cluster_id"))
+        .join(hop2, col("id") === col("h_id"), "left")
+        .select(col("id"), col("cluster_id").as("old_cid"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id")),
+            coalesce(col("jump_min"), col("cluster_id"))).as("cluster_id"))
+        .observe(obs, sum(when(col("cluster_id") < col("old_cid"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed(
-          "cluster_id", "old_cid"), "id")
-        .filter(col("cluster_id") < col("old_cid")).count()
+      next.count() // the round's ONLY action: materializes the
+                   // persist and fires the changed-count metric
+      val changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -280,6 +300,8 @@ object Dedup {
     }
     p.unpersist()
     edges0.unpersist()
+    require(converged,
+      s"connected components did not converge within $maxRounds rounds")
     labels
   }
 

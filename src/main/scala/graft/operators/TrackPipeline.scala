@@ -62,14 +62,24 @@ object TrackPipeline {
   def isoTime(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
-  /** K1' — the CoT event XML wire format (reference `task.ts:2,121`:
+  /** K1' — a CoT event XML wire format (reference `task.ts:2,121`:
     * the emitted feature is serialized to Cursor-on-Target XML by the
-    * peer `node-cot` library before submission; this is the only
-    * output shape a real TAK consumer accepts). Deterministic string
-    * construction — every numeric field goes through a fixed-scale
-    * decimal render, timestamps through the ISO-8601-with-millis
-    * render — so the full XML string carries an exact SQL oracle.
+    * peer `node-cot` library before submission — node-cot is an
+    * external dependency, not vendored in the reference, so the
+    * +10 min stale window and the hae/ce/le placeholder constants
+    * here are ASSUMED defaults of that serialization, chosen to be
+    * plausible and pinned by our own golden tests rather than traced
+    * to node-cot source). Deterministic string construction — every
+    * numeric field goes through a fixed-scale decimal render,
+    * timestamps through the ISO-8601-with-millis render — so the
+    * full XML string carries an exact SQL oracle.
     * Pure codegen'd `concat`: scan-speed, no UDF, no shuffle.
+    *
+    * Domain assumption: course/lat/lon are rendered via
+    * decimal(12,2), which nulls (ANSI off) beyond |1e10| — far
+    * outside the physical domain (course < 360, |lat| ≤ 90,
+    * |lon| ≤ 180, the validated-schema ranges), but a caller feeding
+    * unvalidated numerics should widen the scale or pre-filter.
     */
   def cotXml(entityId: Column, isEmergency: Column, ts: Column,
       course: Column, lat: Column, lon: Column): Column = {

@@ -91,11 +91,14 @@ object JoinExtQueries {
     // sketch internals differ across engines, so the HLL estimate
     // itself can't be hash-compared — instead the query emits the
     // exact distinct count alongside a boolean asserting the HLL
-    // estimate landed within 5% of it. The oracle reproduces the
-    // exact side and pins hll_ok = TRUE, so the correctness gate now
-    // checks the error bound (the meaningful contract of an
-    // approximate aggregate) rather than skipping the query.
-    // JoinExtSpec additionally gates the raw relative error.
+    // estimate landed within 10% of it. HLL's rsd (0.02 here) is a
+    // standard deviation, not a guarantee, so the pinned bound is
+    // set at 5σ — wide enough that a legitimate sketch excursion on
+    // a fresh scale factor won't surface as a hard correctness
+    // failure, tight enough to catch a broken estimator. The oracle
+    // reproduces the exact side and pins hll_ok = TRUE. JoinExtSpec
+    // additionally gates the raw relative error at the tighter
+    // operational level.
     "q_agg_approx_hll" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -104,7 +107,7 @@ object JoinExtQueries {
           count(lit(1)).as("n"))
         .select(col("o_orderstatus"), col("exact_cust"), col("n"),
           (abs(col("approx") - col("exact_cust")).cast("double") <=
-            col("exact_cust") * 0.05).as("hll_ok"))
+            col("exact_cust") * 0.10).as("hll_ok"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -136,7 +139,7 @@ object JoinExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // The exact side is reproduced; hll_ok = TRUE pins the 5%
+    // The exact side is reproduced; hll_ok = TRUE pins the 10% (5σ)
     // error-bound contract of the Spark-side HLL estimate.
     "q_agg_approx_hll" ->
       """SELECT o_orderstatus,

@@ -202,7 +202,10 @@ object TextQueries {
     // canonical corpus-scale dedup; the exact-Jaccard variant stays
     // as ground truth. md5-portable sketches keep the oracle EXACT:
     // DuckDB replays signatures, banding, verification, and the
-    // transitive closure (recursive CTE) bit-for-bit.
+    // transitive closure (recursive CTE) bit-for-bit. NOTE: cluster
+    // collapse is inherently iterative — building this query runs
+    // one eager |edges| count (layout sizing) plus one job per
+    // propagation round, unlike the pure-plan queries.
     "q_dedup_clusters_lsh" -> { (s, dir) =>
       val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 3, k = 128, bands = 32, threshold = 0.5)

@@ -122,7 +122,10 @@ class PlanSpec extends SparkSpec {
       try {
         SparkEntry.queries(name)(spark, sf())
           .queryExecution.executedPlan // force full planning
-        Thread.sleep(500) // let any job-start events drain
+        // drain the async listener bus (a fixed sleep can undercount
+        // on a loaded machine)
+        org.apache.spark.graftbridge.ListenerBridge
+          .drain(spark.sparkContext)
         jobs.get()
       } finally spark.sparkContext.removeSparkListener(listener)
     }

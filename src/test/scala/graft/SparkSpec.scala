@@ -20,7 +20,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Total shuffle records written by everything `f` runs, from real
-    * task metrics. The listener bus is async, so poll to quiescence.
+    * task metrics. The listener bus is async, so drain it to empty
+    * (via the private-API bridge) before reading the tally.
     */
   def shuffledRecords(f: => Unit): Long = {
     val tally = new java.util.concurrent.atomic.AtomicLong
@@ -33,13 +34,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(l)
     try {
       f
-      var prev = -1L
-      var cur = tally.get
-      var spins = 0
-      while (prev != cur && spins < 50) {
-        Thread.sleep(100); prev = cur; cur = tally.get; spins += 1
-      }
-      cur
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      tally.get
     } finally spark.sparkContext.removeSparkListener(l)
   }
 }
