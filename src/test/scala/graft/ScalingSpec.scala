@@ -1,29 +1,75 @@
 package graft
 
-import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
 
-/** Empirical scaling evidence across REAL scale factors (sf0.01 →
-  * sf0.1, a 10× corpus): the 100 TB dedup path (MinHash-LSH —
-  * constant sketch per doc, band-key join) must shuffle ~linearly in
-  * the corpus, while the exact inverted-index join's match stream
-  * grows with the sum of squared shingle document-frequencies —
-  * fine at moderate scale, the reason LSH exists beyond it. Both
-  * measured from task metrics, not argued.
+/** Empirical scaling evidence, two decades deep.
+  *
+  * Decade 1 is REAL data (sf0.01 → sf0.1, 500 → 5 000 docs). Decade
+  * 2 (→ 50 000 docs) doesn't exist in `/root/testdata`, so it is
+  * SYNTHESIZED as a union of salted copies: every copy keeps the
+  * original text plus one fresh trailing token, so each original
+  * shingle's document frequency scales ×copies (preserving the df²
+  * match-stream arithmetic the exact path is bounded by) while the
+  * copies stay non-identical. The synthesis is validated first: over
+  * the same 500 → 5 000 span it must reproduce the growth exponents
+  * measured on the real decade before its decade-2 numbers are
+  * trusted. All rows from task metrics, not argued.
   */
 class ScalingSpec extends SparkSpec {
 
-  test("minhash-LSH shuffle grows ~linearly over a 10× corpus; exact jaccard superlinearly") {
-    def minhash(d: String): Long = shuffledRecords(
-      Dedup.minhashLshPairs(Tables(spark, sf(d), "documents"),
-        "doc_id", "text", 3, 128, 32, 0.5).count())
-    def jaccard(d: String): Long = shuffledRecords(
-      Dedup.jaccardShinglePairs(Tables(spark, sf(d), "documents"),
-        "doc_id", "text", 3, 0.5).count())
-    val (mhSmall, mhBig) = (minhash("0.01"), minhash("0.1"))
-    val (jcSmall, jcBig) = (jaccard("0.01"), jaccard("0.1"))
+  /** `copies`× corpus, CLONE salting: each copy keeps the original
+    * text plus one fresh trailing token. Original shingle df scales
+    * ×copies — preserves the df² match-stream arithmetic of the
+    * exact inverted index — but also makes the copies of a doc
+    * GENUINE near-dups of each other (jaccard ≈ 0.9+), so any
+    * output-sensitive cost (LSH candidate pairs) scales with the
+    * planted-pair count, not the index. Use for the jaccard decade.
+    */
+  private def saltedDocs(dir: String, copies: Int): DataFrame = {
+    val base = Tables(spark, dir, "documents").select(
+      col("doc_id"), col("text"))
+    (0 until copies).map { c =>
+      base.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" qq$c")).as("text"))
+    }.reduce(_ union _)
+  }
+
+  /** `copies`× corpus, DISJOINT salting: every token is prefixed
+    * with the copy tag, so each copy's shingle vocabulary is unique
+    * to it — copies behave like `copies` independent corpora. No
+    * cross-copy near-dups and no df inflation: the clean way to
+    * measure how the LSH INDEX (constant band keys per doc) scales,
+    * isolated from its output-sensitive candidate term. Use for the
+    * minhash decade.
+    */
+  private def disjointDocs(dir: String, copies: Int): DataFrame = {
+    val base = Tables(spark, dir, "documents").select(
+      col("doc_id"), col("text"))
+    (0 until copies).map { c =>
+      base.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+        concat(lit(s"${c}x"),
+          regexp_replace(col("text"), " ", s" ${c}x")).as("text"))
+    }.reduce(_ union _)
+  }
+
+  private def minhashRows(docs: DataFrame): Long = shuffledRecords(
+    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.5).count())
+
+  private def jaccardRows(docs: DataFrame): Long = shuffledRecords(
+    Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5).count())
+
+  test("decade 1 (real): minhash shuffle ~linear, exact jaccard superlinear") {
+    val (mhSmall, mhBig) =
+      (minhashRows(Tables(spark, sf("0.01"), "documents")),
+        minhashRows(Tables(spark, sf("0.1"), "documents")))
+    val (jcSmall, jcBig) =
+      (jaccardRows(Tables(spark, sf("0.01"), "documents")),
+        jaccardRows(Tables(spark, sf("0.1"), "documents")))
     val mhGrowth = mhBig.toDouble / mhSmall
     val jcGrowth = jcBig.toDouble / jcSmall
-    info(f"10× corpus: minhash shuffle ×$mhGrowth%.1f " +
+    info(f"10× real corpus: minhash shuffle ×$mhGrowth%.1f " +
       f"($mhSmall → $mhBig rows), jaccard ×$jcGrowth%.1f " +
       f"($jcSmall → $jcBig rows)")
     assert(mhSmall > 0 && jcSmall > 0)
@@ -32,5 +78,81 @@ class ScalingSpec extends SparkSpec {
     // the exact path's quadratic term must be visible in comparison
     assert(jcGrowth > mhGrowth,
       f"expected jaccard (×$jcGrowth%.1f) to outgrow minhash (×$mhGrowth%.1f)")
+  }
+
+  test("salted-copy synthesis reproduces the real decade-1 exponents") {
+    // same 500 → 5 000 span, synthetic corpora: each synthesis mode
+    // must land in the same regime as the real decade (linear-ish
+    // index vs quadratic-ish match stream) for decade-2 numbers to
+    // mean anything. (Clone salting was tried for minhash too and
+    // measured ×961 — correctly, because LSH candidates are
+    // OUTPUT-sensitive and clone salting plants 45·N/10 genuine
+    // near-dup pairs; hence the disjoint mode for the index claim.)
+    val base = Tables(spark, sf("0.01"), "documents")
+    val mhGrowth = minhashRows(disjointDocs("/root/testdata/sf0.01", 10))
+      .toDouble / minhashRows(base)
+    val jcGrowth = jaccardRows(saltedDocs("/root/testdata/sf0.01", 10))
+      .toDouble / jaccardRows(base)
+    info(f"10× synthetic from 500 docs: minhash (disjoint) " +
+      f"×$mhGrowth%.1f, jaccard (clone) ×$jcGrowth%.1f " +
+      "(real decade: ~×14.5 / ~×98)")
+    assert(mhGrowth < 40, f"synthetic minhash not linear-ish: ×$mhGrowth%.1f")
+    assert(jcGrowth > 50 && jcGrowth < 200,
+      f"synthetic jaccard off the df² regime: ×$jcGrowth%.1f")
+  }
+
+  test("decade 2 (synthesized, 5k → 50k docs): minhash stays ~linear") {
+    val base = Tables(spark, sf("0.1"), "documents")
+    val synth = disjointDocs("/root/testdata/sf0.1", 10)
+    val growth = minhashRows(synth).toDouble / minhashRows(base)
+    info(f"decade 2 minhash shuffle growth: ×$growth%.1f at 50k docs")
+    // constant band keys per doc: linear ±3× (collision noise)
+    assert(growth < 30, f"minhash decade-2 superlinear: ×$growth%.1f")
+  }
+
+  test("decade 2 (synthesized): exact jaccard match stream stays on df²") {
+    // a full ×10 of the exact path at 50k docs is O(100×) the sf0.1
+    // match stream — minutes of pure shuffle; measure a ×3 span and
+    // fit the decade exponent instead (growth^log_3(10))
+    val base = Tables(spark, sf("0.1"), "documents")
+    val synth = saltedDocs("/root/testdata/sf0.1", 3)
+    val growth3 = jaccardRows(synth).toDouble / jaccardRows(base)
+    val decade = math.pow(growth3, math.log(10) / math.log(3))
+    info(f"decade 2 jaccard: ×$growth3%.1f at 3× (fitted decade " +
+      f"exponent ×$decade%.0f) — the measured reason LSH is the " +
+      "100 TB path")
+    assert(growth3 > 4,
+      f"df² term vanished from the exact path: ×$growth3%.1f at 3×")
+  }
+
+  test("decade 2 (synthesized): IVF candidates/query tracks √N-cell discipline") {
+    // at ×10 the corpus with nCells ∝ √N and a fixed probe FRACTION,
+    // the per-query candidate fraction must not degrade — the
+    // invariant that keeps IVF sub-quadratic at any scale
+    def perturbed(copies: Int): DataFrame = {
+      val base = Tables(spark, sf("0.1"), "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      (0 until copies).map { c =>
+        base.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + ((lit(c) * 37 + i) % 11 - 5)
+              .cast("float") * lit(0.001f)).cast("float")).as("embedding"))
+      }.reduce(_ union _)
+    }
+    def candFrac(vecs: DataFrame): Double = {
+      val n = vecs.count()
+      val nCells = math.max(4, math.sqrt(n.toDouble).toInt)
+      val nProbe = math.max(2, (nCells * 0.4).toInt)
+      val qs = vecs.orderBy(col("vec_id")).limit(5)
+      val cands = Similarity.annIvf(vecs, qs, "vec_id", "embedding",
+        Int.MaxValue, nCells = nCells, nProbe = nProbe, nAssign = 3).count()
+      cands.toDouble / (5.0 * (n - 1))
+    }
+    val small = candFrac(perturbed(1))
+    val big = candFrac(perturbed(10))
+    info(f"IVF candidate fraction: $small%.3f at 2k vecs → $big%.3f " +
+      "at 20k vecs (√N cells, 40% probe fraction, assign-3)")
+    assert(big <= small * 1.5,
+      f"candidate fraction degraded across the decade: $small%.3f → $big%.3f")
   }
 }
