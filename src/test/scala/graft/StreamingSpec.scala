@@ -273,6 +273,60 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming MinHash-LSH candidates match the batch operator") {
+    import graft.streaming.{DocEvent, StreamDedup}
+    // three near-dup groups + noise, all arriving within the horizon
+    val mk = (i: Long, m: Int, t: String) => DocEvent(i, ts(m), t)
+    val base1 = "the quick brown fox jumps over the lazy dog every single day"
+    val base2 = "structured streaming joins band keys inside a bounded event horizon"
+    val docs = Seq(
+      mk(1, 0, base1), mk(2, 2, base1 + " indeed"),
+      mk(3, 4, base2), mk(4, 5, base2.replace("bounded", "small")),
+      mk(5, 6, "completely unrelated text with nothing shared at all here now"),
+      mk(6, 8, base1.replace("lazy", "sleepy")))
+    val input = MemoryStream[DocEvent]
+    val q = StreamDedup.lshCandidates(input.toDS(),
+        watermark = "30 minutes", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("t_lsh")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      spark.table("t_lsh").select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+    } finally q.stop()
+    val batch = graft.operators.Dedup.minhashLshPairs(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture should contain near-dups")
+    assert(streamed == batch,
+      s"stream candidates $streamed != batch $batch")
+  }
+
+  test("streaming LSH: docs beyond the horizon never pair") {
+    import graft.streaming.{DocEvent, StreamDedup}
+    val text = "the quick brown fox jumps over the lazy dog every single day"
+    val input = MemoryStream[DocEvent]
+    val q = StreamDedup.lshCandidates(input.toDS(),
+        watermark = "5 minutes", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("t_lsh_hz")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(DocEvent(1, ts(0), text))
+      q.processAllAvailable()
+      // an exact clone, but 2 hours later — outside the horizon
+      input.addData(DocEvent(2, ts(120), text))
+      q.processAllAvailable()
+      spark.table("t_lsh_hz").select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+    } finally q.stop()
+    assert(streamed.isEmpty,
+      s"pairs must respect the event-time horizon: $streamed")
+  }
+
   test("windowedCounts: tumbling event-time aggregation with watermark") {
     val input = MemoryStream[TrackPoint]
     val q = TrackStream.windowedCounts(input.toDS(), "1 hour", "30 minutes")
