@@ -22,6 +22,11 @@ import graft.plans.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, ShinglesExpr}
   *   - `simhash64(arr)`        — portable 60-bit SimHash
   *   - `minhash_sig(arr, k)`   — portable MinHash signature
   *   - `word_shingles(s, n)`   — word n-gram shingles
+  *
+  * Planner strategy injected:
+  *   - [[graft.plans.AsOfJoinStrategy]] — plans the whole-operator
+  *     [[graft.plans.AsOfJoinPlan]] to its sort-merge exec (the
+  *     build-brief (c)-tier path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -45,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(s, n) - word n-grams"),
       (es: Seq[Expression]) => ShinglesExpr(es.head, intArg(es(1)))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

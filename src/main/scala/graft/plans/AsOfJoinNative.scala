@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The build brief's preference-(c) showcase: as-of join as a
+  * first-class operator — custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan` — rather than the union+window composition in
+  * [[graft.operators.AsOfJoin.asOf]] (which remains the (a)-tier
+  * reference implementation; JoinExtSpec asserts the two agree).
+  *
+  * Why a whole-operator plan node earns its keep here: the
+  * composition must union both sides into one row shape (null
+  * padding + a side column + a payload struct), shuffle and sort the
+  * UNION, and post-filter the right rows back out. The native
+  * operator shuffles/sorts each side in its own (narrower) shape and
+  * streams a single merge pass per partition with O(1) state — no
+  * padding, no filter, and the planner knows the output's
+  * partitioning (left's), so a downstream groupBy on the key reuses
+  * the exchange instead of re-shuffling.
+  *
+  * Semantics (matching the composition and DuckDB `ASOF LEFT JOIN`):
+  * for each left row, the LAST right row in (ts, arrival) order with
+  * `right.ts <= left.ts` in the same key group; unmatched left rows
+  * keep null payload; null keys/timestamps never match.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+
+  /** Right payload = right.output minus its key/ts columns (the left
+    * side already carries key and ts), nullable for no-match rows.
+    */
+  def rightPayload: Seq[Attribute] = right.output
+    .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
+    .map(_.withNullability(true))
+
+  override def output: Seq[Attribute] = left.output ++ rightPayload
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfMergeJoinExec]]. Injected via
+  * `GraftExtensions` (spark.sql.extensions) or lazily through
+  * `spark.experimental.extraStrategies` by the DataFrame API helper.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join. Requires both children clustered by key and
+  * sorted by (key, ts) — EnsureRequirements inserts the exchanges and
+  * sorts — then merges each co-partition pair in one streaming pass:
+  * the right cursor only ever advances, and the only retained state
+  * is the latest matching payload (one projected row) per current
+  * key. Memory is O(1) per partition regardless of group sizes — the
+  * property the naive range-join + argmax formulation lacks.
+  */
+case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute) extends BinaryExecNode {
+
+  private def rightPayload: Seq[Attribute] = right.output
+    .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
+    .map(_.withNullability(true))
+
+  override def output: Seq[Attribute] = left.output ++ rightPayload
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) :: Nil
+
+  // merge preserves the left side's row order and partitioning: a
+  // downstream aggregate on the key reuses this exchange
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lKeyOrd >= 0 && lTsOrd >= 0 && rKeyOrd >= 0 && rTsOrd >= 0,
+      "as-of key/ts columns must come from the respective child")
+    val keyDt = leftKey.dataType
+    val tsDt = leftTs.dataType
+    val payload = rightPayload
+    val rightSchema = right.output
+    val leftSchema = left.output
+    val outSchema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyCmp = TypeUtils.getInterpretedOrdering(keyDt)
+      val tsCmp = TypeUtils.getInterpretedOrdering(tsDt)
+      // project the retained right row down to payload shape once
+      val payloadProj = UnsafeProjection.create(payload, rightSchema)
+      val outProj = UnsafeProjection.create(outSchema, leftSchema ++ payload)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(payload.length)
+      new Iterator[InternalRow] {
+        // lookahead right row (copied: child iterators reuse buffers)
+        private var rCur: InternalRow = _
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey: Any = _
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = if (l.isNullAt(lKeyOrd)) null else l.get(lKeyOrd, keyDt)
+          val lTs = if (l.isNullAt(lTsOrd)) null else l.get(lTsOrd, tsDt)
+          if (lKey != null && lTs != null) {
+            var scan = true
+            while (scan && (rCur != null || rIter.hasNext)) {
+              if (rCur == null) rCur = rIter.next().copy()
+              val rKey =
+                if (rCur.isNullAt(rKeyOrd)) null else rCur.get(rKeyOrd, keyDt)
+              if (rKey == null) {
+                rCur = null // null keys never match
+              } else {
+                val kc = keyCmp.compare(rKey, lKey)
+                if (kc < 0) rCur = null // key group already passed
+                else if (kc > 0) scan = false // right is ahead: stop
+                else {
+                  val rTs = if (rCur.isNullAt(rTsOrd)) null
+                    else rCur.get(rTsOrd, tsDt)
+                  if (rTs == null) rCur = null
+                  else if (tsCmp.compare(rTs, lTs) <= 0) {
+                    // newest-so-far match for this key
+                    lastMatch = payloadProj(rCur).copy()
+                    lastMatchKey = InternalRow.copyValue(rKey)
+                    rCur = null
+                  } else scan = false // future right row: keep for later
+                }
+              }
+            }
+          }
+          val matched = lKey != null && lastMatchKey != null &&
+            keyCmp.compare(lastMatchKey, lKey) == 0
+          outProj(joined(l, if (matched) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinNative {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** DataFrame API for the native operator. Key and ts column names
+    * must exist on both sides; the result is left.* plus the right's
+    * remaining columns as nullable payload. Registers the planner
+    * strategy on the session if `spark.sql.extensions` didn't.
+    */
+  def asOfMerge(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    // self-join hygiene: if the right side shares attribute ids with
+    // the left (both derived from the same scan), re-alias it so the
+    // custom node never carries ambiguous references
+    val rightClean =
+      if (right.queryExecution.analyzed.outputSet
+          .intersect(lPlan.outputSet).nonEmpty)
+        right.toDF(right.columns: _*)
+      else right
+    val rPlan = rightClean.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"$side side has no column $n"))
+    ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
+      attr(lPlan, ts, "left"), attr(rPlan, ts, "right")))
+  }
+}

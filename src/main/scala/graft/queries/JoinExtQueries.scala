@@ -35,6 +35,27 @@ object JoinExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // The same as-of semantics through the (c)-tier whole-operator
+    // path: custom LogicalPlan -> AsOfJoinStrategy -> sort-merge
+    // AsOfMergeJoinExec (graft.plans.AsOfJoinNative). Shares the
+    // composition query's oracle — the two implementations must be
+    // indistinguishable row-for-row.
+    "q_asof_join_native" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("err_id"), col("ts").as("err_ts"))
+      graft.plans.AsOfJoinNative.asOfMerge(purchases, errors,
+          "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("time_ms"),
+          col("err_id"),
+          unix_millis(col("err_ts")).as("err_ms"))
+        .orderBy(col("event_id"))
+    },
+
     // Range join against a tiny literal tier table: broadcast
     // nested-loop on the band predicate — the correct shape when one
     // side is a handful of bands (never shuffle the fact side).
@@ -169,6 +190,20 @@ object JoinExtQueries {
          FROM agg ORDER BY o_orderstatus""",
 
     "q_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         e AS (
+           SELECT user_id, ts, event_id AS err_id FROM events
+           WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS time_ms,
+           e.err_id, epoch_ms(e.ts) AS err_ms
+         FROM p ASOF LEFT JOIN e
+           ON p.user_id = e.user_id AND p.ts >= e.ts
+         ORDER BY p.event_id""",
+
+    // native (c)-tier operator: identical semantics, same oracle
+    "q_asof_join_native" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),

@@ -37,6 +37,59 @@ class JoinExtSpec extends SparkSpec {
     assert(row == ((None, Some(7L)))) // matched, with its null field
   }
 
+  test("native as-of merge exec matches the semantics fixture") {
+    val left = Seq(
+      (1L, mkTs("2024-01-01 10:00:00"), "L1"),
+      (1L, mkTs("2024-01-01 12:00:00"), "L2"),
+      (2L, mkTs("2024-01-01 09:00:00"), "L3") // before any right row
+    ).toDF("k", "ts", "ltag")
+    val right = Seq(
+      (1L, mkTs("2024-01-01 09:30:00"), 100L),
+      (1L, mkTs("2024-01-01 11:00:00"), 200L),
+      (1L, mkTs("2024-01-01 12:00:00"), 300L), // exactly at L2 → visible
+      (2L, mkTs("2024-01-01 10:00:00"), 400L)
+    ).toDF("k", "ts", "rid")
+    val got = graft.plans.AsOfJoinNative.asOfMerge(left, right, "k", "ts")
+      .select($"ltag", $"rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(got == Map("L1" -> Some(100L), "L2" -> Some(300L),
+      "L3" -> None))
+  }
+
+  test("native as-of == composition as-of on the events corpus") {
+    val ev = Tables(spark, sf("0.01"), "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val composed = AsOfJoin.asOf(purchases, errors, "user_id", "ts",
+        Seq("err_id"))
+      .select($"event_id", $"err_id").as[(Long, Option[Long])]
+      .collect().toMap
+    val native = graft.plans.AsOfJoinNative
+      .asOfMerge(purchases, errors, "user_id", "ts")
+      .select($"event_id", $"err_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(native.nonEmpty && native.exists(_._2.isDefined))
+    assert(native == composed)
+  }
+
+  test("native as-of plans through AsOfMergeJoinExec with per-side sort") {
+    val left = Seq((1L, mkTs("2024-01-01 10:00:00"), "x"))
+      .toDF("k", "ts", "ltag")
+    val right = Seq((1L, mkTs("2024-01-01 09:00:00"), 5L))
+      .toDF("k", "ts", "rid")
+    val df = graft.plans.AsOfJoinNative.asOfMerge(left, right, "k", "ts")
+    val plan = withoutAqe {
+      df.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("AsOfMergeJoin"),
+      s"expected the custom exec in:\n$plan")
+    // EnsureRequirements must have inserted the per-side sorts
+    assert("Sort".r.findAllIn(plan).size >= 2,
+      s"expected per-side sorts in:\n$plan")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val ord = Tables(spark, sf("0.01"), "orders")
     val cmp = ord.groupBy($"o_orderstatus")
