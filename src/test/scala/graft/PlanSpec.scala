@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"unexpected shuffles:\n$p")
   }
 
+  test("ANN plans stay equi-join: no cartesian/BNLJ in candidate stages") {
+    // multi-probe LSH expands the QUERY side into extra equi-join
+    // keys — it must never degrade into a θ-join over buckets; the
+    // IVF probe list must broadcast (map-side scoring, index never
+    // shuffles)
+    val lsh = plan("q_ann_lsh")
+    assert(!lsh.contains("CartesianProduct") &&
+      !lsh.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate stage fell off the equi-join path:\n$lsh")
+    val ivf = plan("q_ann_ivf")
+    assert(!ivf.contains("CartesianProduct") &&
+      !ivf.contains("BroadcastNestedLoopJoin"),
+      s"IVF fell off the equi-join path:\n$ivf")
+    assert(ivf.contains("BroadcastHashJoin"),
+      s"IVF probe list must broadcast:\n$ivf")
+  }
+
   test("q_dedup_jaccard_pruned: plan build runs no extra driver job") {
     // the df-pruning threshold must be derived IN-PLAN (one-row
     // aggregate broadcast), not by a driver-side count() at query
