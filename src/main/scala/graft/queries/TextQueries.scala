@@ -95,6 +95,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition quality signals (the Gopher/Rae-et-al-style filters
+    // an LLM curation pipeline gates on): duplicate word-2-gram
+    // ratio, most-frequent-2-gram mass, duplicate word ratio. All
+    // per-row array arithmetic over the shared shingle expression —
+    // no shuffle except the output order.
+    "q_text_repetition" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), wordShingles(col("text"), 2).as("shs"),
+          split(col("text"), " ").as("t"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id"),
+          size(col("shs")).cast("long").as("n_grams"),
+          round(lit(1.0) - size(array_distinct(col("shs"))).cast("double")
+            / size(col("shs")), 4).as("dup_gram_ratio"),
+          round(array_max(transform(array_distinct(col("shs")),
+              x => size(filter(col("shs"), y => y === x)))).cast("double")
+            / size(col("shs")), 4).as("top_gram_frac"),
+          round(lit(1.0) - size(array_distinct(col("t"))).cast("double")
+            / size(col("t")), 4).as("dup_word_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish tokenization: a GPT-2-style pretokenizer regex
     // (contraction suffixes | space-prefixed word | space-prefixed
     // number | punctuation run) — the token-count heuristic an LLM
@@ -326,6 +348,24 @@ object TextQueries {
                x -> x IN ('the', 'a'))) AS DOUBLE)
              / len(string_split(text, ' '))), 4) AS quality
          FROM documents ORDER BY doc_id""",
+
+    "q_text_repetition" ->
+      """WITH g AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         s AS (
+           SELECT doc_id, t,
+             [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS shs
+           FROM g)
+         SELECT doc_id,
+           CAST(len(shs) AS BIGINT) AS n_grams,
+           round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
+             / len(shs), 4) AS dup_gram_ratio,
+           round(CAST(list_max(list_transform(list_distinct(shs),
+               x -> len(list_filter(shs, y -> y = x)))) AS DOUBLE)
+             / len(shs), 4) AS top_gram_frac,
+           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+             / len(t), 4) AS dup_word_ratio
+         FROM s WHERE len(shs) > 0 ORDER BY doc_id""",
 
     "q_text_langid" ->
       """WITH scored AS (
