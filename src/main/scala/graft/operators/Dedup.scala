@@ -245,23 +245,34 @@ object Dedup {
     * Returns (id, cluster_id) for every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int = 50): DataFrame = {
+      bCol: String, maxRounds: Int = 50,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     // persist the pair list before symmetrizing: the union reads it
-    // twice, and pairs are typically the output of an expensive
-    // similarity join
+    // twice (or the driver path collects it once), and pairs are
+    // typically the output of an expensive similarity join
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size-adaptive execution. The pair count() is the operator's one
+    // EAGER driver action: it sizes the strategy and materializes the
+    // persist. A graph at or under `driverMaxEdges` (≤ ~32 MB of id
+    // pairs — the same driver-memory envelope as collecting a
+    // broadcast dimension) skips the iterative plan entirely:
+    // label-propagation rounds over a few thousand edges are pure
+    // scheduler overhead, while an in-memory union-find is exact and
+    // instant. Bigger graphs run the distributed pointer-jumping
+    // loop below — the 100 TB path, regression-tested by forcing
+    // driverMaxEdges = 0 in DedupSpec.
+    if (p.count() <= driverMaxEdges) {
+      val out = driverUnionFind(p)
+      p.unpersist()
+      return out
+    }
     val edges0 = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // size-adaptive layout: iterative rounds over a small edge list
-    // are pure scheduler overhead at full parallelism (every round
-    // launches |partitions| tasks for KBs of data); a graph under ~1M
-    // edges iterates single-partition. Big graphs keep the parallel
-    // layout — the round structure is identical. The count() here is
-    // the operator's one EAGER driver action: it sizes the layout and
-    // materializes the edge persist every round reuses.
+    // keep tiny-but-above-threshold graphs single-partition: every
+    // round otherwise launches |partitions| tasks for KBs of data
     val edges =
       if (edges0.count() < (1L << 20)) edges0.coalesce(1) else edges0
     var labels = edges.select(col("src").as("id")).distinct()
@@ -303,6 +314,59 @@ object Dedup {
     require(converged,
       s"connected components did not converge within $maxRounds rounds")
     labels
+  }
+
+  /** Exact in-memory union-find (path compression + union by rank)
+    * over a collected pair list, for graphs small enough to fit the
+    * broadcast-dim driver envelope. Roots are resolved to the MINIMUM
+    * member id afterwards, matching the distributed min-label
+    * semantics exactly. Ids must be Comparable (numeric/string —
+    * every id column in the engine is).
+    */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val dt = p.schema("src").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    val rank = scala.collection.mutable.HashMap.empty[Any, Int]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val gp = parent.getOrElse(parent(x), parent(x))
+        parent(x) = gp // path halving
+        x = gp
+      }
+      x
+    }
+    def union(a: Any, b: Any): Unit = {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (qa, qb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (qa < qb) parent(ra) = rb
+        else if (qa > qb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = qa + 1 }
+      }
+    }
+    p.collect().foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) union(r.get(0), r.get(1))
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { id =>
+      val root = find(id)
+      val cur = minOfRoot.get(root)
+      if (cur.isEmpty ||
+          id.asInstanceOf[Comparable[Any]].compareTo(cur.get) < 0)
+        minOfRoot(root) = id
+    }
+    val rows = parent.keys.toSeq.map { id =>
+      org.apache.spark.sql.Row(id, minOfRoot(find(id)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("cluster_id", dt)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster

@@ -119,4 +119,30 @@ class DedupSpec extends SparkSpec {
       "id_a", "id_b").as[(Long, Long)].collect().toMap
     assert(again.forall { case (id, c) => got(id) == c || id == c })
   }
+
+  test("connectedComponents: distributed loop == driver union-find") {
+    // the harness-scale queries take the driver union-find shortcut;
+    // force driverMaxEdges = 0 to exercise the distributed
+    // pointer-jumping loop (the 100 TB path) and pin both paths to
+    // identical labels — on the fixture AND on a real near-dup graph
+    val fixture = Seq(
+      (1L, 2L), (2L, 3L), (3L, 9L), (20L, 21L),
+      (30L, 40L), (31L, 40L), (9L, 50L), (50L, 51L)
+    ).toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(fixture, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(fixture, "id_a", "id_b",
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver.nonEmpty && dist == driver)
+    val realPairs = Dedup.minhashLshPairs(
+      Tables(spark, sf(), "documents").limit(200), "doc_id", "text",
+      3, 128, 32, 0.5)
+    val d2 = Dedup.connectedComponents(realPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val p2 = Dedup.connectedComponents(realPairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(p2 == d2)
+  }
 }
