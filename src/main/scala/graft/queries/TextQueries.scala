@@ -117,6 +117,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // PII redaction — the curation step every shipped corpus runs.
+    // The synthetic corpus carries no PII, so deterministic
+    // addresses/numbers are planted per doc first, then redacted:
+    // the redaction pipeline (count + replace, email then phone) is
+    // the operator under test, as pure codegen'd regexp functions.
+    "q_text_pii_redact" -> { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("txt"))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(email)).as("n_emails"),
+          regexp_count(col("txt"), lit(phone)).as("n_phones"),
+          regexp_replace(regexp_replace(col("txt"), lit(email),
+            lit("<EMAIL>")), lit(phone), lit("<PHONE>")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Context-window packing: concatenate-then-chunk token budgeting
+    // (which 2048-token training chunk does each doc start in, at
+    // what offset). Packing is PER SOURCE — a partition-parallel
+    // running sum (one shuffle on source), not a global single-
+    // partition window; sources are the natural pack unit exactly as
+    // shards are in a production pipeline.
+    "q_pack_context" -> { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(2048.0)).cast("long")
+            .as("chunk_id"),
+          ((col("cum") - col("n_tok")) % 2048).as("chunk_offset"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish tokenization: a GPT-2-style pretokenizer regex
     // (contraction suffixes | space-prefixed word | space-prefixed
     // number | punctuation run) — the token-count heuristic an LLM
@@ -366,6 +409,41 @@ object TextQueries {
            round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
              / len(t), 4) AS dup_word_ratio
          FROM s WHERE len(shs) > 0 ORDER BY doc_id""",
+
+    "q_text_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+               '@example.com or +1-555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(txt,
+             '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+           regexp_replace(regexp_replace(txt,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
+
+    "q_pack_context" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+               AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               AS cum
+           FROM t)
+         SELECT doc_id, source, n_tok,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
+           (cum - n_tok) % 2048 AS chunk_offset
+         FROM c ORDER BY doc_id""",
 
     "q_text_langid" ->
       """WITH scored AS (
