@@ -119,4 +119,59 @@ class PropertiesSpec extends SparkSpec {
     assert(strong.subsetOf(lsh),
       s"LSH missed strong pairs: ${strong -- lsh}")
   }
+
+  test("connectedComponents == brute-force reachability on random graphs") {
+    trials.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val n = 20 + rng.nextInt(20)
+      val pairs = (1 to n).map { _ =>
+        (rng.nextInt(25).toLong, rng.nextInt(25).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (pairs.nonEmpty) {
+        // brute force: repeated relaxation to the transitive min
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        var label = nodes.map(x => x -> x).toMap
+        val sym = pairs ++ pairs.map(_.swap)
+        var changed = true
+        while (changed) {
+          changed = false
+          sym.foreach { case (a, b) =>
+            if (label(b) < label(a)) { label += a -> label(b); changed = true }
+          }
+        }
+        val want = label
+        val got = graft.operators.Dedup
+          .connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
+  test("native as-of == per-row argmax scan on random fixtures") {
+    trials.take(8).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      def t(ms: Int) = new java.sql.Timestamp(1700000000000L + ms.toLong)
+      val left = (1 to 30).map { i =>
+        (rng.nextInt(4).toLong, t(rng.nextInt(1000)), i.toLong) }
+      // unique right timestamps: equal (key, ts) right rows have no
+      // defined winner in ANY as-of formulation (sort tie), so the
+      // generator avoids them rather than asserting on chance
+      val rightTs = rng.shuffle((0 until 1000).toList).take(30)
+      val right = rightTs.zipWithIndex.map { case (ms, i) =>
+        (rng.nextInt(4).toLong, t(ms), 100L + i) }
+      // brute-force truth: newest right at-or-before each left row
+      val want = left.map { case (k, ts, lid) =>
+        val m = right.filter(r => r._1 == k && !r._2.after(ts))
+        lid -> (if (m.isEmpty) None
+                else Some(m.maxBy(r => r._2.getTime)._3))
+      }.toMap
+      val got = graft.plans.AsOfJoinNative.asOfMerge(
+          left.toDF("k", "ts", "lid"),
+          right.toDF("k", "ts", "rid"), "k", "ts")
+        .select($"lid", $"rid").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
