@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", "word_shingles(s, n) - word n-grams"),
       (es: Seq[Expression]) => ShinglesExpr(es.head, intArg(es(1)))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // column pruning through the custom as-of node (a pruning
+    // barrier to the stock ColumnPruning rule otherwise)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }

@@ -60,6 +60,38 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Column pruning through [[AsOfJoinPlan]]. Catalyst's built-in
+  * `ColumnPruning` only understands the stock operators, so a
+  * custom binary node is a pruning barrier: `asOfMerge(wideL,
+  * wideR).select("one_col")` would read every column of both scans.
+  * This rule pushes the parent Project's references (plus each
+  * side's key/ts, which the merge itself consumes) into child
+  * Projects, from where the stock rules carry the pruning all the
+  * way into the parquet scan's ReadSchema. Registered via
+  * `GraftExtensions.injectOptimizerRule` and lazily through
+  * `spark.experimental.extraOptimizations` by the API helper —
+  * whichever path built the session. No-op at fixed point (children
+  * already minimal), so the optimizer's idempotence check is safe.
+  */
+object PruneAsOfJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj @ AsOfJoinPlan(l, r, lk, rk, lt, rt)) =>
+      val needed = p.references
+      val lNeeded = l.output.filter(a => needed.contains(a) ||
+        a.exprId == lk.exprId || a.exprId == lt.exprId)
+      val rNeeded = r.output.filter(a => needed.contains(a) ||
+        a.exprId == rk.exprId || a.exprId == rt.exprId)
+      if (lNeeded.size < l.output.size || rNeeded.size < r.output.size)
+        p.copy(child = aj.copy(
+          left = if (lNeeded.size < l.output.size) Project(lNeeded, l) else l,
+          right = if (rNeeded.size < r.output.size) Project(rNeeded, r) else r))
+      else p
+  }
+}
+
 /** Sort-merge as-of join. Requires both children clustered by key and
   * sorted by (key, ts) — EnsureRequirements inserts the exchanges and
   * sorts — then merges each co-partition pair in one streaming pass:
@@ -175,6 +207,11 @@ object AsOfJoinNative {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(PruneAsOfJoinColumns)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     }
     val lPlan = left.queryExecution.analyzed
     // self-join hygiene: if the right side shares attribute ids with

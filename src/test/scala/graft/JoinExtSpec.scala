@@ -90,6 +90,30 @@ class JoinExtSpec extends SparkSpec {
       s"expected per-side sorts in:\n$plan")
   }
 
+  test("as-of column pruning pushes through the custom node to the scan") {
+    // without PruneAsOfJoinColumns, the custom binary node is a
+    // pruning barrier and both parquet scans read every column;
+    // with it, a narrow projection above the as-of reaches ReadSchema
+    val ev = Tables(spark, sf("0.01"), "events")
+    val leftWide = ev.filter($"event_type" === "purchase")
+      .withColumnRenamed("event_id", "l_id") // disambiguate vs right
+    val rightWide = ev.filter($"event_type" === "error")
+    val narrow = graft.plans.AsOfJoinNative
+      .asOfMerge(leftWide, rightWide, "user_id", "ts")
+      .select($"l_id")
+    val plan = withoutAqe { narrow.queryExecution.executedPlan.toString }
+    // events carries value/props — neither may reach any ReadSchema
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, s"no scans found:\n$plan")
+    assert(readSchemas.forall(s => !s.contains("value") &&
+        !s.contains("props")),
+      s"unreferenced columns still read:\n${readSchemas.mkString("\n")}")
+    // the merge's own inputs must of course survive
+    assert(readSchemas.forall(_.contains("user_id")),
+      s"key column lost:\n${readSchemas.mkString("\n")}")
+    assert(narrow.count() > 0)
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val ord = Tables(spark, sf("0.01"), "orders")
     val cmp = ord.groupBy($"o_orderstatus")
