@@ -54,5 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // column pruning through the custom as-of node (a pruning
     // barrier to the stock ColumnPruning rule otherwise)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
+    // SQL surface for the native as-of join:
+    //   l LEFT JOIN r ON asof_on(l.key = r.key, l.ts, r.ts)
+    ext.injectFunction((FunctionIdentifier("asof_on"),
+      info("asof_on",
+        "asof_on(lk = rk, lts, rts) - as-of join marker (join ON only)"),
+      (es: Seq[Expression]) => graft.plans.AsOfOnMarker(es.head, es(1), es(2))))
+    ext.injectResolutionRule(_ => graft.plans.RewriteSqlAsOfJoin)
   }
 }

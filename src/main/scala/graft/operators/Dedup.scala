@@ -135,6 +135,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: per training doc, how many of its
+    * distinct word n-grams also occur in a held-out benchmark set
+    * (the GPT-3/Gopher-style overlap filter run before every training
+    * job, so eval examples leaked into the crawl don't inflate
+    * scores; a doc is then dropped or split at a fraction threshold).
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than
+    * the corpus, so its distinct shingle set is BROADCAST and the
+    * 100 TB train side matches map-side — the corpus itself is never
+    * shuffled, only the per-doc hit counts (≤ one row per
+    * contaminated doc) move. Shingles are xxhash64-narrowed to
+    * 8-byte keys like [[jaccardShinglePairs]]. Returns one row per
+    * CONTAMINATED doc: (id, n_contaminated, n_grams,
+    * contaminated_frac).
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def hashedSets(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        transform(array_distinct(wordShingles(col(textCol), n)),
+          s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val benchSh = hashedSets(bench)
+      .select(explode(col("hs")).as("h")).distinct()
+    hashedSets(train)
+      .select(col("id"), size(col("hs")).cast("long").as("n_grams"),
+        explode(col("hs")).as("h"))
+      .join(broadcast(benchSh), "h")
+      .groupBy(col("id"))
+      // n_grams is constant per id; min() rides it through the agg
+      // without a second join against the per-doc counts
+      .agg(count(lit(1)).as("n_contaminated"),
+        min(col("n_grams")).as("n_grams"))
+      .select(col("id"), col("n_contaminated"), col("n_grams"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4)
+          .as("contaminated_frac"))
+  }
+
   /** MinHash + LSH candidate pairs: band the k-slot signature into
     * `bands` buckets of k/bands rows each and join docs that share
     * any (band, bandHash) bucket.

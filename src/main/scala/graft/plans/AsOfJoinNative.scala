@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -89,6 +89,91 @@ object PruneAsOfJoinColumns
           left = if (lNeeded.size < l.output.size) Project(lNeeded, l) else l,
           right = if (rNeeded.size < r.output.size) Project(rNeeded, r) else r))
       else p
+  }
+}
+
+/** SQL-surface marker for the as-of join: `l LEFT JOIN r ON
+  * asof_on(l.key = r.key, l.ts, r.ts)`. The predicate itself is
+  * never evaluated — [[RewriteSqlAsOfJoin]] replaces the whole Join
+  * before any execution path could see it — so it is Unevaluable; if
+  * a plan somehow retains one (e.g. `asof_on` used outside a join
+  * condition), Spark fails loudly at planning rather than silently
+  * mis-joining.
+  */
+case class AsOfOnMarker(eq: Expression, leftTs: Expression,
+    rightTs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Expression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(eq, leftTs, rightTs)
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AsOfOnMarker =
+    copy(eq = newChildren(0), leftTs = newChildren(1),
+      rightTs = newChildren(2))
+}
+
+/** Rewrites `Join(l, r, LeftOuter, asof_on(eq, lts, rts))` into
+  * [[AsOfJoinPlan]] — the pure-SQL doorway to the native operator.
+  *
+  * The one impedance mismatch vs a stock join: SQL join output is
+  * `l.* ++ r.*`, while the merge drops the right key/ts (the left
+  * side carries them). The rewrite therefore duplicates the right
+  * key/ts into payload columns under fresh ids and restores the
+  * original attribute ids above the node with aliases, so every
+  * downstream reference — SELECT list, ORDER BY, further joins —
+  * resolves unchanged.
+  *
+  * Registered twice, covering both session styles (the rule is a
+  * no-op where the other already ran): `injectResolutionRule` for
+  * `spark.sql.extensions=graft.GraftExtensions` sessions (fires
+  * during analysis), and `spark.experimental.extraOptimizations` via
+  * [[AsOfJoinNative.enableSql]] for plain sessions (fires at the end
+  * of optimization; Catalyst's own join rules leave the marker
+  * untouched because it is neither equi-join-extractable nor
+  * pushable, both sides referenced).
+  */
+object RewriteSqlAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.LeftOuter
+  import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(l, r, LeftOuter, Some(m: AsOfOnMarker), _)
+        if j.resolved =>
+      def fromSides(a: Expression, b: Expression, what: String)
+          : (Attribute, Attribute) = (a, b) match {
+        case (x: Attribute, y: Attribute)
+            if l.outputSet.contains(x) && r.outputSet.contains(y) => (x, y)
+        case (x: Attribute, y: Attribute)
+            if l.outputSet.contains(y) && r.outputSet.contains(x) => (y, x)
+        case _ => throw new IllegalArgumentException(
+          s"asof_on: $what must be one plain column from each side, got ($a, $b)")
+      }
+      val (lk, rk) = m.eq match {
+        case EqualTo(a, b) => fromSides(a, b, "the key equality")
+        case other => throw new IllegalArgumentException(
+          s"asof_on: first argument must be left.key = right.key, got $other")
+      }
+      val (lts, rts) = fromSides(m.leftTs, m.rightTs, "the timestamps")
+      // right key/ts survive as payload duplicates under fresh ids
+      val rkDup = Alias(rk, rk.name)()
+      val rtsDup = Alias(rts, rts.name)()
+      val rProj = Project(r.output ++ Seq(rkDup, rtsDup), r)
+      def out(p: LogicalPlan, id: org.apache.spark.sql.catalyst.expressions.ExprId) =
+        p.output.find(_.exprId == id).get
+      val aj = AsOfJoinPlan(l, rProj,
+        lk, out(rProj, rk.exprId), lts, out(rProj, rts.exprId))
+      val restored: Seq[NamedExpression] = j.output.map { a =>
+        if (a.exprId == rk.exprId)
+          Alias(out(aj, rkDup.exprId), a.name)(exprId = a.exprId)
+        else if (a.exprId == rts.exprId)
+          Alias(out(aj, rtsDup.exprId), a.name)(exprId = a.exprId)
+        else out(aj, a.exprId)
+      }
+      Project(restored, aj)
   }
 }
 
@@ -201,9 +286,7 @@ object AsOfJoinNative {
     * remaining columns as nullable payload. Registers the planner
     * strategy on the session if `spark.sql.extensions` didn't.
     */
-  def asOfMerge(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
-    val spark = left.sparkSession
+  private def ensureHooks(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -213,6 +296,29 @@ object AsOfJoinNative {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     }
+  }
+
+  /** Imperative enablement of the SQL surface on a session built
+    * WITHOUT `spark.sql.extensions`: registers the `asof_on` marker
+    * function and the join rewrite (as a user-provided optimizer
+    * rule — the latest extension point a plain session exposes).
+    * Extension-built sessions get both from [[graft.GraftExtensions]]
+    * instead, where the rewrite runs at resolution time.
+    */
+  def enableSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ensureHooks(spark)
+    ColumnBridge.registerFunction(spark, "asof_on",
+      es => AsOfOnMarker(es(0), es(1), es(2)))
+    if (!spark.experimental.extraOptimizations.contains(RewriteSqlAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        RewriteSqlAsOfJoin +: spark.experimental.extraOptimizations
+    }
+  }
+
+  def asOfMerge(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureHooks(spark)
     val lPlan = left.queryExecution.analyzed
     // self-join hygiene: if the right side shares attribute ids with
     // the left (both derived from the same scan), re-alias it so the

@@ -56,6 +56,27 @@ object JoinExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // The same as-of semantics a third way: PURE SQL through the
+    // asof_on marker + join rewrite (AsOfJoinNative.enableSql) — the
+    // surface a spark-sql / JDBC user gets. Shares the composition
+    // query's oracle; all three implementations must agree.
+    "q_asof_join_sql" -> { (s, dir) =>
+      graft.plans.AsOfJoinNative.enableSql(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_asof_events")
+      s.sql("""
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM graft_asof_events
+          WHERE event_type = 'purchase'),
+        e AS (
+          SELECT user_id, ts AS err_ts, event_id AS err_id
+          FROM graft_asof_events WHERE event_type = 'error')
+        SELECT p.event_id, p.user_id, unix_millis(p.ts) AS time_ms,
+               e.err_id, unix_millis(e.err_ts) AS err_ms
+        FROM p LEFT JOIN e
+          ON asof_on(p.user_id = e.user_id, p.ts, e.err_ts)
+        ORDER BY p.event_id""")
+    },
+
     // Range join against a tiny literal tier table: broadcast
     // nested-loop on the band predicate — the correct shape when one
     // side is a handful of bands (never shuffle the fact side).
@@ -204,6 +225,20 @@ object JoinExtQueries {
 
     // native (c)-tier operator: identical semantics, same oracle
     "q_asof_join_native" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         e AS (
+           SELECT user_id, ts, event_id AS err_id FROM events
+           WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS time_ms,
+           e.err_id, epoch_ms(e.ts) AS err_ms
+         FROM p ASOF LEFT JOIN e
+           ON p.user_id = e.user_id AND p.ts >= e.ts
+         ORDER BY p.event_id""",
+
+    // SQL-surface marker path: identical semantics, same oracle
+    "q_asof_join_sql" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),

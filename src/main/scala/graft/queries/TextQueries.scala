@@ -224,6 +224,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Benchmark decontamination: docs sharing any 3-gram with the
+    // held-out benchmark slice (doc_id ≡ 0 mod 11), reported with
+    // overlap fractions. The benchmark shingle set broadcasts; the
+    // training corpus never shuffles.
+    "q_text_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.ngramContamination(
+          d.filter(col("doc_id") % 11 =!= 0),
+          d.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Exact 3-gram Jaccard near-dup pairs (inverted-index join).
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
@@ -504,6 +518,28 @@ object TextQueries {
            SELECT doc_id + 100000 AS doc_id, text FROM documents
            WHERE doc_id < 20)
          SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+         ORDER BY doc_id""",
+
+    "q_text_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 11 = 0),
+         train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 11 <> 0),
+         cnt AS (SELECT doc_id, count(*) AS n_grams FROM train
+                 GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS n_contaminated
+           FROM train JOIN bench USING (sh) GROUP BY doc_id)
+         SELECT doc_id, n_contaminated, n_grams,
+           round(CAST(n_contaminated AS DOUBLE) / n_grams, 4)
+             AS contaminated_frac
+         FROM hits JOIN cnt USING (doc_id)
          ORDER BY doc_id""",
 
     "q_dedup_ngram_jaccard" ->

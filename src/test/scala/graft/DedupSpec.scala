@@ -145,4 +145,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(p2 == d2)
   }
+
+  test("ngramContamination: planted leak fully flagged, bench side broadcast") {
+    // train doc 9001 IS bench doc 1's text (a full eval-set leak),
+    // 9002 is novel text sharing no 3-gram with the bench side
+    val bench = docs.filter($"doc_id" < 10).select($"doc_id", $"text")
+    val train = bench.select(($"doc_id" + 9000).as("doc_id"), $"text")
+      .where($"doc_id" === 9001)
+      .unionByName(Seq((9002L,
+        "zq wv xk jm pq rr tt uu vv ww")).toDF("doc_id", "text"))
+    val res = Dedup.ngramContamination(train, bench, "doc_id", "text", 3)
+    assert(res.columns.toSeq ==
+      Seq("id", "n_contaminated", "n_grams", "contaminated_frac"))
+    val full = res.filter($"id" === 9001)
+      .select($"contaminated_frac").as[Double].collect()
+    assert(full.sameElements(Array(1.0)), s"leaked doc not fully flagged")
+    assert(res.filter($"id" === 9002).isEmpty,
+      "clean doc must not appear in the contaminated set")
+    // scale shape: the bench shingle set must broadcast — the train
+    // corpus side never shuffles for the match
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side should broadcast:\n$plan")
+  }
 }

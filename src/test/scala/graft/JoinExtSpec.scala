@@ -114,6 +114,29 @@ class JoinExtSpec extends SparkSpec {
     assert(narrow.count() > 0)
   }
 
+  test("SQL asof_on (plain session, optimizer-phase rewrite) == API merge") {
+    graft.plans.AsOfJoinNative.enableSql(spark)
+    val ev = Tables(spark, sf("0.01"), "events")
+    ev.createOrReplaceTempView("jx_asof_events")
+    val viaSql = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM jx_asof_events
+                 WHERE event_type = 'purchase'),
+        e AS (SELECT user_id, ts AS err_ts, event_id AS err_id
+              FROM jx_asof_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id FROM p LEFT JOIN e
+        ON asof_on(p.user_id = e.user_id, p.ts, e.err_ts)""")
+    assert(viaSql.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val viaApi = graft.plans.AsOfJoinNative
+      .asOfMerge(purchases, errors, "user_id", "ts")
+      .select($"event_id", $"err_id")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val ord = Tables(spark, sf("0.01"), "orders")
     val cmp = ord.groupBy($"o_orderstatus")

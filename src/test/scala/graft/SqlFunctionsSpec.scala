@@ -62,6 +62,22 @@ class SqlFunctionsSpec extends SparkSpec {
       assert(row.getLong(1) != 0L)
       assert(row.getSeq[Long](2).size == 4)
       assert(row.getSeq[String](3) == Seq("a b c", "b c d"))
+      // asof_on marker: the injected RESOLUTION rule (analysis-time
+      // path, vs the extraOptimizations path JoinExtSpec covers)
+      // rewrites the LEFT JOIN into the native merge
+      val asof = s2.sql("""
+        WITH l AS (SELECT * FROM VALUES
+            (1, 10L, 'x1'), (1, 20L, 'x2'), (2, 5L, 'y') AS l(k, ts, lv)),
+          r AS (SELECT * FROM VALUES
+            (1, 8L, 'a'), (1, 15L, 'b'), (2, 9L, 'c') AS r(k, ts, rv))
+        SELECT l.k, l.ts, r.rv FROM l LEFT JOIN r
+          ON asof_on(l.k = r.k, l.ts, r.ts)
+        ORDER BY l.k, l.ts""")
+      assert(asof.queryExecution.executedPlan.toString
+        .contains("AsOfMergeJoin"))
+      assert(asof.collect().map(x =>
+          (x.getInt(0), x.getLong(1), x.getString(2))).toSeq ==
+        Seq((1, 10L, "a"), (1, 20L, "b"), (2, 5L, null)))
     } finally {
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
