@@ -173,11 +173,13 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
-  /** MinHash + LSH candidate pairs: band the k-slot signature into
-    * `bands` buckets of k/bands rows each and join docs that share
-    * any (band, bandHash) bucket.
+  /** LSH band-key rows for a corpus: `(id, band, band_key)` — bands
+    * slices of the k-slot minhash signature. This IS the persistable
+    * dedup index: write it (bucketed by band_key) once per corpus
+    * snapshot and every future batch matches against it without
+    * re-sketching the corpus ([[minhashLshIncremental]]).
     */
-  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+  def lshBandKeys(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be a multiple of bands")
     val r = k / bands
@@ -192,11 +194,20 @@ object Dedup {
     // DuckDB oracle — reproduces exactly. Persist the (bands rows per
     // doc) band table: both sides of the self-join would otherwise
     // recompute shingling+signatures.
-    val bandKeys = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => slice(col("sig"), j * lit(r) + lit(1), lit(r))))
         .as(Seq("band", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** MinHash + LSH candidate pairs: band the k-slot signature into
+    * `bands` buckets of k/bands rows each and join docs that share
+    * any (band, bandHash) bucket.
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
+    val bandKeys = lshBandKeys(docs, idCol, textCol, n, k, bands)
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") &&
@@ -218,6 +229,40 @@ object Dedup {
       .join(sets.as("sa"), col("id_a") === col("sa.id"))
       .join(sets.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
+          size(array_union(col("sa.shs"), col("sb.shs")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup: a NEW batch of docs matched against an
+    * already-indexed corpus — the production dedup path at 100 TB,
+    * where re-pairing the whole corpus per ingest
+    * ([[minhashLshPairs]]) would re-shuffle petabytes daily. Band
+    * keys of the batch join the corpus's band-key index
+    * ([[lshBandKeys]] — in production read back from its stored,
+    * band_key-bucketed snapshot, so the index side doesn't shuffle
+    * either); survivors verify with exact Jaccard. Shuffle volume is
+    * O(batch) + O(candidates), independent of corpus size. Returns
+    * `(new_id, corpus_id, jaccard)`, jaccard ≥ threshold.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = lshBandKeys(corpus, idCol, textCol, n, k, bands)
+    val batch = lshBandKeys(newDocs, idCol, textCol, n, k, bands)
+    val cand = batch.as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val newSets = shingleSets(newDocs, idCol, textCol, n)
+    val corpusSets = shingleSets(corpus, idCol, textCol, n)
+    cand
+      .join(newSets.as("sa"), col("new_id") === col("sa.id"))
+      .join(corpusSets.as("sb"), col("corpus_id") === col("sb.id"))
+      .select(col("new_id"), col("corpus_id"),
         (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
           size(array_union(col("sa.shs"), col("sb.shs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

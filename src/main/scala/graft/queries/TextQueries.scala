@@ -303,6 +303,21 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental dedup — the production ingest path: a new batch
+    // (doc_id ≡ 4 mod 5) matched against the indexed rest of the
+    // corpus via band-key lookup + exact verify. Shuffle is O(batch),
+    // not O(corpus); same md5-portable sketches ⇒ exact oracle.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.minhashLshIncremental(
+          d.filter(col("doc_id") % 5 === 4),
+          d.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", n = 3, k = 128, bands = 32, threshold = 0.5)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+
     // SimHash near-dups — portable 60-bit sketch, exact DuckDB oracle.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
@@ -730,6 +745,55 @@ object TextQueries {
          WHERE CAST(cm.common AS DOUBLE)
                / (ca.n_sh + cb.n_sh - cm.common) >= 0.5
          ORDER BY c.id_a, c.id_b""",
+
+    // Incremental LSH: same signature/banding replay, candidate join
+    // restricted to batch-side × corpus-side.
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         hs AS (
+           SELECT doc_id,
+             ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483647 AS h
+           FROM sh),
+         sigm AS (
+           SELECT doc_id, j,
+             min((((j * 2654435761) % 2147483646 + 1) * h
+                  + ((j * 40503) % 2147483647)) % 2147483647) AS m
+           FROM hs CROSS JOIN range(128) r(j) GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id, list(m ORDER BY j) AS sig FROM sigm
+           GROUP BY doc_id),
+         bandk AS (
+           SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
+           FROM sig CROSS JOIN range(32) r(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+           FROM bandk a JOIN bandk b
+             ON a.b = b.b AND a.key = b.key
+            AND a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         com AS (
+           SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh
+             AND a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+           GROUP BY 1, 2)
+         SELECT c.new_id, c.corpus_id,
+           round(CAST(cm.common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - cm.common), 4) AS jaccard
+         FROM cand c
+         JOIN com cm ON c.new_id = cm.new_id AND c.corpus_id = cm.corpus_id
+         JOIN cnt ca ON c.new_id = ca.doc_id
+         JOIN cnt cb ON c.corpus_id = cb.doc_id
+         WHERE CAST(cm.common AS DOUBLE)
+               / (ca.n_sh + cb.n_sh - cm.common) >= 0.5
+         ORDER BY c.new_id, c.corpus_id""",
 
     // Exact oracle for the SimHash pairs: 60-bit portable sketch
     // (see graft.plans.SimHash64Expr), 8x8-bit chunk banding, exact

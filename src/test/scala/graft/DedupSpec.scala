@@ -146,6 +146,26 @@ class DedupSpec extends SparkSpec {
     assert(p2 == d2)
   }
 
+  test("minhashLshIncremental == full-corpus LSH restricted to cross-side") {
+    // batch-vs-index must find exactly the pairs the full self-join
+    // finds between the two sides — banding and verification are the
+    // same math, only the join shape changes
+    val inc = Dedup.minhashLshIncremental(
+        docs.filter($"doc_id" % 5 === 4), docs.filter($"doc_id" % 5 =!= 4),
+        "doc_id", "text", n = 3, k = 128, bands = 32, threshold = 0.5)
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val cross = full.collect {
+      case (a, b) if a % 5 == 4 && b % 5 != 4 => (a, b)
+      case (a, b) if b % 5 == 4 && a % 5 != 4 => (b, a)
+    }
+    assert(inc.nonEmpty, "expected planted near-dups across the split")
+    assert(inc == cross,
+      s"missed: ${cross -- inc}; spurious: ${inc -- cross}")
+  }
+
   test("ngramContamination: planted leak fully flagged, bench side broadcast") {
     // train doc 9001 IS bench doc 1's text (a full eval-set leak),
     // 9002 is novel text sharing no 3-gram with the bench side
