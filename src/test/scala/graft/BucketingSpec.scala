@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 
 /** Co-located joins via bucketing: both sides bucketed by the join
   * key join WITHOUT a shuffle — the repeated-fact-join strategy at
@@ -43,6 +44,68 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("stored LSH index: ingest matches with zero corpus-side shuffle, flat in corpus size") {
+    // The storage half of Dedup.minhashLshIncremental's 100 TB claim:
+    // the corpus's band-key index, written ONCE bucketed by a 64-bit
+    // key of (band, band_key), is matched by each new batch with no
+    // exchange on the index side — only the (small) batch shuffles.
+    // Measured: the ingest's shuffle volume must not grow when the
+    // indexed corpus grows 10×.
+    // the stored form narrows (band, band_key) to one 64-bit key:
+    // candidate generation tolerates the ~2^-64 cross-bucket
+    // collision rate (exact-Jaccard verification follows), and an
+    // 8-byte key beats a 4-slot array in storage and shuffle width
+    def bandRows(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBandKeys(docs, "doc_id", "text", 3, 128, 32)
+        .select(col("id"), xxhash64(col("band"), col("band_key")).as("bk"))
+    def disjoint(copies: Int) = {
+      val base = Tables(spark, sf("0.01"), "documents")
+        .select(col("doc_id"), col("text"))
+      (0 until copies).map { c =>
+        base.select((col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          concat(lit(s"${c}y"),
+            regexp_replace(col("text"), " ", s" ${c}y")).as("text"))
+      }.reduce(_ union _)
+    }
+    // batch vocabulary is disjoint from every salted corpus copy, so
+    // candidates ≈ 0 and the measurement isolates the ingest shuffle
+    val batch = bandRows(Tables(spark, sf("0.01"), "documents"))
+      .withColumnRenamed("id", "b_id")
+    def candidates(table: String) =
+      spark.table(table).join(batch, "bk")
+        .select(col("b_id").as("new_id"), col("id").as("corpus_id"))
+        .distinct()
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(1 -> "d_lsh_idx1", 10 -> "d_lsh_idx10").foreach { case (c, t) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        bandRows(disjoint(c)).write.mode("overwrite")
+          .bucketBy(8, "bk").sortBy("bk").saveAsTable(t)
+      }
+      val plan = withoutAqe {
+        candidates("d_lsh_idx10").queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("Bucketed: true"), plan)
+      // exactly one hash exchange feeding the join: the batch side;
+      // the bucketed index satisfies the distribution from storage
+      val joinExchanges = "Exchange hashpartitioning\\(bk".r
+        .findAllIn(plan).size
+      assert(joinExchanges == 1,
+        s"expected only the batch side to shuffle on bk:\n$plan")
+      val small = shuffledRecords { candidates("d_lsh_idx1").count() }
+      val big = shuffledRecords { candidates("d_lsh_idx10").count() }
+      info(f"ingest shuffle: $small rows vs 1× corpus, $big vs 10×")
+      assert(big <= small * 1.5 + 100,
+        s"ingest shuffle grew with corpus size: $small → $big")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS d_lsh_idx1")
+      spark.sql("DROP TABLE IF EXISTS d_lsh_idx10")
     }
   }
 }
