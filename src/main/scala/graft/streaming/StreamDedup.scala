@@ -65,4 +65,49 @@ object StreamDedup {
           size(array_union(col("a_shs"), col("b_shs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Streaming ingest against a STATIC indexed corpus — the
+    * streaming form of
+    * [[graft.operators.Dedup.minhashLshIncremental]]: each arriving
+    * doc is banded (same portable sketch pipeline) and matched
+    * against the corpus's band-key index, then exact-verified against
+    * the corpus shingle sets. Stream–static joins are STATELESS — no
+    * watermark, no join state, nothing grows with uptime; the static
+    * side is persisted once and reused across micro-batches (in
+    * production: the stored, bucketed index snapshot, refreshed by
+    * re-starting the query on a new snapshot). Emits one row per
+    * colliding band like [[lshCandidates]]; consumers dedup
+    * downstream.
+    */
+  def lshCandidatesVsIndex(docs: Dataset[DocEvent], corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 128,
+      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val r = k / bands
+    val idx = graft.operators.Dedup
+      .lshBandKeys(corpus, idCol, textCol, n, k, bands)
+      .select(col("id").as("corpus_id"), col("band").as("c_band"),
+        col("band_key").as("c_key"))
+    val corpusSets = graft.operators.Dedup
+      .shingleSets(corpus, idCol, textCol, n)
+      .select(col("id").as("corpus_id"), col("shs").as("c_shs"))
+    val streamBands = docs.toDF()
+      .withColumn("shs",
+        array_distinct(Sketches.wordShingles(col("text"), n)))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sig", Sketches.minhashSignature(col("shs"), k))
+      .select(col("doc_id").as("new_id"), col("shs"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => slice(col("sig"), j * lit(r) + lit(1), lit(r))))
+          .as(Seq("band", "band_key")))
+    streamBands
+      .join(idx, col("band") === col("c_band") &&
+        col("band_key") === col("c_key") &&
+        col("new_id") =!= col("corpus_id"))
+      .join(corpusSets, "corpus_id")
+      .select(col("new_id"), col("corpus_id"), col("band"),
+        (size(array_intersect(col("shs"), col("c_shs"))).cast("double") /
+          size(array_union(col("shs"), col("c_shs")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -358,6 +358,45 @@ class StreamingSpec extends SparkSpec {
       s"stream candidates $streamed != batch $batch")
   }
 
+  test("streaming LSH vs static index == batch incremental, stateless plan") {
+    import graft.streaming.{DocEvent, StreamDedup}
+    // static corpus = real docs; the stream delivers one genuine
+    // near-dup of a corpus doc (its exact text under a new id), one
+    // clone of another, and one unrelated doc
+    val corpus = Tables(spark, sf("0.01"), "documents")
+      .select($"doc_id", $"text").limit(300).cache()
+    val picks = corpus.orderBy($"doc_id").limit(2)
+      .as[(Long, String)].collect()
+    val stream = Seq(
+      DocEvent(900001L, ts(0), picks(0)._2),
+      DocEvent(900002L, ts(5), picks(1)._2 + " extra"),
+      DocEvent(900003L, ts(6),
+        "wholly novel words never appearing in any corpus document xyz"))
+    val input = MemoryStream[DocEvent]
+    val ds = StreamDedup.lshCandidatesVsIndex(input.toDS(), corpus,
+      "doc_id", "text")
+    val q = ds.writeStream.format("memory").queryName("t_lsh_idx")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(stream: _*)
+      q.processAllAvailable()
+      spark.table("t_lsh_idx").select($"new_id", $"corpus_id")
+        .as[(Long, Long)].collect().toSet
+    } finally q.stop()
+    val batch = graft.operators.Dedup.minhashLshIncremental(
+        stream.toDF("doc_id", "ts", "text"), corpus, "doc_id", "text")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(batch.exists(_._1 == 900001L),
+      "the exact-copy stream doc must match its corpus original")
+    assert(streamed == batch,
+      s"stream-vs-index $streamed != batch incremental $batch")
+    // stream-static joins keep NO state: nothing in the progress
+    // metrics reports stateful operators
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      s"expected a stateless plan: ${q.lastProgress}")
+  }
+
   test("streaming LSH: docs beyond the horizon never pair") {
     import graft.streaming.{DocEvent, StreamDedup}
     val text = "the quick brown fox jumps over the lazy dog every single day"
