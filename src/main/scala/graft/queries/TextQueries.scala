@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
@@ -221,6 +222,85 @@ object TextQueries {
     // Exact dedup, keep-first: surviving ids after dropping copies.
     "q_dedup_keep_first" -> { (s, dir) =>
       Dedup.dropExact(docsWithDups(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // BM25 retrieval: top-10 docs per keyword query — the sparse
+    // complement to the dense ANN operators (every data pipeline
+    // needs "find the docs about X" next to "find similar docs").
+    // Okapi BM25, k1 = 1.2, b = 0.75. Plan: tf/dl/df are one
+    // aggregation pass each over the exploded token stream; the
+    // query-term list and corpus-level stats broadcast; scoring is
+    // map-side; only the per-(query, doc) sum and the top-k window
+    // shuffle, and WindowGroupLimit prunes the rank filter map-side.
+    // Determinism: idf's ln() quantizes to DECIMAL(18,6) (ln is not
+    // bit-portable), per-term contributions quantize likewise and
+    // sum as exact decimals, so ranking compares identical numbers
+    // in both engines.
+    "q_text_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val qterms = Seq((1, "spark"), (1, "hash"), (1, "join"),
+        (2, "window"), (2, "agg"), (2, "query"),
+        (3, "fast"), (3, "scan"), (3, "filter")).toDF("query_id", "term")
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val gl = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = log(((col("n_docs") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0)
+        .cast("decimal(18,6)").cast("double")
+      val tfPart = (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qterms), col("tok") === col("term"))
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(gl))
+        .select(col("query_id"), col("doc_id"),
+          (idf * tfPart).cast("decimal(18,6)").as("contrib"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score").cast("double"), 4).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Perplexity filtering (the CCNet/Wenzek-et-al curation step): a
+    // bigram LM is built from the corpus itself (c(a,b)/c(a,·) — no
+    // smoothing needed: every observed bigram has nonzero counts) and
+    // each doc is scored by its mean negative log-prob. Production
+    // would broadcast a fixed external LM; the self-trained variant
+    // exercises the same plan (LM build = two shuffles, scoring = one
+    // co-shuffled join on the bigram key). Determinism: ln() is not
+    // bit-identical across engines, so per-instance log-probs are
+    // quantized to DECIMAL(18,6) — identical in both engines, and
+    // the decimal sum is order-independent (a double sum would not
+    // be), then the mean rounds to 4 decimals.
+    "q_text_perplexity" -> { (s, dir) =>
+      val bi = docs(s, dir).select(col("doc_id"),
+        explode(wordShingles(col("text"), 2)).as("bg"))
+      val cab = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      val ca = bi.select(split(col("bg"), " ").getItem(0).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      bi.join(cab, "bg")
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .join(ca, "a")
+        .select(col("doc_id"),
+          log(col("c_ab").cast("double") / col("c_a"))
+            .cast("decimal(18,6)").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round((-col("slp") / col("n_bigrams")).cast("double"), 4)
+            .as("cross_entropy"))
         .orderBy(col("doc_id"))
     },
 
@@ -534,6 +614,71 @@ object TextQueries {
            WHERE doc_id < 20)
          SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
          ORDER BY doc_id""",
+
+    "q_text_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'hash'), (1, 'join'),
+           (2, 'window'), (2, 'agg'), (2, 'query'),
+           (3, 'fast'), (3, 'scan'), (3, 'filter')),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         gl AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         contrib AS (
+           SELECT q.query_id, tf.doc_id,
+             CAST(CAST(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                  AS DECIMAL(18,6)) AS DOUBLE)
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE)
+                   + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+               AS raw
+           FROM tf
+           JOIN q ON tf.tok = q.term
+           JOIN dfreq USING (tok)
+           JOIN dl USING (doc_id)
+           CROSS JOIN gl),
+         sc AS (
+           SELECT query_id, doc_id,
+             sum(CAST(raw AS DECIMAL(18,6))) AS score
+           FROM contrib GROUP BY 1, 2),
+         rk AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+           FROM sc QUALIFY rank <= 10)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+           round(CAST(score AS DOUBLE), 4) AS score
+         FROM rk ORDER BY query_id, rank""",
+
+    "q_text_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  for i in range(1, len(t))]) AS bg
+           FROM toks),
+         cab AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY bg),
+         ca AS (
+           SELECT string_split(bg, ' ')[1] AS a, count(*) AS c_a
+           FROM bi GROUP BY 1),
+         lp AS (
+           SELECT doc_id,
+             CAST(ln(CAST(c_ab AS DOUBLE) / c_a) AS DECIMAL(18,6)) AS lp
+           FROM bi
+           JOIN cab USING (bg)
+           JOIN ca ON string_split(bg, ' ')[1] = ca.a)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(-sum(lp) / count(*) AS DOUBLE), 4) AS cross_entropy
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
 
     "q_text_decontaminate" ->
       """WITH toks AS (
