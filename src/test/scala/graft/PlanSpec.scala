@@ -122,6 +122,30 @@ class PlanSpec extends SparkSpec {
       s"IVF probe list must broadcast:\n$ivf")
   }
 
+  test("q_text_bm25: stats/query-terms broadcast, top-k pruned map-side") {
+    val p = withoutAqe { plan("q_text_bm25") }
+    // the query-term list and the one-row corpus stats must both
+    // broadcast — scoring is map-side over the tf stream
+    assert(p.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin") >= 1 &&
+      p.contains("BroadcastNestedLoopJoin") || // one-row gl crossJoin
+      p.sliding("Broadcast".length).count(_ == "Broadcast") >= 2,
+      s"expected broadcast query terms + stats:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=10 must prune map-side:\n$p")
+  }
+
+  test("q_text_perplexity / q_text_decontaminate: no cartesian fan-out") {
+    Seq("q_text_perplexity", "q_text_decontaminate").foreach { q =>
+      val p = withoutAqe { plan(q) }
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+    // decontamination additionally must broadcast the bench side
+    val p = withoutAqe { plan("q_text_decontaminate") }
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench shingles should broadcast:\n$p")
+  }
+
   test("q_dedup_jaccard_pruned: plan build runs no extra driver job") {
     // the df-pruning threshold must be derived IN-PLAN (one-row
     // aggregate broadcast), not by a driver-side count() at query
