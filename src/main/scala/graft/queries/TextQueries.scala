@@ -383,6 +383,32 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Span-level duplication (the Lee-et-al exact-substring signal,
+    // at fixed span length): per doc, how many of its 10-token spans
+    // also occur verbatim in ANOTHER doc — the boilerplate/template
+    // detector that doc-level near-dup misses. Spans are
+    // xxhash64-narrowed instances; a span is "shared" when its
+    // distinct-doc count ≥ 2. Same inverted-index shape (and the
+    // same df-bounded scale envelope) as the Jaccard family.
+    "q_dedup_substring_spans" -> { (s, dir) =>
+      val sp = docs(s, dir)
+        .select(col("doc_id"),
+          explode(wordShingles(col("text"), 10)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = sp.distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+      val nsp = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      sp.join(shared, "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+        .join(nsp, "doc_id")
+        .select(col("doc_id"), col("n_dup_spans"), col("n_spans"),
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 4)
+            .as("dup_span_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental dedup — the production ingest path: a new batch
     // (doc_id ≡ 4 mod 5) matched against the indexed rest of the
     // corpus via band-key lookup + exact verify. Shuffle is O(batch),
@@ -412,6 +438,20 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)
+    },
+
+    // Semantic dedup clusters (SemDeDup-style): embedding-cosine
+    // pairs above threshold collapse into groups via the same
+    // connected-components step as the text pipelines. The threshold
+    // compare is on the RAW double cosine — safe cross-engine because
+    // CosineSimExpr and the oracle use identical left-to-right double
+    // accumulation (bit-equal sums, not just close).
+    "q_dedup_clusters_embed" -> { (s, dir) =>
+      val pairs = Dedup.embeddingPairsCosine(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .filter(col("cos") >= 0.35)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
     },
   )
 
@@ -891,6 +931,28 @@ object TextQueries {
                / (ca.n_sh + cb.n_sh - cm.common) >= 0.5
          ORDER BY c.id_a, c.id_b""",
 
+    "q_dedup_substring_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sp AS (
+           SELECT doc_id,
+             unnest([array_to_string(t[i:i+9], ' ')
+                     for i in range(1, len(t) - 8)]) AS g
+           FROM toks),
+         shared AS (
+           SELECT g FROM (SELECT DISTINCT doc_id, g FROM sp)
+           GROUP BY g HAVING count(*) >= 2),
+         nsp AS (SELECT doc_id, count(*) AS n_spans FROM sp
+                 GROUP BY doc_id),
+         dup AS (
+           SELECT doc_id, count(*) AS n_dup_spans
+           FROM sp JOIN shared USING (g) GROUP BY doc_id)
+         SELECT doc_id, n_dup_spans, n_spans,
+           round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4)
+             AS dup_span_frac
+         FROM dup JOIN nsp USING (doc_id)
+         ORDER BY doc_id""",
+
     // Incremental LSH: same signature/banding replay, candidate join
     // restricted to batch-side × corpus-side.
     "q_dedup_incremental" ->
@@ -994,5 +1056,30 @@ object TextQueries {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
+
+    // the same raw-double cosine threshold feeding the recursive-CTE
+    // transitive closure
+    "q_dedup_clusters_embed" ->
+      """WITH RECURSIVE pairs0 AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                           for i in range(1, len(a.embedding) + 1)]) /
+                 sqrt(
+                   list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                             for i in range(1, len(a.embedding) + 1)]) *
+                   list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                             for i in range(1, len(b.embedding) + 1)]))
+                 >= 0.35),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs0
+           UNION SELECT id_b, id_a FROM pairs0),
+         reach(a, b) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS id, min(b) AS cluster_id FROM reach
+         GROUP BY a ORDER BY id""",
   )
 }
