@@ -174,4 +174,64 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("substring spans: verbatim copies score frac 1.0, unique docs absent") {
+    // a doc duplicated verbatim shares EVERY 10-token span with its
+    // copy; a doc with a globally unique vocabulary shares none
+    val d = Tables(spark, sf(), "documents").select($"doc_id", $"text")
+      .filter(length($"text") > 200).limit(5)
+    val uniq = Seq((777000L,
+      (1 to 40).map(i => s"uniqtok$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = d
+      .unionByName(d.select(($"doc_id" + 500000).as("doc_id"), $"text"))
+      .unionByName(uniq)
+    // the q_dedup_substring_spans pipeline, on the constructed corpus
+    val sp = corpus.select($"doc_id",
+        explode(graft.functions.TextFunctions
+          .wordShingles($"text", 10)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+    val shared = sp.distinct().groupBy($"h")
+      .agg(count(lit(1)).as("nd")).filter($"nd" >= 2)
+    val nsp = sp.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+    val res = sp.join(shared, "h").groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+      .join(nsp, "doc_id")
+      .select($"doc_id", ($"n_dup".cast("double") / $"n_spans").as("f"))
+    val fracs = res.as[(Long, Double)].collect().toMap
+    d.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(fracs.get(id).contains(1.0),
+        s"verbatim copy of $id must be fully flagged: ${fracs.get(id)}")
+      assert(fracs.get(id + 500000).contains(1.0))
+    }
+    assert(!fracs.contains(777000L),
+      "globally unique doc must not be flagged")
+  }
+
+  test("BM25: adding an unmatched query term never changes doc ranking") {
+    val d = Tables(spark, sf(), "documents")
+    def top(terms: Seq[String]): Seq[Long] = {
+      // inline BM25 (same math as q_text_bm25) over one query
+      val q = terms.map((1, _)).toDF("query_id", "term")
+      val toks = d.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val gl = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val avgdl = $"sum_dl".cast("double") / $"n_docs"
+      val idf = log((($"n_docs" - $"df").cast("double") + 0.5) /
+        ($"df".cast("double") + 0.5) + 1.0)
+      val part = ($"tf".cast("double") * 2.2) / ($"tf".cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)))
+      tf.join(broadcast(q), $"tok" === $"term")
+        .join(dfreq, "tok").join(dl, "doc_id").crossJoin(broadcast(gl))
+        .select($"doc_id", (idf * part).as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(10)
+        .select($"doc_id").as[Long].collect().toSeq
+    }
+    val base = top(Seq("spark", "join"))
+    val withGhost = top(Seq("spark", "join", "zzznotaword"))
+    assert(base.nonEmpty && base == withGhost,
+      s"unmatched term changed ranking: $base vs $withGhost")
+  }
 }
