@@ -76,4 +76,40 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(ivf > 0 && ivf < nQueries * (corpus - 1),
       s"IVF dedup shuffle reached the scored pair space: $ivf")
   }
+
+  test("decontamination shuffles hit counts, never the train n-gram stream") {
+    // the bench shingle set broadcasts; what crosses the wire is the
+    // per-contaminated-doc count aggregate (plus the bench distinct),
+    // NOT the train corpus's exploded n-gram instances
+    val d = Tables(spark, sf(), "documents")
+    val train = d.filter(col("doc_id") % 11 =!= 0)
+    val bench = d.filter(col("doc_id") % 11 === 0)
+    val trainGrams = train.select(explode(
+      graft.functions.TextFunctions.wordShingles(col("text"), 3))).count()
+    val rows = shuffledRecords(
+      Dedup.ngramContamination(train, bench, "doc_id", "text", 3).count())
+    info(s"decontamination shuffled $rows rows; train n-gram stream " +
+      s"is $trainGrams instances")
+    assert(rows > 0 && rows < trainGrams / 2,
+      s"train-side n-grams crossed the shuffle: $rows vs $trainGrams")
+  }
+
+  test("incremental dedup shuffle is bounded by band keys, not pair space") {
+    val d = Tables(spark, sf(), "documents")
+    val batch = d.filter(col("doc_id") % 5 === 4)
+    val corpus = d.filter(col("doc_id") % 5 =!= 4)
+    val (nb, nc) = (batch.count(), corpus.count())
+    val rows = shuffledRecords(
+      Dedup.minhashLshIncremental(batch, corpus, "doc_id", "text").count())
+    // in-query form co-shuffles both band-key sides (32 keys/doc) +
+    // candidates; must stay linear-ish in docs, never near the
+    // batch×corpus pair space (the stored-index form drops the
+    // corpus term entirely — BucketingSpec)
+    info(s"incremental shuffled $rows rows; batch=$nb corpus=$nc " +
+      s"pair space=${nb * nc}")
+    assert(rows > 0 && rows < nb * nc,
+      s"incremental dedup reached the pair space: $rows")
+    assert(rows < (nb + nc) * 40 + 1000,
+      s"incremental shuffle not linear in band keys: $rows")
+  }
 }
