@@ -114,9 +114,34 @@ object SourceQueries {
           col("l.emergency").cast("int").as("emergency"))
         .orderBy(col("entity_id"))
     },
+
+    // S2 one level deeper: the poll API's server-side aggregation
+    // (latestPositionOnly) as DSv2 AGGREGATE pushdown — each file
+    // partition hash-aggregates inside the reader and ships per-group
+    // partials (max/min/count); Spark's final aggregate merges. The
+    // raw rows never exist Spark-side. Composes with the pushed time
+    // filter.
+    "q_source_agg_pushdown" -> { (s, dir) =>
+      val path = graft.sources.TrackPointFixture.ensure(s, dir)
+      s.read.format("graft.sources.TrackPointSource")
+        .option("path", path).load()
+        .filter(col("ts") >= 1704844800000L) // 2024-01-10T00:00Z
+        .groupBy(col("entity_id"))
+        .agg(max(col("ts")).as("last_ms"),
+          min(col("event_id")).as("first_event"),
+          count(lit(1)).as("n"))
+        .orderBy(col("entity_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_agg_pushdown" ->
+      """SELECT user_id AS entity_id, max(epoch_ms(ts)) AS last_ms,
+         min(event_id) AS first_event, count(*) AS n
+         FROM events
+         WHERE epoch_ms(ts) >= 1704844800000
+         GROUP BY 1 ORDER BY entity_id""",
+
     // documents.text is ASCII → utf-8 bytes == characters.
     "q_multimodal_resize" ->
       """SELECT doc_id,

@@ -64,6 +64,10 @@ object TrackPointSource {
     case LessThanOrEqual(a, _: java.lang.Number) => numericCols(a)
     case LessThan(a, _: java.lang.Number) => numericCols(a)
     case EqualTo(a, _: java.lang.Number) => numericCols(a)
+    // constraint-inferred null guards must be accepted: a residual
+    // IsNotNull Filter between Aggregate and scan would block
+    // aggregate pushdown entirely
+    case IsNotNull(a) => schema.fieldNames.contains(a)
     case _ => false
   }
 }
@@ -78,11 +82,26 @@ class TrackPointTable(path: String) extends Table with SupportsRead {
     new TrackPointScanBuilder(path)
 }
 
+/** One aggregate accepted by the source: kind ∈ max|min|count, with
+  * `col` empty for count-all. The reference's poll API computing
+  * `latestPositionOnly` server-side IS this shape — the server
+  * returns per-key aggregates instead of raw rows.
+  */
+private[sources] case class PushedAgg(kind: String, col: String)
+
 class TrackPointScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.{Literal => VLiteral}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TrackPointSource.schema
+  private var aggGroups: Seq[String] = Nil
+  private var aggs: Seq[PushedAgg] = Nil
+  private var aggSchema: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(TrackPointSource.supported)
@@ -92,17 +111,66 @@ class TrackPointScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TrackPointScan(path, required, pushed)
+
+  /** Partial aggregate pushdown (`supportCompletePushDown` stays
+    * false): each file partition returns its LOCAL per-group
+    * max/min/count and Spark's final aggregate merges — max of
+    * maxes, sum of counts — exactly the partial/final split a
+    * shuffle-side aggregation would plan, except the raw rows never
+    * exist. Grouped aggregations only: a global aggregate would
+    * need empty partitions to emit seed rows to merge correctly.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def name(e: VExpr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(name)
+    if (groups.isEmpty || groups.exists(_.isEmpty)) return false
+    val specs: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+      case m: Max => name(m.column)
+        .filter(TrackPointSource.numericCols).map(PushedAgg("max", _))
+      case m: Min => name(m.column)
+        .filter(TrackPointSource.numericCols).map(PushedAgg("min", _))
+      case _: CountStar => Some(PushedAgg("count", ""))
+      case c: Count if !c.isDistinct => c.column match {
+        case _: VLiteral[_] => Some(PushedAgg("count", "")) // count(1)
+        case other => name(other).map(PushedAgg("count", _)) // non-null col
+      }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    aggGroups = groups.flatten
+    aggs = specs.flatten
+    val base = TrackPointSource.schema
+    aggSchema = Some(StructType(
+      aggGroups.map(g => base(base.fieldIndex(g))) ++
+        aggs.zipWithIndex.map { case (a, i) =>
+          StructField(s"agg_${i}_${a.kind}", LongType,
+            nullable = a.kind != "count")
+        }))
+    true
+  }
+
+  override def build(): Scan =
+    new TrackPointScan(path, aggSchema.getOrElse(required), pushed,
+      aggGroups, aggs)
 }
 
 class TrackPointScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], aggGroups: Seq[String] = Nil,
+    aggs: Seq[PushedAgg] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TrackPointScan ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (aggs.nonEmpty)
+        s", PushedAggregates: [${aggs.map(a => s"${a.kind}(${a.col})")
+          .mkString(", ")}] groupBy [${aggGroups.mkString(", ")}]"
+      else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new java.io.File(path).listFiles())
@@ -112,16 +180,91 @@ class TrackPointScan(path: String, required: StructType,
     files.map(f => TrackFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TrackPointReaderFactory(required, pushed)
+    new TrackPointReaderFactory(required, pushed, aggGroups, aggs)
 }
 
 case class TrackFilePartition(file: String) extends InputPartition
 
 class TrackPointReaderFactory(required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], aggGroups: Seq[String] = Nil,
+    aggs: Seq[PushedAgg] = Nil) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new TrackPointReader(p.asInstanceOf[TrackFilePartition].file,
-      required, pushed)
+    if (aggs.isEmpty)
+      new TrackPointReader(p.asInstanceOf[TrackFilePartition].file,
+        required, pushed)
+    else
+      new TrackPointAggReader(p.asInstanceOf[TrackFilePartition].file,
+        required, pushed, aggGroups, aggs)
+}
+
+/** Aggregate-pushdown reader: hash-aggregates its one file's rows
+  * (pushed filters applied first) and emits the per-group partials.
+  * Memory is O(groups in this file) — the rows themselves never
+  * become Spark rows at all.
+  */
+class TrackPointAggReader(file: String, required: StructType,
+    pushed: Array[Filter], groups: Seq[String], aggs: Seq[PushedAgg])
+    extends PartitionReader[InternalRow] {
+
+  private val base = new TrackPointReader(file,
+    TrackPointSource.schema, pushed)
+  private val baseSchema = TrackPointSource.schema
+  private val groupOrds = groups.map(baseSchema.fieldIndex).toArray
+  private val aggOrds = aggs.map(a =>
+    if (a.col.isEmpty) -1 else baseSchema.fieldIndex(a.col)).toArray
+
+  private lazy val results: Iterator[InternalRow] = {
+    val acc = scala.collection.mutable.LinkedHashMap[
+      List[Any], Array[java.lang.Long]]()
+    while (base.next()) {
+      val r = base.get()
+      val key = groupOrds.map(o =>
+        if (r.isNullAt(o)) null
+        else r.get(o, baseSchema(o).dataType)).toList
+      val st = acc.getOrElseUpdate(key,
+        new Array[java.lang.Long](aggs.length))
+      var i = 0
+      while (i < aggs.length) {
+        val o = aggOrds(i)
+        aggs(i).kind match {
+          case "count" =>
+            if (o < 0 || !r.isNullAt(o))
+              st(i) = if (st(i) == null) 1L else st(i) + 1L
+          case "max" => if (!r.isNullAt(o)) {
+            val v = r.getLong(o)
+            if (st(i) == null || v > st(i)) st(i) = v
+          }
+          case "min" => if (!r.isNullAt(o)) {
+            val v = r.getLong(o)
+            if (st(i) == null || v < st(i)) st(i) = v
+          }
+        }
+        i += 1
+      }
+    }
+    base.close()
+    acc.iterator.map { case (key, st) =>
+      val out = new GenericInternalRow(groups.length + aggs.length)
+      key.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) out.setNullAt(i) else out.update(i, v)
+      }
+      st.zipWithIndex.foreach { case (v, i) =>
+        val slot = groups.length + i
+        if (v == null) {
+          // count of zero non-null rows is 0, not null
+          if (aggs(i).kind == "count") out.setLong(slot, 0L)
+          else out.setNullAt(slot)
+        } else out.setLong(slot, v)
+      }
+      out
+    }
+  }
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (results.hasNext) { row = results.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Streams one JSONL file; evaluates the pushed predicates on the
@@ -148,6 +291,8 @@ class TrackPointReader(file: String, required: StructType,
       num(node, a) <= v.doubleValue()
     case LessThan(a, v: java.lang.Number) => num(node, a) < v.doubleValue()
     case EqualTo(a, v: java.lang.Number) => num(node, a) == v.doubleValue()
+    case IsNotNull(a) =>
+      val v = node.get(a); v != null && !v.isNull
     case _ => true
   }
 

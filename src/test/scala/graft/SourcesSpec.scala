@@ -107,14 +107,50 @@ class SourcesSpec extends SparkSpec {
       .filter(col("ts") >= 1704844800000L && col("name").startsWith("u"))
       .select(col("entity_id"), col("ts"))
     val plan = df.queryExecution.executedPlan.toString
-    // the numeric ts predicate is pushed into the scan...
-    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(ts,1704844800000)"),
+    // the numeric ts predicate is pushed into the scan (the inferred
+    // IsNotNull guard rides along in the pushed list)...
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000)") &&
+      plan.contains("PushedFilters: ["),
       s"ts filter not pushed:\n$plan")
     // ...the unsupported string predicate stays a Spark-side Filter...
     assert(plan.contains("StartsWith"), s"residual filter lost:\n$plan")
     // ...and parsing is pruned to the required columns (+ filter refs)
     assert(!plan.contains("lon"), s"column pruning failed:\n$plan")
     assert(df.count() > 0)
+  }
+
+  test("DSv2 source: aggregate pushdown fires and matches the plain path") {
+    val path = graft.sources.TrackPointFixture.ensure(spark, sf())
+    def src = spark.read.format("graft.sources.TrackPointSource")
+      .option("path", path).load()
+      .filter(col("ts") >= 1704844800000L)
+    val agged = src.groupBy(col("entity_id"))
+      .agg(max(col("ts")).as("last_ms"),
+        min(col("event_id")).as("first_event"),
+        count(lit(1)).as("n"))
+    val plan = agged.queryExecution.executedPlan.toString
+    // the scan itself must report the pushed aggregation — per-file
+    // partials computed inside the reader, raw rows never built
+    assert(plan.contains("PushedAggregates: [max(ts), min(event_id), " +
+      "count()] groupBy [entity_id]"),
+      s"aggregation not pushed into the source:\n$plan")
+    // the pushed time filter composes with the aggregation
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000)"),
+      s"filter lost under aggregation:\n$plan")
+    // identical result via a plan where pushdown is impossible: a
+    // non-pushable avg rides along IN THE OUTPUT (dropping it
+    // pre-execution would let Catalyst prune it and re-push), so
+    // Spark keeps the raw scan and aggregates itself
+    val plain = src.groupBy(col("entity_id"))
+      .agg(max(col("ts")).as("last_ms"),
+        min(col("event_id")).as("first_event"),
+        count(lit(1)).as("n"), avg(col("lon")))
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val a = agged.collect().map(_.toSeq).toSet
+    val b = plain.collect().map(_.toSeq.dropRight(1)).toSet
+    assert(a.nonEmpty && a == b,
+      s"pushed-down aggregate diverged from the plain plan")
   }
 
   test("DSv2 source roundtrips events exactly") {
