@@ -3,13 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Contract: the LAST stdout line is one JSON object
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},...}`.
-  * Because the driver captures only a stdout TAIL (historically
-  * truncating the per-query map to ~65 of 82 entries), the complete
-  * artifact is ALSO written to a file — `SPARK_GRAFT_BENCH_OUT`, by
-  * default `BENCH_full.json` in the working directory — so
-  * round-over-round regression diffs cover every query.
+  *
+  * The driver captures only the last 2000 chars of stdout, and the
+  * full 94-query map is ~2.4 KB even at millisecond precision — it
+  * cannot fit. So the stdout line is budgeted: per-query entries are
+  * added slowest-first until the line would exceed the capture
+  * window, with `queries_omitted` recording the (fast) remainder.
+  * The COMPLETE per-query artifact — every query, full precision —
+  * is always written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `BENCH_full.json` in the working directory) for round-over-round
+  * regression diffs.
   */
 object Bench {
+  /** Stdout-line budget: the driver's tail capture is 2000 chars;
+    * leave headroom for the trailing newline and any interleaved
+    * stray output. */
+  private val StdoutBudget = 1900
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,19 +52,37 @@ object Bench {
     val results = passes.head.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
-    // full artifact to file first (never truncated), then the
-    // contract line on stdout
+
+    def entries(rs: Seq[(String, Double)], prec: Int): Seq[String] =
+      rs.map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
+    def jsonLine(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
+
+    // full artifact to file first (every query, full precision) —
+    // never truncated
+    val fullJson = jsonLine(
+      entries(results.toSeq.sortBy(_._1), 9).mkString("{", ",", "}"), "")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
-    println(json)
+
+    // stdout contract line: slowest queries first, greedily packed
+    // under the driver's capture budget
+    val bySlowest = entries(results.toSeq.sortBy(-_._2), 3)
+    val fixedOverhead = jsonLine("{}", s""","queries_omitted":${results.size},"full":"$outPath"""").length
+    var used = fixedOverhead
+    val kept = bySlowest.takeWhile { e =>
+      val fits = used + e.length + 1 <= StdoutBudget
+      if (fits) used += e.length + 1
+      fits
+    }
+    val omitted = results.size - kept.size
+    val line = jsonLine(kept.mkString("{", ",", "}"),
+      s""","queries_omitted":$omitted,"full":"$outPath"""")
+    println(line)
+    graft.CachedPlans.release()
     spark.stop()
   }
 }

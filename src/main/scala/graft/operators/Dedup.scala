@@ -55,9 +55,9 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        array_distinct(wordShingles(col(textCol), n)).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CachedPlans.cache(
+      docs.select(col(idCol).as("id"),
+        array_distinct(wordShingles(col(textCol), n)).as("shs")))
 
   /** Exact n-gram Jaccard near-dup pairs, prefix-filtered.
     *
@@ -194,11 +194,11 @@ object Dedup {
     // DuckDB oracle — reproduces exactly. Persist the (bands rows per
     // doc) band table: both sides of the self-join would otherwise
     // recompute shingling+signatures.
-    sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => slice(col("sig"), j * lit(r) + lit(1), lit(r))))
-        .as(Seq("band", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CachedPlans.cache(
+      sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => slice(col("sig"), j * lit(r) + lit(1), lit(r))))
+          .as(Seq("band", "band_key"))))
   }
 
   /** MinHash + LSH candidate pairs: band the k-slot signature into
@@ -286,11 +286,11 @@ object Dedup {
         Sketches.simhash64(wordShingles(col(textCol), 3)).as("sim"))
     // shiftright needs a literal shift in the Scala DSL; chunk in SQL.
     // Persisted: 8 small rows per doc, reused by both self-join sides.
-    val chunked = sketched.select(col("id"), col("sim"),
-      posexplode(expr(
-        "transform(sequence(0, 7), j -> (shiftright(sim, j * 8) & 255L))"))
-        .as(Seq("chunk", "chunk_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = graft.CachedPlans.cache(
+      sketched.select(col("id"), col("sim"),
+        posexplode(expr(
+          "transform(sequence(0, 7), j -> (shiftright(sim, j * 8) & 255L))"))
+          .as(Seq("chunk", "chunk_val"))))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&

@@ -34,6 +34,20 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
 
+  // the merge compares keys/timestamps with an ordering built from
+  // the LEFT type only — a mismatched right type (int vs long,
+  // timestamp vs long) would otherwise surface as a ClassCastException
+  // mid-execution; fail at plan construction instead (covers both the
+  // DataFrame helper and the SQL rewrite, which both build this node)
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match: left ${leftKey.name}: " +
+      s"${leftKey.dataType} vs right ${rightKey.name}: ${rightKey.dataType}" +
+      " — cast one side before joining")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamp types must match: left ${leftTs.name}: " +
+      s"${leftTs.dataType} vs right ${rightTs.name}: ${rightTs.dataType}" +
+      " — cast one side before joining")
+
   /** Right payload = right.output minus its key/ts columns (the left
     * side already carries key and ts), nullable for no-match rows.
     */

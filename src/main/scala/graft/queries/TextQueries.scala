@@ -391,11 +391,10 @@ object TextQueries {
     // distinct-doc count ≥ 2. Same inverted-index shape (and the
     // same df-bounded scale envelope) as the Jaccard family.
     "q_dedup_substring_spans" -> { (s, dir) =>
-      val sp = docs(s, dir)
+      val sp = graft.CachedPlans.cache(docs(s, dir)
         .select(col("doc_id"),
           explode(wordShingles(col("text"), 10)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), xxhash64(col("g")).as("h")))
       val shared = sp.distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
         .filter(col("ndocs") >= 2)
@@ -591,7 +590,7 @@ object TextQueries {
            FROM t)
          SELECT doc_id, source, n_tok,
            CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
-           (cum - n_tok) % 2048 AS chunk_offset
+           CAST((cum - n_tok) % 2048 AS BIGINT) AS chunk_offset
          FROM c ORDER BY doc_id""",
 
     "q_text_langid" ->

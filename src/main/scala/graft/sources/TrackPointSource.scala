@@ -280,17 +280,27 @@ class TrackPointReader(file: String, required: StructType,
       new java.io.FileInputStream(file), "UTF-8"))
   private var row: InternalRow = _
 
-  private def num(node: JsonNode, field: String): Double =
-    node.get(field).asDouble()
+  // a missing/null field fails any numeric comparison (SQL
+  // three-valued logic: NULL op x is not TRUE) — never NPEs, and the
+  // result can't depend on whether a pushed IsNotNull on the same
+  // column happens to be evaluated first
+  private def num(node: JsonNode, field: String,
+      cmp: Double => Boolean): Boolean = {
+    val v = node.get(field)
+    v != null && !v.isNull && cmp(v.asDouble())
+  }
 
   private def keep(node: JsonNode): Boolean = pushed.forall {
     case GreaterThanOrEqual(a, v: java.lang.Number) =>
-      num(node, a) >= v.doubleValue()
-    case GreaterThan(a, v: java.lang.Number) => num(node, a) > v.doubleValue()
+      num(node, a, _ >= v.doubleValue())
+    case GreaterThan(a, v: java.lang.Number) =>
+      num(node, a, _ > v.doubleValue())
     case LessThanOrEqual(a, v: java.lang.Number) =>
-      num(node, a) <= v.doubleValue()
-    case LessThan(a, v: java.lang.Number) => num(node, a) < v.doubleValue()
-    case EqualTo(a, v: java.lang.Number) => num(node, a) == v.doubleValue()
+      num(node, a, _ <= v.doubleValue())
+    case LessThan(a, v: java.lang.Number) =>
+      num(node, a, _ < v.doubleValue())
+    case EqualTo(a, v: java.lang.Number) =>
+      num(node, a, _ == v.doubleValue())
     case IsNotNull(a) =>
       val v = node.get(a); v != null && !v.isNull
     case _ => true

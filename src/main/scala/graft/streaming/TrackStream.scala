@@ -55,9 +55,11 @@ object TrackStream {
             Iterator.single(DeviceUpdate(id, dead.ts, dead.isEmergency,
               dead.course, evicted = true))
           } else {
-            // last-write-wins: newest (ts, then insertion order) wins,
-            // matching the batch latestPerKey tie policy
-            val candidates = rows ++ state.getOption.iterator
+            // newest ts wins; on equal ts the FIRST arrival wins —
+            // the stored point goes first so maxBy (which keeps the
+            // first maximal element) can't let a same-ts point from a
+            // later micro-batch displace it. Same policy as v2 below.
+            val candidates = state.getOption.iterator ++ rows
             val best = candidates.maxBy(_.ts.getTime)
             state.update(best)
             state.setTimeoutTimestamp(best.ts.getTime + retentionMs)
@@ -168,9 +170,9 @@ class LatestTrackProcessor(retentionMs: Long)
   override def handleInputRows(id: Long, rows: Iterator[TrackPoint],
       timers: TimerValues): Iterator[DeviceUpdate] = {
     val prev = if (latest.exists()) Some(latest.get()) else None
-    // last-write-wins, same tie policy as the v1 operator and the
-    // batch latestPerKey: newest ts, first arrival on equal ts
-    val best = (rows ++ prev.iterator).maxBy(_.ts.getTime)
+    // newest ts, first arrival on equal ts (prev goes first so maxBy
+    // keeps it on ties) — same policy as the v1 operator
+    val best = (prev.iterator ++ rows).maxBy(_.ts.getTime)
     prev.foreach(p => getHandle.deleteTimer(p.ts.getTime + retentionMs))
     latest.update(best)
     getHandle.registerTimer(best.ts.getTime + retentionMs)

@@ -56,6 +56,23 @@ class JoinExtSpec extends SparkSpec {
       "L3" -> None))
   }
 
+  test("native as-of rejects mismatched key/ts types at plan build") {
+    // the merge orders by the LEFT type — a mismatched right type
+    // must fail at construction, not ClassCastException mid-execution
+    val left = Seq((1L, mkTs("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val rightIntKey = Seq((1, mkTs("2024-01-01 09:00:00"), 7L))
+      .toDF("k", "ts", "rid")
+    val eKey = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asOfMerge(left, rightIntKey, "k", "ts")
+    }
+    assert(eKey.getMessage.contains("key types must match"))
+    val rightLongTs = Seq((1L, 1704103200000L, 7L)).toDF("k", "ts", "rid")
+    val eTs = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asOfMerge(left, rightLongTs, "k", "ts")
+    }
+    assert(eTs.getMessage.contains("timestamp types must match"))
+  }
+
   test("native as-of == composition as-of on the events corpus") {
     val ev = Tables(spark, sf("0.01"), "events")
     val purchases = ev.filter($"event_type" === "purchase")

@@ -153,6 +153,28 @@ class SourcesSpec extends SparkSpec {
       s"pushed-down aggregate diverged from the plain plan")
   }
 
+  test("DSv2 source: pushed numeric filter is null-safe on missing fields") {
+    // a JSONL row with no `ts` must fail a pushed ts comparison
+    // (SQL three-valued logic), not NPE in the reader — regardless of
+    // where an inferred IsNotNull lands in the pushed array
+    val dir = java.nio.file.Files.createTempDirectory("tp_nullsafe").toFile
+    val rows = Seq(
+      """{"entity_id": 1, "event_id": 10, "name": "u1", "ts": 1704844800000, "lon": 1.0, "lat": -1.0, "emergency": false}""",
+      """{"entity_id": 2, "event_id": 20, "name": "u2", "lon": 2.0, "lat": -2.0, "emergency": false}""",
+      """{"entity_id": 3, "event_id": 30, "name": "u3", "ts": null, "lon": 3.0, "lat": -3.0, "emergency": false}""")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-0.json").toPath,
+      rows.mkString("\n").getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.TrackPointSource")
+      .option("path", dir.getAbsolutePath).load()
+      .filter(col("ts") >= 1704844800000L)
+      .select(col("entity_id"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedFilters: ["), "ts filter not pushed")
+    assert(df.as[Long].collect().toSeq == Seq(1L),
+      "missing/null ts rows must be dropped by the pushed comparison")
+  }
+
   test("DSv2 source roundtrips events exactly") {
     import spark.implicits._
     val path = graft.sources.TrackPointFixture.ensure(spark, sf())

@@ -47,6 +47,41 @@ class StreamingSpec extends SparkSpec {
       s"stale update must not clobber newer state: $out")
   }
 
+  test("equal-ts point in a later batch does NOT displace the stored one") {
+    // tie policy: newest ts wins, FIRST arrival wins on equal ts —
+    // in both state operators (the stored point is iterated first,
+    // so maxBy keeps it)
+    val feed = { (input: MemoryStream[TrackPoint], sync: () => Unit) =>
+      input.addData(TrackPoint(1, ts(0), false, 1.0))
+      sync()
+      input.addData(TrackPoint(1, ts(0), false, 2.0)) // same ts, later batch
+      sync()
+    }
+    val i1 = MemoryStream[TrackPoint]
+    val v1 = runUpdates(i1,
+      TrackStream.latestWithTtl(i1.toDS(), retentionMs = 60 * 60000),
+      "t_tie_v1") { sync => feed(i1, sync) }
+    assert(v1.forall(_.course == 1.0),
+      s"v1: same-ts later arrival displaced the stored point: $v1")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val i2 = MemoryStream[TrackPoint]
+      val v2 = runUpdates(i2,
+        TrackStream.latestWithTtlV2(i2.toDS(), retentionMs = 60 * 60000),
+        "t_tie_v2") { sync => feed(i2, sync) }
+      assert(v2.forall(_.course == 1.0),
+        s"v2: same-ts later arrival displaced the stored point: $v2")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("latestWithTtl: retention TTL evicts idle devices (tombstone)") {
     val input = MemoryStream[TrackPoint]
     val out = runUpdates(input,
