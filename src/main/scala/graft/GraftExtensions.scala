@@ -51,9 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", "word_shingles(s, n) - word n-grams"),
       (es: Seq[Expression]) => ShinglesExpr(es.head, intArg(es(1)))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // column pruning through the custom as-of node (a pruning
-    // barrier to the stock ColumnPruning rule otherwise)
+    // column pruning + left-side predicate pushdown through the
+    // custom as-of node (a barrier to the stock ColumnPruning /
+    // PushDownPredicates rules otherwise)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     // SQL surface for the native as-of join:
     //   l LEFT JOIN r ON asof_on(l.key = r.key, l.ts, r.ts)
     ext.injectFunction((FunctionIdentifier("asof_on"),

@@ -106,6 +106,39 @@ object PruneAsOfJoinColumns
   }
 }
 
+/** Predicate pushdown through [[AsOfJoinPlan]]. Like column pruning,
+  * the custom node is a barrier to the stock `PushDownPredicates` —
+  * `asOfMerge(facts, dims).filter(left-side predicate)` would
+  * otherwise join the FULL left side and filter after. The as-of
+  * join is 1:1 left-preserving (every left row produces exactly one
+  * output row carrying its left columns unchanged), so any
+  * deterministic conjunct referencing only left-side columns filters
+  * the same rows on either side of the join — push it below, from
+  * where the stock rules carry it into the scan (partition pruning,
+  * parquet PushedFilters). Conjuncts touching the null-extended
+  * right payload stay above (a no-match row must be filterable on
+  * its nulls). No-op at fixed point: pushed conjuncts no longer
+  * appear above the node.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        if (kept.isEmpty) pushed else Filter(kept.reduce(And), pushed)
+      }
+  }
+}
+
 /** SQL-surface marker for the as-of join: `l LEFT JOIN r ON
   * asof_on(l.key = r.key, l.ts, r.ts)`. The predicate itself is
   * never evaluated — [[RewriteSqlAsOfJoin]] replaces the whole Join
@@ -309,6 +342,11 @@ object AsOfJoinNative {
         .contains(PruneAsOfJoinColumns)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     }
   }
 

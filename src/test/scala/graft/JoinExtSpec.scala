@@ -131,6 +131,37 @@ class JoinExtSpec extends SparkSpec {
     assert(narrow.count() > 0)
   }
 
+  test("as-of left-side filter pushes through the custom node to the scan") {
+    // without PushFilterThroughAsOfJoin, a filter above the as-of
+    // node joins the FULL left side first; with it, a deterministic
+    // left-only conjunct reaches the left parquet scan's
+    // PushedFilters, while a right-payload conjunct stays above
+    val ev = Tables(spark, sf("0.01"), "events")
+    val leftWide = ev.filter($"event_type" === "purchase")
+      .withColumnRenamed("event_id", "l_id")
+      .withColumnRenamed("value", "l_value")
+    val rightWide = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val filtered = graft.plans.AsOfJoinNative
+      .asOfMerge(leftWide, rightWide, "user_id", "ts")
+      .filter($"l_value" > 50.0 && $"err_id".isNotNull)
+      .select($"l_id", $"err_id")
+    val plan = withoutAqe { filtered.queryExecution.executedPlan.toString }
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec missing:\n$plan")
+    // the left-only value predicate must reach a scan's PushedFilters
+    assert("PushedFilters: [^\n]*GreaterThan\\(value,50.0\\)".r
+        .findFirstIn(plan).isDefined,
+      s"left-side predicate not pushed to the scan:\n$plan")
+    // same rows as filtering the composition's result
+    val viaComposition = graft.operators.AsOfJoin
+      .asOf(leftWide, rightWide.withColumnRenamed("err_id", "p_err"),
+        "user_id", "ts", Seq("p_err"))
+      .filter($"l_value" > 50.0 && $"p_err".isNotNull)
+      .select($"l_id", $"p_err".as("err_id"))
+    assert(filtered.collect().toSet == viaComposition.collect().toSet)
+    assert(filtered.count() > 0)
+  }
+
   test("SQL asof_on (plain session, optimizer-phase rewrite) == API merge") {
     graft.plans.AsOfJoinNative.enableSql(spark)
     val ev = Tables(spark, sf("0.01"), "events")
