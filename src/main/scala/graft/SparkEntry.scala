@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ PipelineQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs
+      StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
+      ClusterQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       FunctionQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ StreamQueries.oracles ++
-      SourceQueries.oracles ++ JoinExtQueries.oracles
+      SourceQueries.oracles ++ JoinExtQueries.oracles ++
+      ClusterQueries.oracles
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Deterministic Lloyd k-means over embedding columns — the
+  * clustering stage a curation pipeline runs before semantic dedup
+  * (SemDeDup clusters then prunes within clusters) and
+  * diversity-balanced sampling.
+  *
+  * Engine-portability (the repo's oracle-exactness recipe):
+  *   - seeds are the k vectors with the smallest
+  *     `(md5(cast(id as string)), id)` — no RNG, any engine replays
+  *     the choice;
+  *   - distances fold (x−c)² left→right in double precision
+  *     ([[VectorFunctions.l2Sq]] ≡ DuckDB `list_sum` on the same
+  *     comprehension);
+  *   - centroid means are exact-integer sums of per-element
+  *     quantizations `floor(x·10⁶ + 0.5)` divided once in double —
+  *     an order-free reduction, so Spark's partial aggregation and
+  *     DuckDB's single-node sum produce bit-identical centroids
+  *     (float-sum order sensitivity is the one thing that would
+  *     break cross-engine equality here);
+  *   - argmin tie-breaks on (dist, cid) in both engines.
+  *
+  * Scale design: assignment is map-side — centroids broadcast
+  * (k·dim doubles), `min_by` aggregates partially, no shuffle beyond
+  * the per-id combine; the update step shuffles (cid, dim) partial
+  * sums — k·dim groups regardless of corpus size — after a map-side
+  * combine of the exploded (row·dim) stream. Iterations are a fixed
+  * small count (Lloyd converges fast; production pipelines run 2-5
+  * passes on a sample then one final assign). Seed selection sorts
+  * globally but only materializes k rows (TakeOrderedAndProject);
+  * at 100 TB you would seed from a TABLESAMPLE with the same hash
+  * order.
+  */
+object Clustering {
+
+  /** id + all-double vector, the working shape. */
+  private def vecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+
+  private def seedOrder: Seq[Column] =
+    Seq(md5(col("id").cast("string")), col("id"))
+
+  /** k seed centroids `(cid ∈ 1..k, c)` by md5-of-id order. */
+  private def seeds(v: DataFrame, k: Int): DataFrame =
+    v.orderBy(seedOrder: _*).limit(k)
+      .select(row_number().over(Window.orderBy(seedOrder: _*)).as("cid"),
+        col("vec").as("c"))
+
+  /** Nearest-centroid assignment: `(id, cid, dist, vec)`; map-side
+    * (broadcast centroids + partial min_by), no row-stream shuffle.
+    */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("dist", VectorFunctions.l2Sq(col("vec"), col("c")))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("dist"), col("vec")),
+        struct(col("dist"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("m.vec").as("vec"))
+
+  /** Centroid update: exact-integer per-dimension means (see class
+    * doc); one shuffle of (cid, dim) partials.
+    */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("vec")).as(Seq("p", "x")))
+      .withColumn("q", floor(col("x") * lit(1e6) + lit(0.5)))
+      .groupBy(col("cid"), col("p"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m",
+        col("s").cast("double") / (lit(1e6) * col("n").cast("double")))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        e => e.getField("m")).as("c"))
+
+  /** Final per-row cluster assignment after `iters` Lloyd rounds:
+    * `(id, cid, dist)` with dist the squared L2 to the final
+    * centroid. A cluster emptied mid-iteration simply drops out of
+    * the centroid table (both engines agree).
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 2): DataFrame = {
+    val v = vecs(emb, idCol, vecCol)
+    var cents = seeds(v, k)
+    for (_ <- 1 to iters)
+      cents = update(assign(v, cents))
+    assign(v, cents).select(col("id"), col("cid"), col("dist"))
+  }
+
+  /** Cluster-balanced (diversity) sample: the `perCluster`
+    * hash-first rows of every final cluster — the "spread the
+    * training mix across semantic space" selection. WindowGroupLimit
+    * prunes beyond-rank rows map-side.
+    */
+  def clusterSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 2, perCluster: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("cid")).orderBy(seedOrder: _*)
+    kmeansAssign(emb, idCol, vecCol, k, iters)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("id"), col("cid"), col("rank"))
+  }
+}

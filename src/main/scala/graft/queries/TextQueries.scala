@@ -161,6 +161,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Source-mixture weighting: per-source token shares and the
+    // up/down-sampling weight that flattens the mixture to uniform
+    // across sources, capped at 4 epochs — the static data-mixture
+    // step (DoReMi-style reweighting reduces to supplying a target
+    // share vector; uniform here). One tiny aggregate + a one-row
+    // broadcast of the totals: no second scan, no wide shuffle.
+    "q_mix_weights" -> { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+      val perSource = docs(s, dir)
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val totals = perSource.agg(
+        sum(col("n_tokens")).cast("double").as("tot_tokens"),
+        count(lit(1)).cast("double").as("n_sources"))
+      perSource.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+            .as("share"),
+          round(least(lit(4.0),
+            (col("tot_tokens") / col("n_sources")) /
+              col("n_tokens").cast("double")), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+
     // BPE-ish tokenization: a GPT-2-style pretokenizer regex
     // (contraction suffixes | space-prefixed word | space-prefixed
     // number | punctuation run) — the token-count heuristic an LLM
@@ -592,6 +619,29 @@ object TextQueries {
            CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
            CAST((cum - n_tok) % 2048 AS BIGINT) AS chunk_offset
          FROM c ORDER BY doc_id""",
+
+    "q_mix_weights" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+               AS BIGINT) AS n_tok
+           FROM documents),
+         p AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM t GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+             CAST(count(*) AS DOUBLE) AS n_sources
+           FROM p)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS share,
+           round(least(4.0,
+             (tot_tokens / n_sources) / CAST(n_tokens AS DOUBLE)), 6)
+             AS weight
+         FROM p CROSS JOIN tot
+         ORDER BY source""",
 
     "q_text_langid" ->
       """WITH scored AS (
