@@ -79,6 +79,83 @@ object RelationalQueries {
         ORDER BY c_custkey""")
     },
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): linked-list walk over
+    // per-region nation chains built with lead(). The recursion
+    // engine (UnionLoop) re-executes only the recursive leg per
+    // round, like the hand-rolled connected-components loop in
+    // Dedup — this is the declarative form. Identical SQL is its own
+    // DuckDB oracle (integer-only: no float drift across rounds).
+    "q_sql_recursive" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH RECURSIVE ordered AS (
+          SELECT n_regionkey, n_nationkey,
+            lead(n_nationkey) OVER (PARTITION BY n_regionkey
+              ORDER BY n_nationkey) AS next_key,
+            row_number() OVER (PARTITION BY n_regionkey
+              ORDER BY n_nationkey) AS rn
+          FROM nation),
+        chain AS (
+          SELECT n_regionkey, n_nationkey, next_key, 0 AS depth
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.n_regionkey, o.n_nationkey, o.next_key, c.depth + 1
+          FROM chain c JOIN ordered o
+            ON o.n_regionkey = c.n_regionkey
+           AND o.n_nationkey = c.next_key)
+        SELECT n_regionkey AS region_key, n_nationkey AS nation_key,
+          depth
+        FROM chain ORDER BY region_key, depth""")
+    },
+
+    // Correlated LATERAL join (top-2-per-key as the inner table):
+    // Spark decorrelates the per-row subquery into a ranked join —
+    // PlanSpec-style proof that it never degenerates to per-row
+    // re-execution is the absent CartesianProduct in the plan.
+    "q_sql_lateral" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+
+    // Unpivot (pivot's inverse): wide metric columns to long
+    // (metric, v) rows — a per-row flatMap, narrow and codegen'd.
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1997-01-01") &&
+          col("l_shipdate") < tsLit("1997-02-01"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("qty"),
+          col("l_extendedprice").cast("double").as("price"),
+          col("l_discount").cast("double").as("disc"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "v")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
+    // Exact multi-point percentiles: one percentile() aggregate
+    // evaluates the whole quantile vector per group (single pass,
+    // one shuffle); verified bit-identical to DuckDB quantile_cont
+    // (same linear-interpolation formula over the same doubles).
+    "q_agg_percentiles" -> { (s, dir) =>
+      val ps = array(lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value"), ps).as("p"))
+        .select(col("event_type"),
+          round(element_at(col("p"), 1), 6).as("p25"),
+          round(element_at(col("p"), 2), 6).as("p50"),
+          round(element_at(col("p"), 3), 6).as("p75"),
+          round(element_at(col("p"), 4), 6).as("p90"),
+          round(element_at(col("p"), 5), 6).as("p99"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- TPC-H Q1: wide hash aggregate -----------------------------
     // One shuffle; partial agg reduces the exchange to |groups| rows
     // per map partition (4 groups here — negligible shuffle at any SF).
@@ -484,6 +561,59 @@ object RelationalQueries {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderstatus = 'P')
          ORDER BY c_custkey""",
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE ordered AS (
+           SELECT n_regionkey, n_nationkey,
+             lead(n_nationkey) OVER (PARTITION BY n_regionkey
+               ORDER BY n_nationkey) AS next_key,
+             row_number() OVER (PARTITION BY n_regionkey
+               ORDER BY n_nationkey) AS rn
+           FROM nation),
+         chain AS (
+           SELECT n_regionkey, n_nationkey, next_key, 0 AS depth
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.n_regionkey, o.n_nationkey, o.next_key, c.depth + 1
+           FROM chain c JOIN ordered o
+             ON o.n_regionkey = c.n_regionkey
+            AND o.n_nationkey = c.next_key)
+         SELECT n_regionkey AS region_key, n_nationkey AS nation_key,
+           depth
+         FROM chain ORDER BY region_key, depth""",
+
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q_unpivot" ->
+      """WITH b AS (
+           SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS disc
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-02-01')
+         SELECT l_orderkey, l_linenumber, 'qty' AS metric, qty AS v FROM b
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'price', price FROM b
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'disc', disc FROM b
+         ORDER BY l_orderkey, l_linenumber, metric""",
+
+    "q_agg_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS p25,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.75), 6) AS p75,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,

@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
   }
 
+  test("q_sql_lateral: correlated lateral decorrelates, ranked not re-executed") {
+    // the per-customer LIMIT 2 subquery must become a ranked join
+    // (window over the join), never a per-row re-execution or a
+    // cartesian product
+    val p = plan("q_sql_lateral")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"lateral top-k not planned as a ranked join:\n$p")
+  }
+
+  test("q_sql_recursive: recursion leg executes as a loop, no cartesian") {
+    val p = plan("q_sql_recursive")
+    assert(p.contains("UnionLoop") || p.contains("Recursion") ||
+      p.contains("CTERelation"), s"no recursion operator found:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian blowup:\n$p")
+  }
+
   test("q1: hash aggregate runs map-side partials") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
