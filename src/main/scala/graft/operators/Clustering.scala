@@ -78,18 +78,89 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
         e => e.getField("m")).as("c"))
 
+  /** Final centroid table `(cid, c)` after `iters` Lloyd rounds —
+    * the model artifact a pipeline persists and re-applies at ingest
+    * ([[assignToCentroids]]).
+    */
+  def centroidTable(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 2): DataFrame = {
+    val v = vecs(emb, idCol, vecCol)
+    var cents = seeds(v, k)
+    for (_ <- 1 to iters)
+      cents = update(assign(v, cents))
+    cents
+  }
+
+  /** Final per-row assignment carrying the working vector:
+    * `(id, cid, dist, vec)` — feeds [[semDedupPrune]].
+    */
+  def kmeansAssignFull(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 2): DataFrame =
+    assign(vecs(emb, idCol, vecCol),
+      centroidTable(emb, idCol, vecCol, k, iters))
+
   /** Final per-row cluster assignment after `iters` Lloyd rounds:
     * `(id, cid, dist)` with dist the squared L2 to the final
     * centroid. A cluster emptied mid-iteration simply drops out of
     * the centroid table (both engines agree).
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, iters: Int = 2): DataFrame = {
-    val v = vecs(emb, idCol, vecCol)
-    var cents = seeds(v, k)
-    for (_ <- 1 to iters)
-      cents = update(assign(v, cents))
-    assign(v, cents).select(col("id"), col("cid"), col("dist"))
+      k: Int = 10, iters: Int = 2): DataFrame =
+    kmeansAssignFull(emb, idCol, vecCol, k, iters)
+      .select(col("id"), col("cid"), col("dist"))
+
+  /** SemDeDup within-cluster prune: a row is dropped when an
+    * earlier-id row in the SAME k-means cluster is cosine-similar
+    * beyond `threshold`; returns every row with its verdict
+    * `(id, cid, kept)`. Pairwise work happens only inside clusters —
+    * Σ|cluster|² instead of n², which is the entire point of
+    * clustering before semantic dedup (SemDeDup, Abbas et al. 2023).
+    * "Earlier id wins" is any-earlier-similar (one pass, no
+    * keep-chain iteration): engine-portable and shuffle-bounded,
+    * whereas the greedy chain is inherently sequential per cluster.
+    * The threshold compares RAW double cosines — identical
+    * left-to-right folds on both engines, so no epsilon is needed.
+    */
+  def semDedupPrune(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, iters: Int = 2,
+      threshold: Double = 0.35): DataFrame = {
+    val full = kmeansAssignFull(emb, idCol, vecCol, k, iters)
+    val dropped = full.as("a")
+      .join(full.as("b"),
+        col("a.cid") === col("b.cid") && col("b.id") < col("a.id") &&
+          VectorFunctions.cosine(col("a.vec"), col("b.vec"))
+            >= threshold,
+        "left_semi")
+      .select(col("id")).distinct().withColumn("dropped", lit(true))
+    full.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(!col("dropped"), lit(true)).as("kept"))
+  }
+
+  /** Stateless nearest-centroid routing for ingest/streaming: folds
+    * the (small) centroid list carried as a plan literal — map-only,
+    * no join, no state, so it composes with any streaming plan.
+    * Centroids are sorted by cid and the fold keeps the first
+    * minimum, matching the batch (dist, cid) tie-break. For
+    * centroid tables beyond literal size (IVF-scale), the
+    * broadcast-variable expression path is the model
+    * ([[graft.plans.NearestCellsBcastExpr]]).
+    */
+  def assignToCentroids(vec: Column,
+      cents: Seq[(Int, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val centLit = array(sorted.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), typedLit(c.toSeq).as("c"))
+    }: _*)
+    val best = aggregate(centLit,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, ct) => {
+        val d = VectorFunctions.l2Sq(vec, ct.getField("c"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), ct.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    best.getField("cid")
   }
 
   /** Cluster-balanced (diversity) sample: the `perCluster`

@@ -78,6 +78,17 @@ object ClusterQueries {
         .orderBy(col("vec_id"))
     },
 
+    // SemDeDup: k-means blocking + within-cluster cosine prune.
+    // Pairwise cosine runs only inside clusters (Σ|cluster|², the
+    // SemDeDup scale contract); verdict per row, earlier id wins.
+    "q_semdedup_prune" -> { (s, dir) =>
+      Clustering.semDedupPrune(emb(s, dir), "vec_id", "embedding",
+          k = 10, iters = 2, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cid").as("cluster"),
+          col("kept"))
+        .orderBy(col("vec_id"))
+    },
+
     // Cluster-balanced diversity sample: 5 hash-first rows per final
     // cluster — the "cover the semantic space" training-mix pick.
     "q_sample_cluster" -> { (s, dir) =>
@@ -95,6 +106,23 @@ object ClusterQueries {
       s"""$kmeansCtes
          SELECT id AS vec_id, cid AS cluster, round(dist, 6) AS dist
          FROM a3 WHERE rn = 1 ORDER BY vec_id""",
+
+    "q_semdedup_prune" ->
+      s"""$kmeansCtes,
+         f AS (SELECT id, cid, vec FROM a3 WHERE rn = 1)
+         SELECT f.id AS vec_id, f.cid AS cluster,
+           NOT EXISTS (
+             SELECT 1 FROM f b
+             WHERE b.cid = f.cid AND b.id < f.id
+               AND (list_sum([f.vec[i] * b.vec[i]
+                              for i in range(1, len(f.vec) + 1)]) /
+                    sqrt(
+                      list_sum([f.vec[i] * f.vec[i]
+                                for i in range(1, len(f.vec) + 1)]) *
+                      list_sum([b.vec[i] * b.vec[i]
+                                for i in range(1, len(b.vec) + 1)])))
+                 >= 0.35) AS kept
+         FROM f ORDER BY vec_id""",
 
     "q_sample_cluster" ->
       s"""$kmeansCtes

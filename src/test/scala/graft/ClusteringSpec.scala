@@ -60,6 +60,57 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("semDedupPrune: threshold extremes bracket the behavior") {
+    // threshold above any cosine keeps everything; threshold below
+    // every cosine keeps exactly the min-id row of each cluster
+    val keepAll = Clustering.semDedupPrune(emb, "vec_id", "embedding",
+      threshold = 2.0)
+    assert(keepAll.filter(!$"kept").count() == 0)
+    val keepFirst = Clustering.semDedupPrune(emb, "vec_id", "embedding",
+      threshold = -2.0)
+    val keptPerCluster = keepFirst.filter($"kept")
+      .groupBy($"cid").agg(count(lit(1)).as("n"), min($"id").as("mn"))
+    assert(keptPerCluster.filter($"n" =!= 1).count() == 0,
+      "min threshold must keep exactly one row per cluster")
+    // and that survivor is the cluster's min id
+    val firsts = keepFirst.groupBy($"cid").agg(min($"id").as("first_id"))
+      .withColumnRenamed("cid", "c2")
+    val bad = keepFirst.filter($"kept")
+      .join(firsts, $"cid" === $"c2" && $"id" === $"first_id", "left_anti")
+    assert(bad.count() == 0, "survivor must be the cluster min id")
+  }
+
+  test("stateless centroid routing == batch assignment, zero state ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Clustering.centroidTable(emb, "vec_id", "embedding")
+      .as[(Int, Seq[Double])].collect()
+      .map { case (cid, c) => (cid, c.toArray) }.toSeq
+    val batch = Clustering.kmeansAssign(emb, "vec_id", "embedding")
+      .select($"id", $"cid").as[(Long, Int)].collect().toMap
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val routed = input.toDS().toDF("vec_id", "embedding")
+      .select($"vec_id",
+        Clustering.assignToCentroids($"embedding", cents).as("cid"))
+    val q = routed.writeStream.format("memory").queryName("t_route")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      val got = spark.table("t_route").as[(Long, Int)].collect().toMap
+      assert(got.size == 100)
+      got.foreach { case (id, cid) =>
+        assert(cid == batch(id), s"vec $id routed to $cid, batch says ${batch(id)}")
+      }
+      // the routing plan is map-only: no state store in the query
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stateless routing must not create a state operator")
+    } finally q.stop()
+  }
+
   test("assignment plan: centroids broadcast, no sort-merge join") {
     val plan = Clustering.kmeansAssign(emb, "vec_id", "embedding",
         k = 10, iters = 0)
