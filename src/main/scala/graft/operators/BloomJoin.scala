@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable bloom-filter join pruning — the explicit form of Spark's
+  * runtime-filter idea (`InjectRuntimeFilter`): build a fixed-size bit
+  * set from the join keys of the selective side, broadcast it, and
+  * drop fact rows MAP-SIDE before they reach the join shuffle. At
+  * 100 TB the build side is often too big to broadcast as a hash
+  * relation (so the join itself must co-shuffle both sides) while its
+  * key set still compresses into a few KB of bloom bits — the filter
+  * removes the non-matching fact rows before the exchange, which is
+  * where the win lives (shuffle volume ∝ matching fraction + false
+  * positives, not |fact|).
+  *
+  * Engine-portability (the repo's oracle-exactness recipe): bit
+  * positions derive from the first 15 hex chars of
+  * `md5(key # hashIndex)` (60 bits, signed-BIGINT-safe) mod the slot
+  * count; each 64-bit word holds 63 bits so no mask ever touches the
+  * sign bit — every arithmetic step replays exactly in DuckDB, making
+  * even the false-positive set deterministic and oracle-checkable.
+  * The final semi join is exact, so query RESULTS never depend on the
+  * bloom parameters; only the pruned fraction does.
+  *
+  * Reference anchor: the reference filters fact streams against a
+  * config-loaded key set in JS (`/root/reference/task.ts:213-224`
+  * `filterFeatures`); this is that gate re-expressed as a
+  * shuffle-avoiding plan fragment.
+  */
+object BloomJoin {
+
+  /** Bits per 64-bit word: 63 keeps `1L << bit` positive everywhere
+    * (DuckDB BIGINT `<<` overflows at bit 63).
+    */
+  val BitsPerWord = 63
+
+  /** `j`-th portable bit position of `key` in a `words*63`-slot set. */
+  private def pos(key: Column, j: Int, words: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#" + j))), 1, 15),
+      16, 10).cast("long") % (words.toLong * BitsPerWord)
+
+  /** One-row DataFrame `(bloom: array<long>)` of length `words` with
+    * the bits of every key in `keys(keyCol)` set, `hashes` positions
+    * per key. Build shape: explode keys×hashes → one `bit_or` shuffle
+    * of at most `words` groups (map-side partial `bit_or` makes the
+    * exchange O(words·partitions) regardless of key count) → a single
+    * dense array row. No driver action — the bloom stays a plan.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String,
+      words: Int, hashes: Int): DataFrame = {
+    val positions = (0 until hashes).map(j => pos(col(keyCol), j, words))
+    keys.select(explode(array(positions: _*)).as("p"))
+      .select((col("p") / BitsPerWord).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          (col("p") % BitsPerWord).cast("int")).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+        .as("wm"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("bloom"))
+  }
+
+  /** Membership predicate: all `hashes` bits of `key` set in `bloom`
+    * (an `array<long>` column). Pure codegen'd column math — lives in
+    * the scan stage, below any exchange.
+    */
+  def mightContain(key: Column, bloom: Column,
+      words: Int, hashes: Int): Column =
+    (0 until hashes).map { j =>
+      val p = pos(key, j, words)
+      val word = element_at(bloom, (p / BitsPerWord).cast("int") + 1)
+      call_function("shiftright", word, (p % BitsPerWord).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+
+  /** Exact semi join with bloom pre-pruning: `fact` rows whose
+    * `factKey` can't be in `dims(dimKey)` drop before the join; the
+    * final LEFT SEMI join removes bloom false positives, so the
+    * result is row-identical to the plain semi join at any bloom
+    * size. The bloom reaches the predicate as a SCALAR SUBQUERY (the
+    * InjectRuntimeFilter shape) rather than a broadcast cross join:
+    * a join formulation gets reordered by
+    * PushLeftSemiLeftAntiThroughJoin, which would move the exact
+    * semi join BELOW the bloom test and defeat the pruning; a
+    * subquery-fed Filter is a fixed point — it stays glued to the
+    * scan, below the join exchange (BloomJoinSpec asserts this).
+    */
+  def semiJoinPruned(fact: DataFrame, factKey: String,
+      dims: DataFrame, dimKey: String,
+      words: Int = 4096, hashes: Int = 3): DataFrame =
+    bloomPass(fact, factKey, dims, dimKey, words, hashes)
+      .join(dims, col(factKey) === dims(dimKey), "left_semi")
+
+  /** Bloom-only pass (no exact verify): what reaches the join — used
+    * to pin the deterministic false-positive set and measure pruning.
+    */
+  def bloomPass(fact: DataFrame, factKey: String,
+      dims: DataFrame, dimKey: String,
+      words: Int = 4096, hashes: Int = 3): DataFrame = {
+    val bloom = org.apache.spark.sql.graftbridge.ColumnBridge
+      .scalarSubquery(bloomBits(dims, dimKey, words, hashes))
+    fact.filter(mightContain(col(factKey), bloom, words, hashes))
+  }
+}

@@ -153,6 +153,34 @@ object JoinExtQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Bloom-filter runtime join pruning: the urgent-orders key set
+    // compressed to 4096 words × 63 bits × 3 hashes, broadcast, and
+    // applied to lineitem MAP-SIDE before the exact semi join (the
+    // explicit InjectRuntimeFilter shape — see BloomJoin docs for why
+    // this is the co-shuffled-join win at 100 TB). The md5-derived
+    // bit positions make even the false-positive set deterministic:
+    // `bloom_pass_keys` pins the bloom itself cross-engine, while the
+    // per-flag aggregate pins the exact-join result (independent of
+    // bloom parameters by construction).
+    "q_join_bloom" -> { (s, dir) =>
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("qty"))
+      val verified = graft.operators.BloomJoin.semiJoinPruned(
+          fact, "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("qty")).cast("double"), 2).as("sum_qty"))
+      val pass = graft.operators.BloomJoin.bloomPass(
+          t(s, dir, "lineitem").select(col("l_orderkey")).distinct(),
+          "l_orderkey", urgent, "o_orderkey")
+        .agg(count(lit(1)).as("bloom_pass_keys"))
+      verified.crossJoin(broadcast(pass)).orderBy(col("l_returnflag"))
+    },
+
     // KMV (k-minimum-values) distinct sketch, k = 64: estimate =
     // (k−1)·2⁶⁰ / h₍ₖ₎ over the portable md5-derived 60-bit hash
     // (Bar-Yossef et al. RANDOM'02). Unlike HLL the whole estimator
@@ -209,6 +237,44 @@ object JoinExtQueries {
                       ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE
                  END, 4) AS est_cust
          FROM agg ORDER BY o_orderstatus""",
+
+    // Replays BloomJoin bit-for-bit: same md5-derived positions, 63
+    // bits/word (sign-safe shifts), bit_or words, all-3-bits-set
+    // membership; the verified aggregate is the plain semi join.
+    "q_join_bloom" ->
+      """WITH pos AS (
+           SELECT (('0x' || substring(md5(o_orderkey::VARCHAR || '#' ||
+                    j.j::VARCHAR), 1, 15))::BIGINT) % 258048 AS p
+           FROM orders CROSS JOIN range(3) j(j)
+           WHERE o_orderpriority = '1-URGENT'),
+         bits AS (
+           SELECT p // 63 AS w,
+             bit_or(1::BIGINT << (p % 63)::INT) AS word
+           FROM pos GROUP BY 1),
+         kpos AS (
+           SELECT k, j,
+             (('0x' || substring(md5(k::VARCHAR || '#' || j::VARCHAR),
+               1, 15))::BIGINT) % 258048 AS p
+           FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+           CROSS JOIN range(3) j(j)),
+         hit AS (
+           SELECT kp.k
+           FROM kpos kp
+           JOIN bits b ON b.w = kp.p // 63
+             AND ((b.word >> (kp.p % 63)::INT) & 1) = 1
+           GROUP BY kp.k HAVING count(*) = 3),
+         pass AS (SELECT count(*) AS bloom_pass_keys FROM hit),
+         verified AS (
+           SELECT l_returnflag, count(*) AS n_rows,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+               AS DOUBLE), 2) AS sum_qty
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+           GROUP BY l_returnflag)
+         SELECT v.l_returnflag, v.n_rows, v.sum_qty, p.bloom_pass_keys
+         FROM verified v CROSS JOIN pass p
+         ORDER BY l_returnflag""",
 
     "q_asof_join" ->
       """WITH p AS (

@@ -23,6 +23,18 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Wrap a one-row one-column DataFrame as a scalar-subquery
+    * expression — the shape Spark's own runtime filters
+    * (InjectRuntimeFilter) use: the subquery materializes first,
+    * then the consuming predicate evaluates scan-side, below any
+    * exchange, and no join-reordering rule can move work past it
+    * (a broadcast-join formulation of the same filter gets reordered
+    * by PushLeftSemiLeftAntiThroughJoin).
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan))
+
   /** Register a temp SQL function backed by a catalyst Expression
     * builder (functionRegistry is also sql-private in Spark 4).
     */
