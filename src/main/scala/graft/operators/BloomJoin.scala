@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * positives, not |fact|).
   *
   * Engine-portability (the repo's oracle-exactness recipe): bit
-  * positions derive from the first 15 hex chars of
-  * `md5(key # hashIndex)` (60 bits, signed-BIGINT-safe) mod the slot
-  * count; each 64-bit word holds 63 bits so no mask ever touches the
-  * sign bit — every arithmetic step replays exactly in DuckDB, making
-  * even the false-positive set deterministic and oracle-checkable.
+  * positions are Kirsch–Mitzenmacher double hashing over the two
+  * 60-bit halves of ONE md5 digest (see
+  * [[graft.plans.BloomHash]] — one digest per row, evaluated by a
+  * native expression with a tight bit-test loop); each 64-bit word
+  * holds 63 bits so no mask ever touches the sign bit — every
+  * arithmetic step replays exactly in DuckDB, making even the
+  * false-positive set deterministic and oracle-checkable.
   * The final semi join is exact, so query RESULTS never depend on the
   * bloom parameters; only the pruned fraction does.
   *
@@ -35,11 +37,6 @@ object BloomJoin {
     */
   val BitsPerWord = 63
 
-  /** `j`-th portable bit position of `key` in a `words*63`-slot set. */
-  private def pos(key: Column, j: Int, words: Int): Column =
-    conv(substring(md5(concat(key.cast("string"), lit("#" + j))), 1, 15),
-      16, 10).cast("long") % (words.toLong * BitsPerWord)
-
   /** One-row DataFrame `(bloom: array<long>)` of length `words` with
     * the bits of every key in `keys(keyCol)` set, `hashes` positions
     * per key. Build shape: explode keys×hashes → one `bit_or` shuffle
@@ -49,8 +46,8 @@ object BloomJoin {
     */
   def bloomBits(keys: DataFrame, keyCol: String,
       words: Int, hashes: Int): DataFrame = {
-    val positions = (0 until hashes).map(j => pos(col(keyCol), j, words))
-    keys.select(explode(array(positions: _*)).as("p"))
+    keys.select(explode(graft.plans.BloomHash.bloomPositions(
+        col(keyCol).cast("string"), words, hashes)).as("p"))
       .select((col("p") / BitsPerWord).cast("int").as("w"),
         call_function("shiftleft", lit(1L),
           (col("p") % BitsPerWord).cast("int")).as("m"))
@@ -62,17 +59,14 @@ object BloomJoin {
   }
 
   /** Membership predicate: all `hashes` bits of `key` set in `bloom`
-    * (an `array<long>` column). Pure codegen'd column math — lives in
-    * the scan stage, below any exchange.
+    * (an `array<long>` column). A native expression (one md5 digest
+    * per row, early-exit bit-test loop) — lives in the scan stage,
+    * below any exchange.
     */
   def mightContain(key: Column, bloom: Column,
       words: Int, hashes: Int): Column =
-    (0 until hashes).map { j =>
-      val p = pos(key, j, words)
-      val word = element_at(bloom, (p / BitsPerWord).cast("int") + 1)
-      call_function("shiftright", word, (p % BitsPerWord).cast("int"))
-        .bitwiseAND(lit(1L)) === 1L
-    }.reduce(_ && _)
+    graft.plans.BloomHash.bloomMightContain(
+      key.cast("string"), bloom, words, hashes)
 
   /** Exact semi join with bloom pre-pruning: `fact` rows whose
     * `factKey` can't be in `dims(dimKey)` drop before the join; the

@@ -238,25 +238,36 @@ object JoinExtQueries {
                  END, 4) AS est_cust
          FROM agg ORDER BY o_orderstatus""",
 
-    // Replays BloomJoin bit-for-bit: same md5-derived positions, 63
-    // bits/word (sign-safe shifts), bit_or words, all-3-bits-set
-    // membership; the verified aggregate is the plain semi join.
+    // Replays BloomJoin bit-for-bit: Kirsch–Mitzenmacher positions
+    // from the two 60-bit halves of one md5 (h1 = hex 1..15,
+    // h2 = hex 17..31; pos_j = (h1%m + j*(h2%(m-1)+1)) % m,
+    // m = 4096*63 = 258048), 63 bits/word (sign-safe shifts), bit_or
+    // words, all-3-bits-set membership; the verified aggregate is the
+    // plain semi join.
     "q_join_bloom" ->
-      """WITH pos AS (
-           SELECT (('0x' || substring(md5(o_orderkey::VARCHAR || '#' ||
-                    j.j::VARCHAR), 1, 15))::BIGINT) % 258048 AS p
-           FROM orders CROSS JOIN range(3) j(j)
-           WHERE o_orderpriority = '1-URGENT'),
+      """WITH dh AS (
+           SELECT ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))
+                    ::BIGINT % 258048 AS b1,
+             ('0x' || substring(md5(o_orderkey::VARCHAR), 17, 15))
+                    ::BIGINT % 258047 + 1 AS st
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+         pos AS (
+           SELECT (b1 + j.j * st) % 258048 AS p
+           FROM dh CROSS JOIN range(3) j(j)),
          bits AS (
            SELECT p // 63 AS w,
              bit_or(1::BIGINT << (p % 63)::INT) AS word
            FROM pos GROUP BY 1),
+         kdh AS (
+           SELECT k,
+             ('0x' || substring(md5(k::VARCHAR), 1, 15))
+                    ::BIGINT % 258048 AS b1,
+             ('0x' || substring(md5(k::VARCHAR), 17, 15))
+                    ::BIGINT % 258047 + 1 AS st
+           FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)),
          kpos AS (
-           SELECT k, j,
-             (('0x' || substring(md5(k::VARCHAR || '#' || j::VARCHAR),
-               1, 15))::BIGINT) % 258048 AS p
-           FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
-           CROSS JOIN range(3) j(j)),
+           SELECT k, j, (b1 + j.j * st) % 258048 AS p
+           FROM kdh CROSS JOIN range(3) j(j)),
          hit AS (
            SELECT kp.k
            FROM kpos kp

@@ -54,15 +54,16 @@ class BloomJoinSpec extends SparkSpec {
           urgent, $"l_orderkey" === $"o_orderkey", "left_semi")
 
         // Plan shape: the shuffle feeding the semi join from the fact
-        // side must carry the bloom-membership filter (shiftright bit
-        // test) BELOW it — i.e. rows are dropped before the exchange.
+        // side must carry the bloom-membership filter (the native
+        // bloom_might_contain test) BELOW it — i.e. rows are dropped
+        // before the exchange.
         val exchanges = pruned.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e
         }
         val factExchange = exchanges.filter(_.toString.contains("l_orderkey"))
         assert(factExchange.exists(_.child.collect {
-          case f: FilterExec if f.condition.toString.contains("shiftright")
-            => f
+          case f: FilterExec
+            if f.condition.toString.contains("bloom_might_contain") => f
         }.nonEmpty), "bloom filter not below the fact-side exchange")
 
         // Measured: the bloom run shuffles materially fewer records
