@@ -63,5 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "asof_on(lk = rk, lts, rts) - as-of join marker (join ON only)"),
       (es: Seq[Expression]) => graft.plans.AsOfOnMarker(es.head, es(1), es(2))))
     ext.injectResolutionRule(_ => graft.plans.RewriteSqlAsOfJoin)
+    // first-class `ASOF [LEFT] JOIN ... ON ...` syntax: a delegating
+    // parser wraps the ON condition in asof_cond(...), which resolves
+    // through this marker function and lowers in RewriteAsOfSyntax
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectFunction((FunctionIdentifier("asof_cond"),
+      info("asof_cond",
+        "asof_cond(cond) - ASOF JOIN condition marker (parser-internal)"),
+      (es: Seq[Expression]) => graft.plans.AsOfCondMarker(es.head)))
+    ext.injectResolutionRule(_ => graft.plans.RewriteAsOfSyntax)
   }
 }

@@ -18,6 +18,7 @@ object Verify {
       // (session-UTC), not TIMESTAMP_NTZ — keeps epoch/ms functions
       // applicable and matches DuckDB's naive-timestamp semantics.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,14 +48,19 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
       s"${leftTs.dataType} vs right ${rightTs.name}: ${rightTs.dataType}" +
       " — cast one side before joining")
 
-  /** Right payload = right.output minus its key/ts columns (the left
-    * side already carries key and ts), nullable for no-match rows.
+  /** Stock left-outer-join shape: `left.* ++ right.*` with the right
+    * side nullable (no-match rows null-extend it, matched rows carry
+    * the matched right row INCLUDING its key/ts). Keeping the right
+    * key/ts in the output — rather than dropping them as
+    * "duplicates" of the left's — is what lets the SQL rewrite be a
+    * pure node swap with no alias shims: every downstream reference
+    * (`SELECT e.ts`, an inner-asof IsNotNull filter) keeps resolving
+    * to the same attribute ids a stock Join would expose. (An earlier
+    * duplicate-alias design broke under `RemoveRedundantAliases`
+    * once the rewrite moved to resolution time.)
     */
-  def rightPayload: Seq[Attribute] = right.output
-    .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
-    .map(_.withNullability(true))
-
-  override def output: Seq[Attribute] = left.output ++ rightPayload
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -145,7 +150,8 @@ object PushFilterThroughAsOfJoin
   * before any execution path could see it — so it is Unevaluable; if
   * a plan somehow retains one (e.g. `asof_on` used outside a join
   * condition), Spark fails loudly at planning rather than silently
-  * mis-joining.
+  * mis-joining. (The `ASOF JOIN` parser syntax lowers onto this same
+  * marker — see [[AsOfSyntax]].)
   */
 case class AsOfOnMarker(eq: Expression, leftTs: Expression,
     rightTs: Expression)
@@ -163,19 +169,15 @@ case class AsOfOnMarker(eq: Expression, leftTs: Expression,
 
 /** Rewrites `Join(l, r, LeftOuter, asof_on(eq, lts, rts))` into
   * [[AsOfJoinPlan]] — the pure-SQL doorway to the native operator.
-  *
-  * The one impedance mismatch vs a stock join: SQL join output is
-  * `l.* ++ r.*`, while the merge drops the right key/ts (the left
-  * side carries them). The rewrite therefore duplicates the right
-  * key/ts into payload columns under fresh ids and restores the
-  * original attribute ids above the node with aliases, so every
-  * downstream reference — SELECT list, ORDER BY, further joins —
-  * resolves unchanged.
+  * A pure node swap: the node's output is attribute-for-attribute
+  * the stock left-outer join's (`l.* ++ r.*`, right side nullable),
+  * so no reference above needs patching.
   *
   * Registered twice, covering both session styles (the rule is a
   * no-op where the other already ran): `injectResolutionRule` for
   * `spark.sql.extensions=graft.GraftExtensions` sessions (fires
-  * during analysis), and `spark.experimental.extraOptimizations` via
+  * during analysis, so every later analyzer/optimizer rule sees the
+  * final node), and `spark.experimental.extraOptimizations` via
   * [[AsOfJoinNative.enableSql]] for plain sessions (fires at the end
   * of optimization; Catalyst's own join rules leave the marker
   * untouched because it is neither equi-join-extractable nor
@@ -183,9 +185,9 @@ case class AsOfOnMarker(eq: Expression, leftTs: Expression,
   */
 object RewriteSqlAsOfJoin
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.EqualTo
   import org.apache.spark.sql.catalyst.plans.LeftOuter
-  import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.Join
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(l, r, LeftOuter, Some(m: AsOfOnMarker), _)
@@ -205,22 +207,7 @@ object RewriteSqlAsOfJoin
           s"asof_on: first argument must be left.key = right.key, got $other")
       }
       val (lts, rts) = fromSides(m.leftTs, m.rightTs, "the timestamps")
-      // right key/ts survive as payload duplicates under fresh ids
-      val rkDup = Alias(rk, rk.name)()
-      val rtsDup = Alias(rts, rts.name)()
-      val rProj = Project(r.output ++ Seq(rkDup, rtsDup), r)
-      def out(p: LogicalPlan, id: org.apache.spark.sql.catalyst.expressions.ExprId) =
-        p.output.find(_.exprId == id).get
-      val aj = AsOfJoinPlan(l, rProj,
-        lk, out(rProj, rk.exprId), lts, out(rProj, rts.exprId))
-      val restored: Seq[NamedExpression] = j.output.map { a =>
-        if (a.exprId == rk.exprId)
-          Alias(out(aj, rkDup.exprId), a.name)(exprId = a.exprId)
-        else if (a.exprId == rts.exprId)
-          Alias(out(aj, rtsDup.exprId), a.name)(exprId = a.exprId)
-        else out(aj, a.exprId)
-      }
-      Project(restored, aj)
+      AsOfJoinPlan(l, r, lk, rk, lts, rts)
   }
 }
 
@@ -236,11 +223,8 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute) extends BinaryExecNode {
 
-  private def rightPayload: Seq[Attribute] = right.output
-    .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
-    .map(_.withNullability(true))
-
-  override def output: Seq[Attribute] = left.output ++ rightPayload
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
@@ -264,18 +248,19 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
       "as-of key/ts columns must come from the respective child")
     val keyDt = leftKey.dataType
     val tsDt = leftTs.dataType
-    val payload = rightPayload
     val rightSchema = right.output
     val leftSchema = left.output
     val outSchema = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyCmp = TypeUtils.getInterpretedOrdering(keyDt)
       val tsCmp = TypeUtils.getInterpretedOrdering(tsDt)
-      // project the retained right row down to payload shape once
-      val payloadProj = UnsafeProjection.create(payload, rightSchema)
-      val outProj = UnsafeProjection.create(outSchema, leftSchema ++ payload)
+      // bind against the NULLABLE view of the right side: no-match
+      // rows are null-extended, and a non-nullable binding would
+      // codegen away the null checks (nulls would read as zeros)
+      val outProj = UnsafeProjection.create(outSchema,
+        leftSchema ++ rightSchema.map(_.withNullability(true)))
       val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(payload.length)
+      val nullRight = new GenericInternalRow(rightSchema.length)
       new Iterator[InternalRow] {
         // lookahead right row (copied: child iterators reuse buffers)
         private var rCur: InternalRow = _
@@ -303,8 +288,9 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
                     else rCur.get(rTsOrd, tsDt)
                   if (rTs == null) rCur = null
                   else if (tsCmp.compare(rTs, lTs) <= 0) {
-                    // newest-so-far match for this key
-                    lastMatch = payloadProj(rCur).copy()
+                    // newest-so-far match for this key (rCur is
+                    // already a defensive copy)
+                    lastMatch = rCur
                     lastMatchKey = InternalRow.copyValue(rKey)
                     rCur = null
                   } else scan = false // future right row: keep for later
@@ -384,8 +370,15 @@ object AsOfJoinNative {
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"$side side has no column $n"))
-    ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
-      attr(lPlan, ts, "left"), attr(rPlan, ts, "right")))
+    val rk = attr(rPlan, key, "right")
+    val rts = attr(rPlan, ts, "right")
+    val aj = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key, "left"), rk, attr(lPlan, ts, "left"), rts)
+    // helper contract: left.* ++ right payload — project away the
+    // right key/ts (the left side already carries both names)
+    val keep = aj.output.filterNot(a =>
+      a.exprId == rk.exprId || a.exprId == rts.exprId)
+    ColumnBridge.ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.Project(keep, aj))
   }
 }

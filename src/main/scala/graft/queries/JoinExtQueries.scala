@@ -77,6 +77,29 @@ object JoinExtQueries {
         ORDER BY p.event_id""")
     },
 
+    // First-class ASOF JOIN syntax (injectParser — see
+    // graft.plans.AsOfSyntax): the Spark side and the DuckDB oracle
+    // run the SAME SQL text, modulo epoch-function spelling — both
+    // engines parse `ASOF LEFT JOIN ... ON key equality AND
+    // left.ts >= right.ts` and produce the identical backward-looking
+    // match. Requires a session built with
+    // spark.sql.extensions=graft.GraftExtensions (Verify/Bench are).
+    "q_asof_join_syntax" -> { (s, dir) =>
+      t(s, dir, "events").createOrReplaceTempView("graft_asof_events")
+      s.sql("""
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM graft_asof_events
+          WHERE event_type = 'purchase'),
+        e AS (
+          SELECT user_id, ts, event_id AS err_id
+          FROM graft_asof_events WHERE event_type = 'error')
+        SELECT p.event_id, p.user_id, unix_millis(p.ts) AS time_ms,
+               e.err_id, unix_millis(e.ts) AS err_ms
+        FROM p ASOF LEFT JOIN e
+          ON p.user_id = e.user_id AND p.ts >= e.ts
+        ORDER BY p.event_id""")
+    },
+
     // Range join against a tiny literal tier table: broadcast
     // nested-loop on the band predicate — the correct shape when one
     // side is a handful of bands (never shuffle the fact side).
@@ -316,6 +339,22 @@ object JoinExtQueries {
 
     // SQL-surface marker path: identical semantics, same oracle
     "q_asof_join_sql" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         e AS (
+           SELECT user_id, ts, event_id AS err_id FROM events
+           WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS time_ms,
+           e.err_id, epoch_ms(e.ts) AS err_ms
+         FROM p ASOF LEFT JOIN e
+           ON p.user_id = e.user_id AND p.ts >= e.ts
+         ORDER BY p.event_id""",
+
+    // literally the Spark query's text (epoch_ms for unix_millis):
+    // DuckDB's native ASOF JOIN grammar and the injected parser
+    // accept the same statement
+    "q_asof_join_syntax" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),

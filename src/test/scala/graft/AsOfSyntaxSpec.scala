@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfSyntax
+
+/** The injected `ASOF JOIN` SQL surface: text-level rewrite
+  * correctness (quote/comment/paren awareness), semantic lowering
+  * (inner vs left outer), agreement with the marker-function path,
+  * and loud failure on the unsupported shapes.
+  *
+  * The shared test session is built with
+  * `spark.sql.extensions=graft.GraftExtensions`, so `spark.sql` here
+  * goes through [[graft.plans.GraftSqlParser]] exactly as a user
+  * session would.
+  */
+class AsOfSyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events() = {
+    Tables(spark, sf(), "events")
+      .createOrReplaceTempView("asof_syn_events")
+  }
+
+  test("rewrite wraps the ON condition and drops ASOF") {
+    val got = AsOfSyntax.rewrite(
+      "SELECT * FROM p ASOF JOIN e ON p.k = e.k AND p.ts >= e.ts WHERE p.k > 0")
+    assert(got ===
+      "SELECT * FROM p  JOIN e ON asof_cond( p.k = e.k AND p.ts >= e.ts ) WHERE p.k > 0")
+  }
+
+  test("rewrite is quote-, comment- and paren-aware") {
+    // 'ASOF JOIN' inside a string literal and a comment: untouched
+    val s1 = "SELECT 'ASOF JOIN', x -- ASOF JOIN\nFROM t"
+    assert(AsOfSyntax.rewrite(s1) === s1)
+    // a relation actually named asof directly after FROM: untouched
+    val s2 = "SELECT * FROM asof JOIN e ON asof.k = e.k"
+    assert(AsOfSyntax.rewrite(s2) === s2)
+    // left(...) the FUNCTION inside the condition must not end it
+    val got = AsOfSyntax.rewrite(
+      "SELECT * FROM p ASOF JOIN e ON left(p.k, 2) = left(e.k, 2) AND p.ts >= e.ts ORDER BY 1")
+    assert(got.contains(
+      "ON asof_cond( left(p.k, 2) = left(e.k, 2) AND p.ts >= e.ts )"))
+    // condition ends at the subquery's closing paren
+    val sub = AsOfSyntax.rewrite(
+      "SELECT * FROM (SELECT * FROM p ASOF JOIN e ON p.k = e.k AND p.ts >= e.ts) q")
+    assert(sub.contains("ON asof_cond( p.k = e.k AND p.ts >= e.ts) )"))
+  }
+
+  test("ASOF LEFT JOIN via SQL == the asof_on marker path") {
+    events()
+    val syntax = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id, unix_millis(e.ts) AS err_ms
+      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+      ORDER BY p.event_id""").collect()
+    val marker = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts AS err_ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id, unix_millis(e.err_ts) AS err_ms
+      FROM p LEFT JOIN e ON asof_on(p.user_id = e.user_id, p.ts, e.err_ts)
+      ORDER BY p.event_id""").collect()
+    assert(syntax.sameElements(marker))
+  }
+
+  test("inner ASOF JOIN drops unmatched rows; mirrored <= works") {
+    events()
+    val inner = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id
+      FROM p ASOF JOIN e ON e.ts <= p.ts AND p.user_id = e.user_id
+      ORDER BY p.event_id""").collect()
+    val outer = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id
+      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+      ORDER BY p.event_id""").collect()
+    assert(inner.sameElements(outer.filter(!_.isNullAt(1))))
+    assert(inner.length < outer.length) // the data does have unmatched rows
+  }
+
+  test("unsupported shapes fail loudly") {
+    events()
+    def q(cond: String): Unit = spark.sql(s"""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id FROM p ASOF JOIN e ON $cond""").queryExecution.analyzed
+    val fwd = intercept[IllegalArgumentException](
+      q("p.user_id = e.user_id AND p.ts <= e.ts"))
+    assert(fwd.getMessage.contains("forward-looking"))
+    val noEq = intercept[IllegalArgumentException](
+      q("p.ts >= e.ts"))
+    assert(noEq.getMessage.contains("key equality"))
+    val noIneq = intercept[IllegalArgumentException](
+      q("p.user_id = e.user_id"))
+    assert(noIneq.getMessage.contains("inequality"))
+    val noOn = intercept[IllegalArgumentException](AsOfSyntax.rewrite(
+      "SELECT * FROM p ASOF JOIN e WHERE x = 1"))
+    assert(noOn.getMessage.contains("ON"))
+  }
+
+  test("the lowered plan is the native merge exec (no cartesian)") {
+    events()
+    val df = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id
+      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts""")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("AsOfMergeJoin"), s"expected merge exec in:\n$exec")
+    assert(!exec.contains("Cartesian"))
+  }
+}
