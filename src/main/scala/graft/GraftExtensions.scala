@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PushDownPredicates rules otherwise)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // conf-gated automatic bloom-filter join pruning (off by default;
+    // spark.graft.autoBloom.enabled=true)
+    ext.injectOptimizerRule(_ => graft.plans.AutoBloomJoin)
     // SQL surface for the native as-of join:
     //   l LEFT JOIN r ON asof_on(l.key = r.key, l.ts, r.ts)
     ext.injectFunction((FunctionIdentifier("asof_on"),

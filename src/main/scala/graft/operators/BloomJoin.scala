@@ -45,9 +45,13 @@ object BloomJoin {
     * dense array row. No driver action — the bloom stays a plan.
     */
   def bloomBits(keys: DataFrame, keyCol: String,
+      words: Int, hashes: Int): DataFrame =
+    bloomBits(keys, col(keyCol), words, hashes)
+
+  def bloomBits(keys: DataFrame, key: Column,
       words: Int, hashes: Int): DataFrame = {
     keys.select(explode(graft.plans.BloomHash.bloomPositions(
-        col(keyCol).cast("string"), words, hashes)).as("p"))
+        key.cast("string"), words, hashes)).as("p"))
       .select((col("p") / BitsPerWord).cast("int").as("w"),
         call_function("shiftleft", lit(1L),
           (col("p") % BitsPerWord).cast("int")).as("m"))
