@@ -204,6 +204,28 @@ object JoinExtQueries {
       verified.crossJoin(broadcast(pass)).orderBy(col("l_returnflag"))
     },
 
+    // Co-located join over bucketed tables: both sides written once
+    // as 8-bucket tables on the join key (one sorted file per
+    // bucket — see graft.sources.BucketedTables), then joined with
+    // ZERO exchange on either join side (BucketingSpec pins the plan
+    // shape). The oracle recomputes the identical join from the raw
+    // parquet, so this entry also proves the bucketed SINK
+    // round-trips the data bit-for-bit.
+    "q_join_bucketed" -> { (s, dir) =>
+      val (lt, ot) = graft.sources.BucketedTables.ensure(s, dir)
+      s.table(lt).join(s.table(ot),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("double"), 2).as("sum_qty"),
+          round(sum((col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") -
+                col("l_discount").cast("decimal(12,2)"))))
+            .cast("double"), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // KMV (k-minimum-values) distinct sketch, k = 64: estimate =
     // (k−1)·2⁶⁰ / h₍ₖ₎ over the portable md5-derived 60-bit hash
     // (Bar-Yossef et al. RANDOM'02). Unlike HLL the whole estimator
@@ -260,6 +282,19 @@ object JoinExtQueries {
                       ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE
                  END, 4) AS est_cust
          FROM agg ORDER BY o_orderstatus""",
+
+    // the bucketed write is a layout property, not a data property:
+    // the same join over the raw parquet must agree exactly
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) -
+                CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+             AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // Replays BloomJoin bit-for-bit: Kirsch–Mitzenmacher positions
     // from the two 60-bit halves of one md5 (h1 = hex 1..15,

@@ -47,6 +47,36 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q_join_bucketed: zero exchange and zero sort on both join sides") {
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // since Spark 3.1 the scan only reports the in-bucket sort order
+    // (one sorted file per bucket) behind this flag — without it the
+    // join stays exchange-free but re-sorts each bucket
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+    try withoutAqe {
+      val df = graft.queries.JoinExtQueries
+        .defs("q_join_bucketed")(spark, sf("0.001"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+      // neither join input shuffles: the 8-bucket layout satisfies
+      // the sort-merge join's distribution requirement from storage
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+      // and with ONE sorted file per bucket the scan satisfies the
+      // ordering requirement too: no per-side SortExec below the join
+      val joinSorts = "Sort \\[[lo]_orderkey".r.findAllIn(plan).size
+      assert(joinSorts == 0, s"expected sort-free bucketed join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("stored LSH index: ingest matches with zero corpus-side shuffle, flat in corpus size") {
     // The storage half of Dedup.minhashLshIncremental's 100 TB claim:
     // the corpus's band-key index, written ONCE bucketed by a 64-bit
