@@ -204,6 +204,30 @@ object JoinExtQueries {
       verified.crossJoin(broadcast(pass)).orderBy(col("l_returnflag"))
     },
 
+    // Dynamic partition pruning: the fact side is the day-partitioned
+    // events layout; the dim side is a runtime-computed set of days
+    // (distinct purchase days of a sparse user cohort, derived from
+    // the RAW events table — a different source, so the day set is
+    // genuinely unknown until the dim subquery runs). Spark reuses
+    // the dim broadcast as a partition filter on the fact scan —
+    // whole directories are skipped, not rows (PlanSpec-style
+    // assertion in DppSpec). The oracle recomputes the same join
+    // day-set from the raw parquet.
+    "q_join_dpp" -> { (s, dir) =>
+      val fact = s.read.parquet(
+        graft.sources.PartitionedEvents.ensure(s, dir))
+      val dim = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("user_id") % 50 === 0)
+        .select(to_date(col("ts")).as("dt")).distinct()
+      fact.join(dim, "dt")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value").cast("decimal(12,2)"))
+            .cast("double"), 2).as("sum_v"))
+        .orderBy(col("event_type"))
+    },
+
     // Co-located join over bucketed tables: both sides written once
     // as 8-bucket tables on the join key (one sorted file per
     // bucket — see graft.sources.BucketedTables), then joined with
@@ -282,6 +306,19 @@ object JoinExtQueries {
                       ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE
                  END, 4) AS est_cust
          FROM agg ORDER BY o_orderstatus""",
+
+    // partitioned layout is invisible to the data: same join over
+    // the raw events parquet (naive-timestamp date cast = Spark's
+    // UTC-session to_date)
+    "q_join_dpp" ->
+      """WITH dim AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events
+           WHERE event_type = 'purchase' AND user_id % 50 = 0)
+         SELECT e.event_type, count(*) AS n_rows,
+           round(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_v
+         FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.dt
+         GROUP BY e.event_type ORDER BY e.event_type""",
 
     // the bucketed write is a layout property, not a data property:
     // the same join over the raw parquet must agree exactly
