@@ -257,11 +257,14 @@ class GraftSqlParser(
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
+  private def sugar(sqlText: String): String =
+    QualifySyntax.rewrite(AsOfSyntax.rewrite(sqlText))
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(AsOfSyntax.rewrite(sqlText))
+    delegate.parsePlan(sugar(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(AsOfSyntax.rewrite(sqlText))
+    delegate.parseQuery(sugar(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

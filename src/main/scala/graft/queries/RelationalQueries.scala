@@ -380,6 +380,21 @@ object RelationalQueries {
         ORDER BY rf, ls""")
     },
 
+    // QUALIFY (injectParser sugar, graft.plans.QualifySyntax): the
+    // post-window filter Spark SQL lacks; rewritten at parse time
+    // into a wrapped subquery + filter + star-EXCEPT. The oracle runs
+    // the IDENTICAL statement — DuckDB's native QUALIFY and the
+    // injected rewrite must agree row-for-row.
+    "q_window_qualify" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""")
+    },
+
     // ---- window functions ----------------------------------------
     "q_window_rank" -> { (s, dir) =>
       val bucket = floor(col("o_totalprice") / 50000).cast("long")
@@ -756,6 +771,14 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+
+    // the Spark query's exact text: DuckDB evaluates QUALIFY natively
+    "q_window_qualify" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
 
     "q_window_rank" ->
       """SELECT * FROM (
