@@ -258,7 +258,8 @@ class GraftSqlParser(
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
   private def sugar(sqlText: String): String =
-    QualifySyntax.rewrite(AsOfSyntax.rewrite(sqlText))
+    QualifySyntax.rewrite(
+      DistinctOnSyntax.rewrite(AsOfSyntax.rewrite(sqlText)))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sugar(sqlText))

@@ -395,6 +395,19 @@ object RelationalQueries {
         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""")
     },
 
+    // DISTINCT ON (parser sugar chain: DistinctOnSyntax lowers to a
+    // QUALIFY, QualifySyntax lowers that to the wrapped filter) —
+    // the latest/best-per-key grammar. Highest-value event per user,
+    // deterministically tie-broken; the oracle runs the identical
+    // statement through DuckDB's native DISTINCT ON.
+    "q_distinct_on" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT DISTINCT ON (user_id) user_id, event_id, value
+        FROM events
+        ORDER BY user_id, value DESC, event_id""")
+    },
+
     // ---- window functions ----------------------------------------
     "q_window_rank" -> { (s, dir) =>
       val bucket = floor(col("o_totalprice") / 50000).cast("long")
@@ -771,6 +784,12 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+
+    // the Spark query's exact text: DuckDB's native DISTINCT ON
+    "q_distinct_on" ->
+      """SELECT DISTINCT ON (user_id) user_id, event_id, value
+         FROM events
+         ORDER BY user_id, value DESC, event_id""",
 
     // the Spark query's exact text: DuckDB evaluates QUALIFY natively
     "q_window_qualify" ->

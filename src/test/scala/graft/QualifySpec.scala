@@ -78,6 +78,34 @@ class QualifySpec extends SparkSpec {
     assert(top.forall(_.getLong(1) == maxCnt))
   }
 
+  test("DISTINCT ON == groupBy max_by (latest-per-key grammar)") {
+    Tables.registerViews(spark, sf())
+    val got = spark.sql("""
+      SELECT DISTINCT ON (user_id) user_id, event_id, value
+      FROM events
+      ORDER BY user_id, value DESC, event_id""").collect()
+    val want = spark.sql("""
+      SELECT user_id,
+        min_by(event_id, struct(-value, event_id)) AS event_id,
+        max(value) AS value
+      FROM events GROUP BY user_id
+      ORDER BY user_id, value DESC, event_id""").collect()
+    assert(got.length == want.length)
+    // per-key pick agrees with the aggregate formulation
+    assert(got.map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(want.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
+  test("DISTINCT ON without ORDER BY fails loudly") {
+    val e = intercept[IllegalArgumentException](
+      graft.plans.DistinctOnSyntax.rewrite(
+        "SELECT DISTINCT ON (k) k, v FROM t"))
+    assert(e.getMessage.contains("ORDER BY"))
+    // plain DISTINCT (no ON) is untouched
+    val s = "SELECT DISTINCT a FROM t ORDER BY a"
+    assert(graft.plans.DistinctOnSyntax.rewrite(s) === s)
+  }
+
   test("unsupported shapes fail loudly") {
     val dis = intercept[IllegalArgumentException](QualifySyntax.rewrite(
       "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
