@@ -100,4 +100,22 @@ object BloomJoin {
       .scalarSubquery(bloomBits(dims, dimKey, words, hashes))
     fact.filter(mightContain(col(factKey), bloom, words, hashes))
   }
+
+  /** Driver-materialized bloom bits, for contexts that can't carry a
+    * scalar subquery — a STREAMING ingest filter, chiefly. One
+    * collect of the one-row bloom at stream setup (the array is
+    * `words` longs — 32 KB at the default), then the bits ride the
+    * per-batch filter as a literal: every micro-batch drops
+    * non-matching rows map-side with zero state and zero join, the
+    * streaming mirror of the batch pre-prune. Same deterministic
+    * md5 positions, so stream and batch pass the same rows.
+    */
+  def bloomBitsLocal(dims: DataFrame, dimKey: String,
+      words: Int = 4096, hashes: Int = 3): Array[Long] =
+    bloomBits(dims, dimKey, words, hashes)
+      .head().getSeq[Long](0).toArray
+
+  def mightContainLocal(key: Column, bits: Array[Long],
+      words: Int = 4096, hashes: Int = 3): Column =
+    mightContain(key, typedLit(bits.toSeq), words, hashes)
 }

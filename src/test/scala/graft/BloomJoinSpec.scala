@@ -36,6 +36,29 @@ class BloomJoinSpec extends SparkSpec {
     assert(truth.subsetOf(pass))
   }
 
+  test("streaming ingest filter passes exactly the batch bloom's rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dims = (1L to 120L by 3).toDF("d")
+    val bits = BloomJoin.bloomBitsLocal(dims, "d", words = 4, hashes = 3)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = input.toDF().toDF("k")
+      .filter(BloomJoin.mightContainLocal(col("k"), bits, 4, 3))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(1L to 200L)
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_stream")
+        .select($"k").as[Long].collect().sorted
+      val batch = BloomJoin.bloomPass(
+          (1L to 200L).toDF("k"), "k", dims, "d", words = 4, hashes = 3)
+        .select($"k").as[Long].collect().sorted
+      assert(streamed.sameElements(batch)) // FP set included, bit-equal
+      assert((1L to 120L by 3).forall(streamed.contains(_))) // no FNs
+    } finally q.stop()
+  }
+
   test("bloom filter prunes the fact side below the join exchange " +
       "(measured shuffle rows + plan shape)") {
     withoutAqe {

@@ -25,6 +25,27 @@ class DppSpec extends SparkSpec {
     }
   }
 
+  test("measured: fact scan reads exactly the dim-side day set") {
+    withoutAqe {
+      val df = graft.queries.JoinExtQueries
+        .defs("q_join_dpp")(spark, sf("0.001"))
+      df.collect() // populate scan metrics
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("events_by_day") => s
+      }.head
+      val readPartitions = scan.metrics("numPartitions").value
+      val dimDays = Tables(spark, sf("0.001"), "events")
+        .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+        .select(to_date(col("ts"))).distinct().count()
+      val allDays = Tables(spark, sf("0.001"), "events")
+        .select(to_date(col("ts"))).distinct().count()
+      info(s"partitions read: $readPartitions of $allDays (dim days: $dimDays)")
+      assert(readPartitions == dimDays,
+        s"DPP should read exactly the dim day set: $readPartitions != $dimDays")
+    }
+  }
+
   test("results identical with dynamic pruning disabled") {
     val on = graft.queries.JoinExtQueries
       .defs("q_join_dpp")(spark, sf("0.001")).collect()
