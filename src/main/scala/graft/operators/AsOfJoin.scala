@@ -42,4 +42,44 @@ object AsOfJoin {
       df.withColumn(c, col(s"__asof_match.$c"))
     }.drop("__side", "__asof_payload", "__asof_match")
   }
+
+  /** Stream-static as-of: enrich a (possibly streaming) left side
+    * against a STATIC right side collected once into a broadcast
+    * per-key sorted index, probed with binary search per row — no
+    * state, no join, no shuffle on the stream, so it composes with
+    * any output mode and any downstream operator. This is the
+    * streaming member of the as-of family (the union+window
+    * composition and the native merge both need the full right side
+    * per batch); the static side must fit on the driver, the right
+    * trade for the reference-shaped "enrich live events against a
+    * slowly-changing history" pipeline.
+    *
+    * Key/ts are read as longs (cast timestamps to `unix_millis`
+    * upstream); payload is a single string column for the same
+    * reason the CoT pipeline serializes structured payloads —
+    * encoder-simple and null-cleanly absent for no-match rows.
+    * Semantics match [[asOf]]: newest right row with ts' <= ts,
+    * equal-ts visible, null key/ts never match.
+    */
+  def asOfStatic(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: String,
+      outCol: String): DataFrame = {
+    val spark = left.sparkSession
+    val index: Map[Long, (Array[Long], Array[String])] =
+      right.select(col(key).cast("long"), col(ts).cast("long"),
+          col(payload).cast("string"))
+        .filter(col(key).isNotNull && col(ts).isNotNull)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rows) =>
+          val sorted = rows.map(r => (r.getLong(1), r.getString(2)))
+            .sortBy(r => (r._1, r._2))
+          k -> (sorted.map(_._1), sorted.map(_._2))
+        }
+    val bcast = spark.sparkContext.broadcast(index)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    left.withColumn(outCol, column(graft.plans.AsOfLookupExpr(
+      expression(col(key).cast("long")),
+      expression(col(ts).cast("long")), bcast)))
+  }
 }

@@ -128,3 +128,44 @@ case class BloomMightContainExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): BloomMightContainExpr = copy(left = l, right = r)
 }
+
+/** Broadcast-index as-of lookup (the streaming member of the as-of
+  * family, `graft.operators.AsOfJoin.asOfStatic`): per row, binary
+  * search the key's sorted (ts, payload) arrays for the last entry
+  * at or before ts. The index rides a Spark broadcast (same shape as
+  * [[NearestCellsBcastExpr]]): the expression tree carries only the
+  * handle, executors fetch once per JVM. Null key/ts → null; no
+  * match → null.
+  */
+case class AsOfLookupExpr(left: Expression, right: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[
+      Map[Long, (Array[Long], Array[String])]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "asof_lookup"
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(k: Any, t: Any): Any =
+    bcast.value.get(k.asInstanceOf[Long]) match {
+      case None => null
+      case Some((tss, payloads)) =>
+        val ts = t.asInstanceOf[Long]
+        var lo = 0
+        var hi = tss.length - 1
+        var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (tss(mid) <= ts) { ans = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (ans < 0) null
+        else org.apache.spark.unsafe.types.UTF8String
+          .fromString(payloads(ans))
+    }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): AsOfLookupExpr = copy(left = l, right = r)
+}

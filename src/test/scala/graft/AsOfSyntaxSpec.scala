@@ -111,6 +111,45 @@ class AsOfSyntaxSpec extends SparkSpec {
     assert(noOn.getMessage.contains("ON"))
   }
 
+  test("stream-static asOfStatic == batch composition on events") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables(spark, sf(), "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id").cast("string").as("err"))
+    // batch truth via the union+window composition
+    val purchasesB = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("tms"))
+    val want = graft.operators.AsOfJoin.asOf(
+        purchasesB, errors.withColumnRenamed("tms", "tms2")
+          .withColumnRenamed("user_id", "uid2")
+          .toDF("uid2", "tms2", "err")
+          .select(col("uid2").as("user_id"), col("tms2").as("tms"),
+            col("err")),
+        "user_id", "tms", Seq("err"))
+      .select(col("event_id"), col("err")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    // streamed through the broadcast index
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = graft.operators.AsOfJoin.asOfStatic(
+        input.toDF().toDF("event_id", "user_id", "tms"),
+        errors, "user_id", "tms", "err", "err")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(purchasesB.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .select(col("event_id"), col("err")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+      assert(got.sameElements(want))
+      assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+    } finally q.stop()
+  }
+
   test("the lowered plan is the native merge exec (no cartesian)") {
     events()
     val df = spark.sql("""
