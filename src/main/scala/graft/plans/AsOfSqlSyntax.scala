@@ -258,8 +258,8 @@ class GraftSqlParser(
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
   private def sugar(sqlText: String): String =
-    QualifySyntax.rewrite(
-      DistinctOnSyntax.rewrite(AsOfSyntax.rewrite(sqlText)))
+    QualifySyntax.rewrite(DistinctOnSyntax.rewrite(
+      ExcludeSyntax.rewrite(AsOfSyntax.rewrite(sqlText))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sugar(sqlText))

@@ -194,3 +194,31 @@ object DistinctOnSyntax {
     }
   }
 }
+
+/** `SELECT * EXCLUDE (cols)` — DuckDB's spelling of Spark's
+  * `* EXCEPT (cols)`. Pure token rename, applied only where the
+  * previous non-whitespace character is `*` (or a `.*` qualified
+  * star), so EXCLUDE stays usable as an identifier anywhere else.
+  */
+object ExcludeSyntax {
+  def rewrite(sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("EXCLUDE"))
+      return sql
+    val toks = AsOfSyntax.lex(sql)
+    val spots = toks.filter { t =>
+      if (t.up != "EXCLUDE") false
+      else {
+        var p = t.start - 1
+        while (p >= 0 && Character.isWhitespace(sql.charAt(p))) p -= 1
+        p >= 0 && sql.charAt(p) == '*'
+      }
+    }
+    if (spots.isEmpty) sql
+    else {
+      val sb = new StringBuilder(sql)
+      spots.sortBy(-_.start).foreach(t =>
+        sb.replace(t.start, t.end, "EXCEPT"))
+      sb.toString
+    }
+  }
+}

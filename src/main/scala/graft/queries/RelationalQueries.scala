@@ -408,6 +408,15 @@ object RelationalQueries {
         ORDER BY user_id, value DESC, event_id""")
     },
 
+    // star-EXCLUDE (DuckDB spelling, mapped to Spark's * EXCEPT by
+    // ExcludeSyntax): same statement on both engines.
+    "q_select_exclude" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders
+        ORDER BY o_orderkey LIMIT 50""")
+    },
+
     // ---- window functions ----------------------------------------
     "q_window_rank" -> { (s, dir) =>
       val bucket = floor(col("o_totalprice") / 50000).cast("long")
@@ -784,6 +793,11 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+
+    // the Spark query's exact text: DuckDB's native EXCLUDE
+    "q_select_exclude" ->
+      """SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders
+         ORDER BY o_orderkey LIMIT 50""",
 
     // the Spark query's exact text: DuckDB's native DISTINCT ON
     "q_distinct_on" ->

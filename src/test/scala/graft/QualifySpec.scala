@@ -106,6 +106,24 @@ class QualifySpec extends SparkSpec {
     assert(graft.plans.DistinctOnSyntax.rewrite(s) === s)
   }
 
+  test("star-EXCLUDE maps to star-EXCEPT; identifiers untouched") {
+    assert(graft.plans.ExcludeSyntax.rewrite(
+      "SELECT * EXCLUDE (a, b) FROM t") ===
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(graft.plans.ExcludeSyntax.rewrite(
+      "SELECT t.* EXCLUDE (a) FROM t") ===
+      "SELECT t.* EXCEPT (a) FROM t")
+    // a column named exclude stays a column
+    val s = "SELECT exclude FROM t WHERE exclude > 1"
+    assert(graft.plans.ExcludeSyntax.rewrite(s) === s)
+    Tables.registerViews(spark, sf())
+    val cols = spark.sql(
+      "SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders LIMIT 1")
+      .columns.toSeq
+    assert(!cols.contains("o_totalprice") && !cols.contains("o_orderdate")
+      && cols.contains("o_orderkey"))
+  }
+
   test("unsupported shapes fail loudly") {
     val dis = intercept[IllegalArgumentException](QualifySyntax.rewrite(
       "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
