@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesic helpers for the track domain. The reference relays GPS
+  * points and its CoT layer (`@tak-ps/node-cot`, reference
+  * `task.ts:2`) ships turf geometry helpers (destination / ellipse)
+  * for range rings; this module provides the Spark-native analogues:
+  * haversine distance, initial bearing, destination projection, and
+  * grid/Z-order keys for spatial blocking.
+  *
+  * All functions are pure Column compositions over
+  * `org.apache.spark.sql.functions` — no UDFs — so every call stays
+  * inside whole-stage codegen and is trivially pushed/pruned around.
+  *
+  * Cross-engine determinism: IEEE `+ - * /`, `sqrt` and `fmod` are
+  * exactly rounded, so any formula built only from those is
+  * bit-identical in Spark and DuckDB. `sin/cos/asin/atan2` are NOT
+  * (libm vs JVM intrinsics differ at ~1 ulp), so every
+  * transcendental result is quantized through DECIMAL before it is
+  * emitted or compared — same recipe as the ln()-based text scores.
+  * Degree→radian conversion multiplies by an explicit double literal
+  * (NOT the engines' `radians()`, whose internal association
+  * differs: JVM `toRadians` computes `x / 180 * π`, DuckDB
+  * `x * (π/180)`).
+  */
+object GeoFunctions {
+
+  /** Mean Earth radius (IUGG R1) in meters. */
+  val EarthRadiusM = 6371008.8
+
+  /** π/180 and 180/π as exact double literals, mirrored verbatim in
+    * every oracle's SQL text.
+    */
+  val DegToRad = 0.017453292519943295
+  val RadToDeg = 57.29577951308232
+
+  private def rad(deg: Column): Column = deg * lit(DegToRad)
+
+  /** Great-circle distance in meters (haversine).
+    *
+    * SQL mirror (keep the association identical):
+    * {{{
+    * 12742017.6 * asin(sqrt(
+    *   sin((lat2 - lat1) * 0.017453292519943295 / 2)
+    *     * sin((lat2 - lat1) * 0.017453292519943295 / 2)
+    *   + cos(lat1 * 0.017453292519943295)
+    *     * cos(lat2 * 0.017453292519943295)
+    *     * (sin((lon2 - lon1) * 0.017453292519943295 / 2)
+    *        * sin((lon2 - lon1) * 0.017453292519943295 / 2))))
+    * }}}
+    */
+  def haversineM(lat1: Column, lon1: Column,
+                 lat2: Column, lon2: Column): Column = {
+    val sdl = sin(rad(lat2 - lat1) / 2)
+    val sdo = sin(rad(lon2 - lon1) / 2)
+    val a = sdl * sdl + cos(rad(lat1)) * cos(rad(lat2)) * (sdo * sdo)
+    // 12742017.6 = 2 * EarthRadiusM, folded so both engines parse one
+    // literal instead of multiplying two.
+    lit(12742017.6) * asin(sqrt(a))
+  }
+
+  /** Haversine quantized to 0.1 m as DOUBLE — the emit/compare form.
+    * 0.1 m granularity leaves ~6 orders of magnitude of headroom over
+    * the ~1e-8 m cross-engine drift of the raw double.
+    */
+  def distQ(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    haversineM(lat1, lon1, lat2, lon2)
+      .cast("decimal(18,1)").cast("double")
+
+  /** Initial bearing in degrees [0, 360), quantized to 1e-6 deg. */
+  def bearingQ(lat1: Column, lon1: Column,
+               lat2: Column, lon2: Column): Column = {
+    val dlon = rad(lon2 - lon1)
+    val y = sin(dlon) * cos(rad(lat2))
+    val x = cos(rad(lat1)) * sin(rad(lat2)) -
+      sin(rad(lat1)) * cos(rad(lat2)) * cos(dlon)
+    ((atan2(y, x) * lit(RadToDeg) + lit(360.0)) % lit(360.0))
+      .cast("decimal(18,6)").cast("double")
+  }
+
+  /** Destination point: start at (lat, lon), travel `distM` meters on
+    * initial bearing `bearingDeg` (the turf `destination` analogue the
+    * reference's CoT layer uses for range rings). Returns
+    * (dest_lat, dest_lon) quantized to 1e-6 deg (~0.1 m).
+    *
+    * The λ2 formula reuses the COMPUTED φ2 — callers of the SQL
+    * mirror must thread φ2 through a CTE column exactly like the
+    * `phi2` Column here, or the engines disagree at the ulp level
+    * twice instead of once.
+    */
+  def destination(lat: Column, lon: Column,
+                  bearingDeg: Column, distM: Column): (Column, Column) = {
+    val phi1 = rad(lat)
+    val theta = rad(bearingDeg)
+    val delta = distM / lit(EarthRadiusM)
+    val phi2 = asin(sin(phi1) * cos(delta) +
+      cos(phi1) * sin(delta) * cos(theta))
+    val lam2 = rad(lon) + atan2(
+      sin(theta) * sin(delta) * cos(phi1),
+      cos(delta) - sin(phi1) * sin(phi2))
+    ((phi2 * lit(RadToDeg)).cast("decimal(18,6)").cast("double"),
+     (lam2 * lit(RadToDeg)).cast("decimal(18,6)").cast("double"))
+  }
+
+  /** Grid-cell key for spatial blocking: `cellDeg`-degree cells,
+    * packed `latCell * 1000 + lonCell` (lonCell < 360/cellDeg ≤ 1000).
+    * Pure floor arithmetic — bit-identical across engines, no
+    * quantization needed.
+    */
+  def cellKey(lat: Column, lon: Column, cellDeg: Double): Column =
+    floor((lat + lit(90.0)) / lit(cellDeg)).cast("long") * 1000 +
+      floor((lon + lit(180.0)) / lit(cellDeg)).cast("long")
+
+  /** Same key with integer cell offsets, for neighbor expansion. */
+  def cellKeyOff(lat: Column, lon: Column, cellDeg: Double,
+                 di: Column, dj: Column): Column =
+    (floor((lat + lit(90.0)) / lit(cellDeg)).cast("long") + di) * 1000 +
+      (floor((lon + lit(180.0)) / lit(cellDeg)).cast("long") + dj)
+
+  /** 16-bit lat/lon bin over the full globe: floor((deg+off)/span *
+    * 65536). Exact double arithmetic — cross-engine identical.
+    */
+  def latBin16(lat: Column): Column =
+    floor((lat + lit(90.0)) / lit(180.0) * lit(65536.0)).cast("long")
+  def lonBin16(lon: Column): Column =
+    floor((lon + lit(180.0)) / lit(360.0) * lit(65536.0)).cast("long")
+
+  /** Spread the low 16 bits of `b` to even bit positions (classic
+    * magic-mask interleave). Integer-only — exact in both engines.
+    *
+    * SQL mirror, one step per CTE column:
+    * {{{
+    * s1 = (b  | (b  << 8)) & 16711935
+    * s2 = (s1 | (s1 << 4)) & 252645135
+    * s3 = (s2 | (s2 << 2)) & 858993459
+    * s4 = (s3 | (s3 << 1)) & 1431655765
+    * }}}
+    */
+  def spread16(b: Column): Column = {
+    val s1 = (b.bitwiseOR(shiftleft(b, 8))).bitwiseAND(lit(16711935L))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(252645135L))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(858993459L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(1431655765L))
+  }
+
+  /** 32-bit Morton (Z-order) key interleaving the two 16-bit bins:
+    * lat bits on even positions, lon bits on odd. Sorting/range-
+    * partitioning a write by this key clusters spatial neighbors into
+    * the same parquet row groups, so a lat/lon box predicate prunes
+    * via min/max stats — the data-skipping layout for a 100 TB track
+    * archive (see ZOrderSpec for the measured row-group cut).
+    */
+  def mortonKey(lat: Column, lon: Column): Column =
+    spread16(latBin16(lat)).bitwiseOR(shiftleft(spread16(lonBin16(lon)), 1))
+}

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoFunctions._
+import graft.operators.TrackPipeline
+
+/** Geospatial query family over the track domain (the reference is a
+  * GPS-track connector; reference `task.ts:29-32,139-142` relays
+  * point geometry, and its CoT peer library ships turf
+  * destination/ellipse helpers — reference `task.ts:2`).
+  *
+  * The testdata has no coordinate columns, so lat/lon are DERIVED
+  * from `events` by exact integer arithmetic (portable: both engines
+  * compute bit-identical doubles), confined to a band
+  * lat ∈ [30, 60), lon ∈ [-120, -60) — a realistic continental
+  * operating area that also keeps haversine inputs far from the
+  * antipodal asin() singularity where cross-engine ulp drift would
+  * amplify.
+  *
+  * Scale design per query is in the entry comments; the common theme:
+  * the stations dimension is tiny (25 rows → ≤225 after neighbor
+  * expansion) and ALWAYS broadcast — no plan here shuffles the fact
+  * side except the per-key window/aggregate that defines the query.
+  */
+object GeoQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Derived track coordinates (see object doc). */
+  private def withGeo(df: DataFrame): DataFrame = df
+    .withColumn("lat",
+      lit(30.0) + (col("event_id") * 37 % 3000).cast("double") / 100.0)
+    .withColumn("lon",
+      lit(-120.0) +
+        ((col("event_id") * 73 + col("user_id") * 131) % 6000)
+          .cast("double") / 100.0)
+
+  /** 25 fixed stations derived from `nation` — the broadcastable dim. */
+  private def stations(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("st_id"),
+      (lit(30.0) + (col("n_nationkey") * 613 % 3000).cast("double") / 100.0)
+        .as("st_lat"),
+      (lit(-120.0) + (col("n_nationkey") * 937 % 6000).cast("double") / 100.0)
+        .as("st_lon"))
+
+  /** Shared oracle CTE prologue — the SQL mirror of withGeo/stations. */
+  private val ptsCte =
+    """pts AS (
+         SELECT event_id, user_id, ts, value,
+           30.0 + CAST(event_id * 37 % 3000 AS DOUBLE) / 100.0 AS lat,
+           -120.0 + CAST((event_id * 73 + user_id * 131) % 6000 AS DOUBLE)
+             / 100.0 AS lon
+         FROM events)"""
+
+  private val stCte =
+    """st AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS st_id,
+           30.0 + CAST(n_nationkey * 613 % 3000 AS DOUBLE) / 100.0 AS st_lat,
+           -120.0 + CAST(n_nationkey * 937 % 6000 AS DOUBLE) / 100.0 AS st_lon
+         FROM nation)"""
+
+  /** Haversine SQL between named column pairs, quantized to
+    * DECIMAL(18,1) — association mirrors [[GeoFunctions.haversineM]].
+    */
+  private def havSql(lat1: String, lon1: String,
+                     lat2: String, lon2: String): String =
+    s"""CAST(12742017.6 * asin(sqrt(
+          sin(($lat2 - $lat1) * 0.017453292519943295 / 2)
+            * sin(($lat2 - $lat1) * 0.017453292519943295 / 2)
+          + cos($lat1 * 0.017453292519943295)
+            * cos($lat2 * 0.017453292519943295)
+            * (sin(($lon2 - $lon1) * 0.017453292519943295 / 2)
+               * sin(($lon2 - $lon1) * 0.017453292519943295 / 2))))
+        AS DECIMAL(18,1))"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-track motion enrichment: distance, initial bearing and
+    // speed between consecutive points of each entity — the first
+    // thing any track analytics computes downstream of the
+    // reference's relay. One shuffle (window partition by entity);
+    // at 100 TB the partition key is the entity id, so state per
+    // task is one track's points — no skew beyond the busiest
+    // device.
+    "q_geo_track_enrich" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      withGeo(ev(s, dir))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("pms", lag(unix_millis(col("ts")), 1).over(w))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("time_ms"),
+          distQ(col("plat"), col("plon"), col("lat"), col("lon"))
+            .as("dist_m"),
+          bearingQ(col("plat"), col("plon"), col("lat"), col("lon"))
+            .as("bearing_deg"),
+          when(unix_millis(col("ts")) - col("pms") > 0,
+            (distQ(col("plat"), col("plon"), col("lat"), col("lon")) /
+              ((unix_millis(col("ts")) - col("pms")).cast("double") / 1000.0))
+              .cast("decimal(18,4)").cast("double"))
+            .as("speed_mps"))
+        .orderBy(col("event_id"))
+    },
+
+    // Radius join: all points within 150 km of any station, via
+    // 3°-grid blocking — the scale-correct spatial join. The station
+    // side expands to its 3×3 neighbor cells (≤225 rows, broadcast);
+    // the fact side computes one cell key map-side and hash-joins —
+    // NO cross product, NO fact shuffle before the final per-station
+    // aggregate. Blocking is lossless here: 150 km < 3° in both axes
+    // over the operating band (min cos(lat) = cos 60° → 1° lon ≥
+    // 55.66 km), so a qualifying pair's cells differ by at most 1.
+    "q_geo_radius_join" -> { (s, dir) =>
+      val pts = withGeo(ev(s, dir))
+        .withColumn("cell", cellKey(col("lat"), col("lon"), 3.0))
+      val st9 = stations(s, dir)
+        .withColumn("di", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("cell",
+          cellKeyOff(col("st_lat"), col("st_lon"), 3.0, col("di"), col("dj")))
+      pts.join(broadcast(st9), "cell")
+        .withColumn("dq",
+          haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
+            .cast("decimal(18,1)"))
+        .filter(col("dq") <= 150000.0)
+        .groupBy(col("st_id"))
+        .agg(count(lit(1)).as("n_pts"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("dq")).cast("double").as("min_m"))
+        .orderBy(col("st_id"))
+    },
+
+    // Nearest-station assignment (voronoi partition of the fleet):
+    // argmin over the broadcast dim via ONE map-side-partial
+    // aggregate — min(struct(dist, st_id)) — not a window sort; the
+    // only shuffle carries one row per event pre-combined per
+    // partition. The per-station rollup then reduces 25 rows.
+    "q_geo_nearest_station" -> { (s, dir) =>
+      val pairs = withGeo(ev(s, dir))
+        .crossJoin(broadcast(stations(s, dir)))
+        .withColumn("dq",
+          haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
+            .cast("decimal(18,1)"))
+      pairs
+        .groupBy(col("event_id"))
+        .agg(min(struct(col("dq"), col("st_id"))).as("m"))
+        .groupBy(col("m.st_id").as("st_id"))
+        .agg(count(lit(1)).as("n_pts"),
+          sum(col("m.dq")).cast("double").as("sum_m"))
+        .orderBy(col("st_id"))
+    },
+
+    // Turf-destination analogue (reference `task.ts:2` — node-cot's
+    // range rings): project each entity's LATEST point forward along
+    // its course. latest-per-key is the reference's A1 aggregate;
+    // the projection is pure map-side math.
+    "q_geo_destination" -> { (s, dir) =>
+      val latest = TrackPipeline
+        .latestPerKey(withGeo(ev(s, dir)), "user_id", "ts", "event_id")
+        .select(col("user_id"),
+          col("latest.lat").as("lat"), col("latest.lon").as("lon"),
+          (col("latest.value") % 360.0).as("course"),
+          (lit(500.0) + (col("latest.event_id") % 100).cast("double") * 25.0)
+            .as("dist_m"),
+          unix_millis(col("latest.ts")).as("time_ms"))
+      val (dlat, dlon) = destination(
+        col("lat"), col("lon"), col("course"), col("dist_m"))
+      latest.select(col("user_id"), col("time_ms"), col("course"),
+          col("dist_m"), dlat.as("dest_lat"), dlon.as("dest_lon"))
+        .orderBy(col("user_id"))
+    },
+
+    // Geofence enter/exit detection: flag every point where an
+    // entity crosses a 100 km station fence (the reference's
+    // emergency/alert domain — `task.ts:125` classifies beacons; a
+    // real TAK deployment alerts on fence transitions). The
+    // containment check is ZERO-join: the 25 station coordinates
+    // fold into a literal array and `transform`+`array_min` evaluate
+    // the nearest-fence distance per row map-side (the IVF-centroid
+    // pattern — plan-time literal, fine at this dim size; a big
+    // fence set would switch to the broadcast-handle expression).
+    // The only shuffle is the per-entity lag window.
+    "q_geo_geofence" -> { (s, dir) =>
+      val sts = stations(s, dir).orderBy(col("st_id")).collect()
+      val stArr = array(sts.toSeq.map(r => struct(
+        lit(r.getDouble(1)).as("sla"), lit(r.getDouble(2)).as("slo"))): _*)
+      val minDq = array_min(transform(stArr, st =>
+        haversineM(st.getField("sla"), st.getField("slo"),
+          col("lat"), col("lon")).cast("decimal(18,1)")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      withGeo(ev(s, dir))
+        .withColumn("min_dq", minDq)
+        .withColumn("inside", col("min_dq") <= 100000.0)
+        .withColumn("pinside", lag(col("inside"), 1).over(w))
+        .filter(col("pinside").isNotNull && col("inside") =!= col("pinside"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("time_ms"),
+          col("min_dq").cast("double").as("min_m"),
+          when(col("inside"), lit("enter")).otherwise(lit("exit"))
+            .as("transition"))
+        .orderBy(col("event_id"))
+    },
+
+    // Z-order keys: 16-bit lat/lon bins interleaved to a 32-bit
+    // Morton key — integer-exact in both engines (no transcendentals
+    // involved). The key itself is the point; ZOrderSpec measures the
+    // row-group skipping a morton-clustered layout buys.
+    "q_geo_zorder" -> { (s, dir) =>
+      withGeo(ev(s, dir)).select(
+          col("event_id"),
+          latBin16(col("lat")).as("lat_bin"),
+          lonBin16(col("lon")).as("lon_bin"),
+          mortonKey(col("lat"), col("lon")).as("morton"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_geo_track_enrich" ->
+      s"""WITH $ptsCte,
+         lagged AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS time_ms, lat, lon,
+             LAG(lat) OVER w AS plat,
+             LAG(lon) OVER w AS plon,
+             LAG(epoch_ms(ts)) OVER w AS pms
+           FROM pts
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id, time_ms,
+           CAST(${havSql("plat", "plon", "lat", "lon")} AS DOUBLE)
+             AS dist_m,
+           CAST(CAST(
+             (atan2(sin((lon - plon) * 0.017453292519943295)
+                      * cos(lat * 0.017453292519943295),
+                    cos(plat * 0.017453292519943295)
+                      * sin(lat * 0.017453292519943295)
+                    - sin(plat * 0.017453292519943295)
+                      * cos(lat * 0.017453292519943295)
+                      * cos((lon - plon) * 0.017453292519943295))
+              * 57.29577951308232 + 360.0) % 360.0
+             AS DECIMAL(18,6)) AS DOUBLE) AS bearing_deg,
+           CASE WHEN time_ms - pms > 0 THEN
+             CAST(CAST(
+               CAST(${havSql("plat", "plon", "lat", "lon")} AS DOUBLE)
+                 / (CAST(time_ms - pms AS DOUBLE) / 1000.0)
+               AS DECIMAL(18,4)) AS DOUBLE)
+           END AS speed_mps
+         FROM lagged ORDER BY event_id""",
+
+    "q_geo_radius_join" ->
+      s"""WITH $ptsCte, $stCte,
+         pairs AS (
+           SELECT st_id, user_id,
+             ${havSql("st_lat", "st_lon", "lat", "lon")} AS dq
+           FROM pts, st)
+         SELECT st_id, count(*) AS n_pts,
+           count(DISTINCT user_id) AS n_users,
+           CAST(min(dq) AS DOUBLE) AS min_m
+         FROM pairs WHERE dq <= 150000.0
+         GROUP BY st_id ORDER BY st_id""",
+
+    "q_geo_nearest_station" ->
+      s"""WITH $ptsCte, $stCte,
+         pairs AS (
+           SELECT event_id, st_id,
+             ${havSql("st_lat", "st_lon", "lat", "lon")} AS dq,
+             row_number() OVER (PARTITION BY event_id ORDER BY
+               ${havSql("st_lat", "st_lon", "lat", "lon")}, st_id) AS rn
+           FROM pts, st)
+         SELECT st_id, count(*) AS n_pts, CAST(sum(dq) AS DOUBLE) AS sum_m
+         FROM pairs WHERE rn = 1
+         GROUP BY st_id ORDER BY st_id""",
+
+    "q_geo_destination" ->
+      s"""WITH $ptsCte,
+         latest AS (
+           SELECT user_id, epoch_ms(ts) AS time_ms, lat, lon,
+             value % 360.0 AS course,
+             500.0 + CAST(event_id % 100 AS DOUBLE) * 25.0 AS dist_m
+           FROM pts
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) = 1),
+         proj AS (
+           SELECT *, asin(
+               sin(lat * 0.017453292519943295) * cos(dist_m / 6371008.8)
+               + cos(lat * 0.017453292519943295) * sin(dist_m / 6371008.8)
+                 * cos(course * 0.017453292519943295)) AS phi2
+           FROM latest)
+         SELECT user_id, time_ms, course, dist_m,
+           CAST(CAST(phi2 * 57.29577951308232 AS DECIMAL(18,6)) AS DOUBLE)
+             AS dest_lat,
+           CAST(CAST(
+             (lon * 0.017453292519943295 + atan2(
+                sin(course * 0.017453292519943295) * sin(dist_m / 6371008.8)
+                  * cos(lat * 0.017453292519943295),
+                cos(dist_m / 6371008.8)
+                  - sin(lat * 0.017453292519943295) * sin(phi2)))
+             * 57.29577951308232 AS DECIMAL(18,6)) AS DOUBLE) AS dest_lon
+         FROM proj ORDER BY user_id""",
+
+    "q_geo_geofence" ->
+      s"""WITH $ptsCte, $stCte,
+         md AS (
+           SELECT event_id, user_id, ts,
+             min(${havSql("st_lat", "st_lon", "lat", "lon")}) AS min_dq
+           FROM pts, st GROUP BY event_id, user_id, ts),
+         flagged AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS time_ms,
+             CAST(min_dq AS DOUBLE) AS min_m,
+             (min_dq <= 100000.0) AS inside,
+             LAG(min_dq <= 100000.0) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS pinside
+           FROM md)
+         SELECT event_id, user_id, time_ms, min_m,
+           CASE WHEN inside THEN 'enter' ELSE 'exit' END AS transition
+         FROM flagged
+         WHERE pinside IS NOT NULL AND inside != pinside
+         ORDER BY event_id""",
+
+    "q_geo_zorder" ->
+      s"""WITH $ptsCte,
+         bins AS (
+           SELECT event_id,
+             CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT) AS bla,
+             CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT) AS blo
+           FROM pts),
+         s1 AS (SELECT event_id, bla, blo,
+             ((bla | (bla << 8)) & 16711935) AS a,
+             ((blo | (blo << 8)) & 16711935) AS o FROM bins),
+         s2 AS (SELECT event_id, bla, blo,
+             ((a | (a << 4)) & 252645135) AS a,
+             ((o | (o << 4)) & 252645135) AS o FROM s1),
+         s3 AS (SELECT event_id, bla, blo,
+             ((a | (a << 2)) & 858993459) AS a,
+             ((o | (o << 2)) & 858993459) AS o FROM s2),
+         s4 AS (SELECT event_id, bla, blo,
+             ((a | (a << 1)) & 1431655765) AS a,
+             ((o | (o << 1)) & 1431655765) AS o FROM s3)
+         SELECT event_id, bla AS lat_bin, blo AS lon_bin,
+           (a | (o << 1)) AS morton
+         FROM s4 ORDER BY event_id"""
+  )
+}

@@ -380,6 +380,20 @@ object RelationalQueries {
         ORDER BY rf, ls""")
     },
 
+    // GROUP BY ALL / ORDER BY ALL — the analyst shorthand both
+    // engines now speak natively (no parser sugar needed; Spark
+    // added both in 3.4/4.0). Same statement text on both engines.
+    "q_sql_group_by_all" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+            AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL""")
+    },
+
     // QUALIFY (injectParser sugar, graft.plans.QualifySyntax): the
     // post-window filter Spark SQL lacks; rewritten at parse time
     // into a wrapped subquery + filter + star-EXCEPT. The oracle runs
@@ -793,6 +807,15 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+
+    // the Spark query's exact text (both engines native)
+    "q_sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS sum_qty
+         FROM lineitem
+         GROUP BY ALL
+         ORDER BY ALL""",
 
     // the Spark query's exact text: DuckDB's native EXCLUDE
     "q_select_exclude" ->

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+
+/** Geodesic functions + the grid-blocked radius join
+  * (graft.functions.GeoFunctions, graft.queries.GeoQueries).
+  */
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.as("v")).head.getDouble(0)
+
+  test("haversine: 1 degree of latitude is ~111.195 km") {
+    val d = one(haversineM(lit(40.0), lit(-100.0), lit(41.0), lit(-100.0)))
+    assert(math.abs(d - 111194.93) < 50.0, s"got $d")
+  }
+
+  test("haversine: symmetric and zero at identity") {
+    val ab = one(haversineM(lit(40.0), lit(-100.0), lit(52.5), lit(-63.25)))
+    val ba = one(haversineM(lit(52.5), lit(-63.25), lit(40.0), lit(-100.0)))
+    assert(ab == ba)
+    assert(one(haversineM(lit(40.0), lit(-100.0), lit(40.0), lit(-100.0))) == 0.0)
+  }
+
+  test("bearing: north is 0, east is ~90 (cos-corrected)") {
+    val n = one(bearingQ(lit(40.0), lit(-100.0), lit(41.0), lit(-100.0)))
+    val e = one(bearingQ(lit(40.0), lit(-100.0), lit(40.0), lit(-99.0)))
+    assert(math.abs(n - 0.0) < 0.01, s"north bearing $n")
+    assert(math.abs(e - 89.68) < 0.1, s"east bearing $e")
+  }
+
+  test("destination round-trip: projected point is distM away") {
+    val (dlat, dlon) = destination(lit(45.0), lit(-90.0), lit(60.0), lit(10000.0))
+    val row = Seq(1).toDF("x")
+      .select(dlat.as("la"), dlon.as("lo")).head
+    val back = one(haversineM(lit(45.0), lit(-90.0),
+      lit(row.getDouble(0)), lit(row.getDouble(1))))
+    assert(math.abs(back - 10000.0) < 1.0, s"round-trip distance $back")
+  }
+
+  test("morton key matches a bit-by-bit Scala interleave") {
+    def interleave(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
+      }
+    val pts = Seq((40.0, -100.0), (59.99, -60.01), (30.0, -120.0),
+      (45.123, -87.654))
+    val got = pts.toDF("lat", "lon")
+      .select(latBin16(col("lat")).as("a"), lonBin16(col("lon")).as("b"),
+        mortonKey(col("lat"), col("lon")).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == interleave(r.getLong(0), r.getLong(1)),
+        s"morton mismatch for bins ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("radius join blocking is lossless vs the naive cross join") {
+    val blocked = graft.queries.GeoQueries
+      .defs("q_geo_radius_join")(spark, sf("0.001")).collect()
+
+    // naive: no cells, straight cross product + filter
+    val ev = Tables(spark, sf("0.001"), "events")
+      .withColumn("lat",
+        lit(30.0) + (col("event_id") * 37 % 3000).cast("double") / 100.0)
+      .withColumn("lon", lit(-120.0) +
+        ((col("event_id") * 73 + col("user_id") * 131) % 6000)
+          .cast("double") / 100.0)
+    val st = Tables(spark, sf("0.001"), "nation").select(
+      col("n_nationkey").cast("long").as("st_id"),
+      (lit(30.0) + (col("n_nationkey") * 613 % 3000).cast("double") / 100.0)
+        .as("st_lat"),
+      (lit(-120.0) + (col("n_nationkey") * 937 % 6000).cast("double") / 100.0)
+        .as("st_lon"))
+    val naive = ev.crossJoin(st)
+      .withColumn("dq",
+        haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
+          .cast("decimal(18,1)"))
+      .filter(col("dq") <= 150000.0)
+      .groupBy(col("st_id"))
+      .agg(count(lit(1)).as("n_pts"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("dq")).cast("double").as("min_m"))
+      .orderBy(col("st_id"))
+      .collect()
+
+    assert(blocked.map(_.toString).toSeq == naive.map(_.toString).toSeq,
+      "blocked radius join disagrees with the naive cross join")
+    assert(blocked.nonEmpty, "radius join found no pairs at sf0.001")
+  }
+
+  test("radius join plan: broadcast hash join on the cell key, no cartesian") {
+    withoutAqe {
+      val plan = graft.queries.GeoQueries
+        .defs("q_geo_radius_join")(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"station side should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("SortMergeJoin"),
+        s"radius join must not cross or shuffle the fact side:\n$plan")
+    }
+  }
+
+  test("nearest-station assignment agrees with the window formulation") {
+    val agg = graft.queries.GeoQueries
+      .defs("q_geo_nearest_station")(spark, sf("0.001")).collect()
+
+    val ev = Tables(spark, sf("0.001"), "events")
+      .withColumn("lat",
+        lit(30.0) + (col("event_id") * 37 % 3000).cast("double") / 100.0)
+      .withColumn("lon", lit(-120.0) +
+        ((col("event_id") * 73 + col("user_id") * 131) % 6000)
+          .cast("double") / 100.0)
+    val st = Tables(spark, sf("0.001"), "nation").select(
+      col("n_nationkey").cast("long").as("st_id"),
+      (lit(30.0) + (col("n_nationkey") * 613 % 3000).cast("double") / 100.0)
+        .as("st_lat"),
+      (lit(-120.0) + (col("n_nationkey") * 937 % 6000).cast("double") / 100.0)
+        .as("st_lon"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id")).orderBy(col("dq"), col("st_id"))
+    val windowed = ev.crossJoin(st)
+      .withColumn("dq",
+        haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
+          .cast("decimal(18,1)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("st_id"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("dq")).cast("double").as("sum_m"))
+      .orderBy(col("st_id"))
+      .collect()
+    assert(agg.map(_.toString).toSeq == windowed.map(_.toString).toSeq)
+  }
+}
