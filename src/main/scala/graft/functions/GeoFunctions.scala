@@ -104,6 +104,24 @@ object GeoFunctions {
      (lam2 * lit(RadToDeg)).cast("decimal(18,6)").cast("double"))
   }
 
+  /** Distance to the nearest of a FIXED station set, quantized to
+    * 0.1 m: the stations fold into a literal array and
+    * `transform`+`array_min` evaluate per row MAP-SIDE — zero joins,
+    * zero shuffle, zero state. Correct for dim-sized fence sets (the
+    * IVF-centroid plan-time-literal pattern); a large fence set would
+    * switch to the broadcast-handle expression path. Shared verbatim
+    * by the batch geofence query and the streaming transition
+    * detector so their containment decisions cannot drift.
+    */
+  def minStationDistQ(lat: Column, lon: Column,
+                      stations: Seq[(Double, Double)]): Column = {
+    val arr = array(stations.map { case (sla, slo) =>
+      struct(lit(sla).as("sla"), lit(slo).as("slo")) }: _*)
+    array_min(transform(arr, st =>
+      haversineM(st.getField("sla"), st.getField("slo"), lat, lon)
+        .cast("decimal(18,1)")))
+  }
+
   /** Grid-cell key for spatial blocking: `cellDeg`-degree cells,
     * packed `latCell * 1000 + lonCell` (lonCell < 360/cellDeg ≤ 1000).
     * Pure floor arithmetic — bit-identical across engines, no

@@ -189,11 +189,8 @@ object GeoQueries {
     // The only shuffle is the per-entity lag window.
     "q_geo_geofence" -> { (s, dir) =>
       val sts = stations(s, dir).orderBy(col("st_id")).collect()
-      val stArr = array(sts.toSeq.map(r => struct(
-        lit(r.getDouble(1)).as("sla"), lit(r.getDouble(2)).as("slo"))): _*)
-      val minDq = array_min(transform(stArr, st =>
-        haversineM(st.getField("sla"), st.getField("slo"),
-          col("lat"), col("lon")).cast("decimal(18,1)")))
+        .toSeq.map(r => (r.getDouble(1), r.getDouble(2)))
+      val minDq = minStationDistQ(col("lat"), col("lon"), sts)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       withGeo(ev(s, dir))
