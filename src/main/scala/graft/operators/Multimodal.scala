@@ -14,17 +14,36 @@ case class MediaRecord(doc_id: Long, media_type: String,
 case class MediaFeatures(doc_id: Long, n_bytes: Int, byte_sum_mod: Long,
     feat: Seq[Double])
 
+/** Real decoded image metadata + a cheap content signal. */
+case class ImageMeta(doc_id: Long, width: Int, height: Int,
+    mean_luma: Double)
+
+/** A re-encoded (resized) image payload. */
+case class ResizedImage(doc_id: Long, width: Int, height: Int,
+    payload: Array[Byte])
+
 /** Multimodal-column plumbing: binary payloads, typed partition-wise
   * decode, frame sampling.
   *
-  * The decode step is a STUB: the real image/audio codecs are not in
-  * this container, so [[extractFeatures]] computes a deterministic
-  * fake featurization (byte histogram + checksum) standing in for
-  * "decode → embed". Everything around it — the `binary` column
-  * schema, the typed `mapPartitions` boundary (where a real codec
-  * would be invoked once per partition with batched I/O), the
-  * fixed-size feature vector shape — is the real production plumbing
-  * and is tested.
+  * Two decode tiers:
+  *
+  * 1. [[decodeImages]] / [[resizeImages]] are REAL: the JDK bundles
+  *    PNG/JPEG/BMP/GIF codecs in `javax.imageio` (java.desktop,
+  *    present in this runtime — no external dependency), so image
+  *    payloads decode, measure and resample for real. No DuckDB
+  *    oracle can replay a codec, so these are spec-verified
+  *    (ImageCodecSpec: synthesized PNGs with known pixels) — the
+  *    same gate tier as streaming state.
+  * 2. [[extractFeatures]] remains the deterministic STAND-IN for
+  *    codecs the JVM does NOT ship (audio/video): a byte histogram +
+  *    checksum with the production shape — binary in, fixed-width
+  *    feature vector out — keeping the oracle-checked query family
+  *    engine-portable.
+  *
+  * Shared by both tiers: the `binary` column schema, the typed
+  * `mapPartitions` boundary (codec state initialized once per
+  * partition, not per row), and the rule that payload bytes never
+  * cross a shuffle.
   *
   * Scale notes: `mapPartitions` amortizes codec initialization per
   * partition (not per row); payload bytes never cross a shuffle —
@@ -67,6 +86,80 @@ object Multimodal {
         val n = bytes.length
         MediaFeatures(m.doc_id, n, sum % 1000000007L,
           (if (n > 0) hist.map(_ / n) else hist).toSeq)
+      }
+    }
+  }
+
+  /** REAL image decode via the JDK's bundled `javax.imageio` codecs
+    * (PNG/JPEG/BMP/GIF). Per record: intrinsic dimensions plus mean
+    * luma (ITU-R BT.601 integer weights over the ARGB raster — a
+    * cheap deterministic content signal; a real pipeline would hand
+    * the raster to an embedding model here). Undecodable payloads
+    * are DROPPED — the corrupt-record channel, mirroring the
+    * schema-validation error path (reference `task.ts:110` rejects
+    * non-conforming input; V1 in SURVEY §2a).
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // ImageIO scans its reader registry on first use — once per
+      // partition here, then each payload reuses the codec.
+      it.flatMap { m =>
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+        } catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          var lumaSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lumaSum += (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageMeta(m.doc_id, img.getWidth, img.getHeight,
+            lumaSum.toDouble / (img.getWidth.toLong * img.getHeight)))
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: decode, area-scale onto a `targetW`×`targetH`
+    * raster (bilinear), re-encode PNG — binary in, smaller binary
+    * out, map-side, payload never shuffled. Runs headless
+    * (BufferedImage + Graphics2D need no display).
+    */
+  def resizeImages(media: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+        } catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          Some(ResizedImage(m.doc_id, targetW, targetH, buf.toByteArray))
+        }
       }
     }
   }

@@ -20,6 +20,14 @@ import graft.operators.TrackPipeline
   * antipodal asin() singularity where cross-engine ulp drift would
   * amplify.
   *
+  * Quantization: transcendental results collapse onto a fixed grid
+  * via `floor(x*scale + 0.5)/scale` — pure-double step functions
+  * that stay in whole-stage codegen (the first DECIMAL-cast
+  * formulation benched 3.5 s on the geofence query at sf0.1 from
+  * per-pair BigDecimal churn; see GeoFunctions.distDm). Values
+  * derived from ALREADY-quantized inputs (speeds, sums of
+  * deci-meter longs) are exact with no further hazard.
+  *
   * Scale design per query is in the entry comments; the common theme:
   * the stations dimension is tiny (25 rows → ≤225 after neighbor
   * expansion) and ALWAYS broadcast — no plan here shuffles the fact
@@ -64,19 +72,23 @@ object GeoQueries {
            -120.0 + CAST(n_nationkey * 937 % 6000 AS DOUBLE) / 100.0 AS st_lon
          FROM nation)"""
 
-  /** Haversine SQL between named column pairs, quantized to
-    * DECIMAL(18,1) — association mirrors [[GeoFunctions.haversineM]].
+  /** RAW haversine SQL between named column pairs — association
+    * mirrors [[GeoFunctions.haversineM]] exactly.
     */
   private def havSql(lat1: String, lon1: String,
                      lat2: String, lon2: String): String =
-    s"""CAST(12742017.6 * asin(sqrt(
+    s"""12742017.6 * asin(sqrt(
           sin(($lat2 - $lat1) * 0.017453292519943295 / 2)
             * sin(($lat2 - $lat1) * 0.017453292519943295 / 2)
           + cos($lat1 * 0.017453292519943295)
             * cos($lat2 * 0.017453292519943295)
             * (sin(($lon2 - $lon1) * 0.017453292519943295 / 2)
-               * sin(($lon2 - $lon1) * 0.017453292519943295 / 2))))
-        AS DECIMAL(18,1))"""
+               * sin(($lon2 - $lon1) * 0.017453292519943295 / 2))))"""
+
+  /** SQL mirror of [[GeoFunctions.distDm]]: integer deci-meters. */
+  private def dmSql(lat1: String, lon1: String,
+                    lat2: String, lon2: String): String =
+    s"CAST(floor((${havSql(lat1, lon1, lat2, lon2)}) * 10.0 + 0.5) AS BIGINT)"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -94,17 +106,20 @@ object GeoQueries {
         .withColumn("plat", lag(col("lat"), 1).over(w))
         .withColumn("plon", lag(col("lon"), 1).over(w))
         .withColumn("pms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("dist_m",
+          distQ(col("plat"), col("plon"), col("lat"), col("lon")))
+        .withColumn("dt_s",
+          (unix_millis(col("ts")) - col("pms")).cast("double") / 1000.0)
         .select(
           col("event_id"), col("user_id"),
           unix_millis(col("ts")).as("time_ms"),
-          distQ(col("plat"), col("plon"), col("lat"), col("lon"))
-            .as("dist_m"),
+          col("dist_m"),
           bearingQ(col("plat"), col("plon"), col("lat"), col("lon"))
             .as("bearing_deg"),
-          when(unix_millis(col("ts")) - col("pms") > 0,
-            (distQ(col("plat"), col("plon"), col("lat"), col("lon")) /
-              ((unix_millis(col("ts")) - col("pms")).cast("double") / 1000.0))
-              .cast("decimal(18,4)").cast("double"))
+          // dist_m and dt_s are already engine-identical, so the
+          // speed quantize is exact (no transcendental hazard left)
+          when(col("dt_s") > 0,
+            floor(col("dist_m") / col("dt_s") * 10000.0 + 0.5) / 10000.0)
             .as("speed_mps"))
         .orderBy(col("event_id"))
     },
@@ -126,35 +141,62 @@ object GeoQueries {
         .withColumn("cell",
           cellKeyOff(col("st_lat"), col("st_lon"), 3.0, col("di"), col("dj")))
       pts.join(broadcast(st9), "cell")
-        .withColumn("dq",
-          haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
-            .cast("decimal(18,1)"))
-        .filter(col("dq") <= 150000.0)
+        .withColumn("dm",
+          distDm(col("st_lat"), col("st_lon"), col("lat"), col("lon")))
+        .filter(col("dm") <= 1500000L)
         .groupBy(col("st_id"))
         .agg(count(lit(1)).as("n_pts"),
           count_distinct(col("user_id")).as("n_users"),
-          min(col("dq")).cast("double").as("min_m"))
+          (min(col("dm")) / 10.0).as("min_m"))
         .orderBy(col("st_id"))
     },
 
     // Nearest-station assignment (voronoi partition of the fleet):
-    // argmin over the broadcast dim via ONE map-side-partial
-    // aggregate — min(struct(dist, st_id)) — not a window sort; the
-    // only shuffle carries one row per event pre-combined per
-    // partition. The per-station rollup then reduces 25 rows.
+    // argmin over the broadcast dim packed into ONE long —
+    // min(dm*32 + st_id) — so the whole argmin is a primitive-long
+    // hash aggregate with map-side partials (no window sort, no
+    // struct ordering); ties break toward the smaller station id by
+    // construction. Deci-meter longs keep the per-station SUM exact
+    // and order-independent.
     "q_geo_nearest_station" -> { (s, dir) =>
-      val pairs = withGeo(ev(s, dir))
+      withGeo(ev(s, dir))
         .crossJoin(broadcast(stations(s, dir)))
-        .withColumn("dq",
-          haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
-            .cast("decimal(18,1)"))
-      pairs
-        .groupBy(col("event_id"))
-        .agg(min(struct(col("dq"), col("st_id"))).as("m"))
-        .groupBy(col("m.st_id").as("st_id"))
+        .select(col("event_id"),
+          (distDm(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
+            * 32 + col("st_id")).as("key"))
+        .groupBy(col("event_id")).agg(min(col("key")).as("k"))
+        .select((col("k") % 32).as("st_id"), expr("k div 32").as("dm"))
+        .groupBy(col("st_id"))
         .agg(count(lit(1)).as("n_pts"),
-          sum(col("m.dq")).cast("double").as("sum_m"))
+          (sum(col("dm")).cast("double") / 10.0).as("sum_m"))
         .orderBy(col("st_id"))
+    },
+
+    // Geofence enter/exit detection: flag every point where an
+    // entity crosses a 100 km station fence (the reference's
+    // emergency/alert domain — `task.ts:125` classifies beacons; a
+    // real TAK deployment alerts on fence transitions). The
+    // containment check is ZERO-join: the 25 station coordinates
+    // unroll into a codegen'd least() of inlined haversines
+    // (GeoFunctions.minStationDistQ) evaluated map-side. The only
+    // shuffle is the per-entity lag window.
+    "q_geo_geofence" -> { (s, dir) =>
+      val sts = stations(s, dir).orderBy(col("st_id")).collect()
+        .toSeq.map(r => (r.getDouble(1), r.getDouble(2)))
+      val minDq = minStationDistQ(col("lat"), col("lon"), sts)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      withGeo(ev(s, dir))
+        .withColumn("min_dq", minDq)
+        .withColumn("inside", col("min_dq") <= 100000.0)
+        .withColumn("pinside", lag(col("inside"), 1).over(w))
+        .filter(col("pinside").isNotNull && col("inside") =!= col("pinside"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("time_ms"),
+          col("min_dq").as("min_m"),
+          when(col("inside"), lit("enter")).otherwise(lit("exit"))
+            .as("transition"))
+        .orderBy(col("event_id"))
     },
 
     // Turf-destination analogue (reference `task.ts:2` — node-cot's
@@ -175,35 +217,6 @@ object GeoQueries {
       latest.select(col("user_id"), col("time_ms"), col("course"),
           col("dist_m"), dlat.as("dest_lat"), dlon.as("dest_lon"))
         .orderBy(col("user_id"))
-    },
-
-    // Geofence enter/exit detection: flag every point where an
-    // entity crosses a 100 km station fence (the reference's
-    // emergency/alert domain — `task.ts:125` classifies beacons; a
-    // real TAK deployment alerts on fence transitions). The
-    // containment check is ZERO-join: the 25 station coordinates
-    // fold into a literal array and `transform`+`array_min` evaluate
-    // the nearest-fence distance per row map-side (the IVF-centroid
-    // pattern — plan-time literal, fine at this dim size; a big
-    // fence set would switch to the broadcast-handle expression).
-    // The only shuffle is the per-entity lag window.
-    "q_geo_geofence" -> { (s, dir) =>
-      val sts = stations(s, dir).orderBy(col("st_id")).collect()
-        .toSeq.map(r => (r.getDouble(1), r.getDouble(2)))
-      val minDq = minStationDistQ(col("lat"), col("lon"), sts)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      withGeo(ev(s, dir))
-        .withColumn("min_dq", minDq)
-        .withColumn("inside", col("min_dq") <= 100000.0)
-        .withColumn("pinside", lag(col("inside"), 1).over(w))
-        .filter(col("pinside").isNotNull && col("inside") =!= col("pinside"))
-        .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("time_ms"),
-          col("min_dq").cast("double").as("min_m"),
-          when(col("inside"), lit("enter")).otherwise(lit("exit"))
-            .as("transition"))
-        .orderBy(col("event_id"))
     },
 
     // Z-order keys: 16-bit lat/lon bins interleaved to a 32-bit
@@ -230,51 +243,71 @@ object GeoQueries {
              LAG(lon) OVER w AS plon,
              LAG(epoch_ms(ts)) OVER w AS pms
            FROM pts
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT event_id, user_id, time_ms,
-           CAST(${havSql("plat", "plon", "lat", "lon")} AS DOUBLE)
-             AS dist_m,
-           CAST(CAST(
-             (atan2(sin((lon - plon) * 0.017453292519943295)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         dists AS (
+           SELECT event_id, user_id, time_ms, lat, lon, plat, plon,
+             CAST(${dmSql("plat", "plon", "lat", "lon")} AS DOUBLE) / 10.0
+               AS dist_m,
+             CAST(time_ms - pms AS DOUBLE) / 1000.0 AS dt_s
+           FROM lagged)
+         SELECT event_id, user_id, time_ms, dist_m,
+           floor(((atan2(sin((lon - plon) * 0.017453292519943295)
                       * cos(lat * 0.017453292519943295),
                     cos(plat * 0.017453292519943295)
                       * sin(lat * 0.017453292519943295)
                     - sin(plat * 0.017453292519943295)
                       * cos(lat * 0.017453292519943295)
                       * cos((lon - plon) * 0.017453292519943295))
-              * 57.29577951308232 + 360.0) % 360.0
-             AS DECIMAL(18,6)) AS DOUBLE) AS bearing_deg,
-           CASE WHEN time_ms - pms > 0 THEN
-             CAST(CAST(
-               CAST(${havSql("plat", "plon", "lat", "lon")} AS DOUBLE)
-                 / (CAST(time_ms - pms AS DOUBLE) / 1000.0)
-               AS DECIMAL(18,4)) AS DOUBLE)
+              * 57.29577951308232 + 360.0) % 360.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS bearing_deg,
+           CASE WHEN dt_s > 0 THEN
+             floor(dist_m / dt_s * 10000.0 + 0.5) / 10000.0
            END AS speed_mps
-         FROM lagged ORDER BY event_id""",
+         FROM dists ORDER BY event_id""",
 
     "q_geo_radius_join" ->
       s"""WITH $ptsCte, $stCte,
          pairs AS (
            SELECT st_id, user_id,
-             ${havSql("st_lat", "st_lon", "lat", "lon")} AS dq
+             ${dmSql("st_lat", "st_lon", "lat", "lon")} AS dm
            FROM pts, st)
          SELECT st_id, count(*) AS n_pts,
            count(DISTINCT user_id) AS n_users,
-           CAST(min(dq) AS DOUBLE) AS min_m
-         FROM pairs WHERE dq <= 150000.0
+           CAST(min(dm) AS DOUBLE) / 10.0 AS min_m
+         FROM pairs WHERE dm <= 1500000
          GROUP BY st_id ORDER BY st_id""",
 
     "q_geo_nearest_station" ->
       s"""WITH $ptsCte, $stCte,
          pairs AS (
-           SELECT event_id, st_id,
-             ${havSql("st_lat", "st_lon", "lat", "lon")} AS dq,
-             row_number() OVER (PARTITION BY event_id ORDER BY
-               ${havSql("st_lat", "st_lon", "lat", "lon")}, st_id) AS rn
-           FROM pts, st)
-         SELECT st_id, count(*) AS n_pts, CAST(sum(dq) AS DOUBLE) AS sum_m
-         FROM pairs WHERE rn = 1
-         GROUP BY st_id ORDER BY st_id""",
+           SELECT event_id,
+             ${dmSql("st_lat", "st_lon", "lat", "lon")} * 32 + st_id AS key
+           FROM pts, st),
+         assigned AS (
+           SELECT event_id, min(key) AS k FROM pairs GROUP BY event_id)
+         SELECT k % 32 AS st_id, count(*) AS n_pts,
+           CAST(sum(k // 32) AS DOUBLE) / 10.0 AS sum_m
+         FROM assigned GROUP BY k % 32 ORDER BY st_id""",
+
+    "q_geo_geofence" ->
+      s"""WITH $ptsCte, $stCte,
+         md AS (
+           SELECT event_id, user_id, ts,
+             floor(min(${havSql("st_lat", "st_lon", "lat", "lon")})
+               * 10.0 + 0.5) / 10.0 AS min_dq
+           FROM pts, st GROUP BY event_id, user_id, ts),
+         flagged AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS time_ms,
+             min_dq AS min_m,
+             (min_dq <= 100000.0) AS inside,
+             LAG(min_dq <= 100000.0) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS pinside
+           FROM md)
+         SELECT event_id, user_id, time_ms, min_m,
+           CASE WHEN inside THEN 'enter' ELSE 'exit' END AS transition
+         FROM flagged
+         WHERE pinside IS NOT NULL AND inside != pinside
+         ORDER BY event_id""",
 
     "q_geo_destination" ->
       s"""WITH $ptsCte,
@@ -302,25 +335,6 @@ object GeoQueries {
                   - sin(lat * 0.017453292519943295) * sin(phi2)))
              * 57.29577951308232 AS DECIMAL(18,6)) AS DOUBLE) AS dest_lon
          FROM proj ORDER BY user_id""",
-
-    "q_geo_geofence" ->
-      s"""WITH $ptsCte, $stCte,
-         md AS (
-           SELECT event_id, user_id, ts,
-             min(${havSql("st_lat", "st_lon", "lat", "lon")}) AS min_dq
-           FROM pts, st GROUP BY event_id, user_id, ts),
-         flagged AS (
-           SELECT event_id, user_id, epoch_ms(ts) AS time_ms,
-             CAST(min_dq AS DOUBLE) AS min_m,
-             (min_dq <= 100000.0) AS inside,
-             LAG(min_dq <= 100000.0) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS pinside
-           FROM md)
-         SELECT event_id, user_id, time_ms, min_m,
-           CASE WHEN inside THEN 'enter' ELSE 'exit' END AS transition
-         FROM flagged
-         WHERE pinside IS NOT NULL AND inside != pinside
-         ORDER BY event_id""",
 
     "q_geo_zorder" ->
       s"""WITH $ptsCte,

@@ -50,7 +50,7 @@ object GeoStream {
     import spark.implicits._
     val minDq = GeoFunctions.minStationDistQ(col("lat"), col("lon"), stations)
     pings
-      .withColumn("minM", minDq.cast("double"))
+      .withColumn("minM", minDq)
       .withColumn("inside", col("minM") <= radiusM)
       .select(col("entityId"), col("eventId"), col("ts"),
         col("inside"), col("minM"))

@@ -75,14 +75,13 @@ class GeoSpec extends SparkSpec {
       (lit(-120.0) + (col("n_nationkey") * 937 % 6000).cast("double") / 100.0)
         .as("st_lon"))
     val naive = ev.crossJoin(st)
-      .withColumn("dq",
-        haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
-          .cast("decimal(18,1)"))
-      .filter(col("dq") <= 150000.0)
+      .withColumn("dm",
+        distDm(col("st_lat"), col("st_lon"), col("lat"), col("lon")))
+      .filter(col("dm") <= 1500000L)
       .groupBy(col("st_id"))
       .agg(count(lit(1)).as("n_pts"),
         count_distinct(col("user_id")).as("n_users"),
-        min(col("dq")).cast("double").as("min_m"))
+        (min(col("dm")) / 10.0).as("min_m"))
       .orderBy(col("st_id"))
       .collect()
 
@@ -121,15 +120,15 @@ class GeoSpec extends SparkSpec {
       (lit(-120.0) + (col("n_nationkey") * 937 % 6000).cast("double") / 100.0)
         .as("st_lon"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_id")).orderBy(col("dq"), col("st_id"))
+      .partitionBy(col("event_id")).orderBy(col("dm"), col("st_id"))
     val windowed = ev.crossJoin(st)
-      .withColumn("dq",
-        haversineM(col("st_lat"), col("st_lon"), col("lat"), col("lon"))
-          .cast("decimal(18,1)"))
+      .withColumn("dm",
+        distDm(col("st_lat"), col("st_lon"), col("lat"), col("lon")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("st_id"))
-      .agg(count(lit(1)).as("n_pts"), sum(col("dq")).cast("double").as("sum_m"))
+      .agg(count(lit(1)).as("n_pts"),
+        (sum(col("dm")).cast("double") / 10.0).as("sum_m"))
       .orderBy(col("st_id"))
       .collect()
     assert(agg.map(_.toString).toSeq == windowed.map(_.toString).toSeq)
