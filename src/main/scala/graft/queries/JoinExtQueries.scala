@@ -100,6 +100,34 @@ object JoinExtQueries {
         ORDER BY p.event_id""")
     },
 
+    // Time-grid resampling with last-observation-carried-forward —
+    // the sensor/track gap-fill every time-series pipeline needs
+    // (the reference replays its cache on a fixed cadence whether or
+    // not fresh points arrived, `task.ts:243-263` — this is that
+    // semantics as a relational operator). A per-entity hourly grid
+    // is GENERATED (sequence+explode — no calendar table to store),
+    // then the native as-of merge join fills each grid tick with the
+    // newest observation at-or-before it. Scale shape: grid
+    // generation is map-side from the per-entity bounds aggregate;
+    // the fill is the one sort-merge as-of pass — no range
+    // explosion, no per-tick window.
+    "q_asof_resample" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.groupBy(col("user_id")).agg(
+        date_trunc("hour", min(col("ts"))).as("t0"),
+        max(col("ts")).as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+          .as("ts"))
+      val obs = ev.select(col("user_id"), col("ts"),
+        col("value").as("obs_value"), unix_millis(col("ts")).as("obs_ms"))
+      graft.plans.AsOfJoinNative.asOfMerge(grid, obs, "user_id", "ts")
+        .select(col("user_id"), unix_millis(col("ts")).as("grid_ms"),
+          col("obs_value"),
+          (unix_millis(col("ts")) - col("obs_ms")).as("age_ms"))
+        .orderBy(col("user_id"), col("grid_ms"))
+    },
+
     // Range join against a tiny literal tier table: broadcast
     // nested-loop on the band predicate — the correct shape when one
     // side is a handful of bands (never shuffle the fact side).
@@ -438,6 +466,26 @@ object JoinExtQueries {
          FROM p ASOF LEFT JOIN e
            ON p.user_id = e.user_id AND p.ts >= e.ts
          ORDER BY p.event_id""",
+
+    // same grid + ASOF fill; DuckDB generates the series natively
+    "q_asof_resample" ->
+      """WITH bounds AS (
+           SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP)))
+             AS t0, max(CAST(ts AS TIMESTAMP)) AS t1
+           FROM events GROUP BY user_id),
+         grid AS (
+           SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+           FROM bounds),
+         obs AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             value AS obs_value, epoch_ms(ts) AS obs_ms
+           FROM events)
+         SELECT g.user_id, epoch_ms(g.ts) AS grid_ms, o.obs_value,
+           epoch_ms(g.ts) - o.obs_ms AS age_ms
+         FROM grid g ASOF LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.ts >= o.ts
+         ORDER BY g.user_id, grid_ms""",
 
     "q_range_join" ->
       """SELECT tier, count(*) AS cnt, round(avg(value), 4) AS avg_v

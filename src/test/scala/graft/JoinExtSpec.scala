@@ -197,6 +197,24 @@ class JoinExtSpec extends SparkSpec {
     }
   }
 
+  test("resample fills a generated grid through the native as-of merge") {
+    val df = SparkEntry.queries("q_asof_resample")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"),
+      s"resample must run on the native as-of node:\n$plan")
+    val rows = df.collect()
+    // left outer: every generated grid tick survives the fill
+    val gridSize = Tables(spark, sf("0.001"), "events")
+      .groupBy($"user_id")
+      .agg(date_trunc("hour", min($"ts")).as("t0"), max($"ts").as("t1"))
+      .select(explode(sequence($"t0", $"t1", expr("interval 1 hour"))))
+      .count()
+    assert(rows.length.toLong == gridSize,
+      s"grid ticks lost in the fill: ${rows.length} != $gridSize")
+    // LOCF sanity: ages are non-negative wherever an observation matched
+    assert(rows.forall(r => r.isNullAt(3) || r.getLong(3) >= 0L))
+  }
+
   test("KMV estimate stays within 3 standard errors of exact") {
     val est = SparkEntry.queries("q_agg_distinct_kmv")(spark, sf("0.01"))
       .as[(String, Double)].collect().toMap
