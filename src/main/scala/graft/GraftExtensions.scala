@@ -75,5 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "asof_cond(cond) - ASOF JOIN condition marker (parser-internal)"),
       (es: Seq[Expression]) => graft.plans.AsOfCondMarker(es.head)))
     ext.injectResolutionRule(_ => graft.plans.RewriteAsOfSyntax)
+    // `SELECT * REPLACE (expr AS col)` — star expansion with in-place
+    // substitution (parser sugar + marker + resolution swap)
+    ext.injectFunction((FunctionIdentifier("graft_replace"),
+      info("graft_replace",
+        "graft_replace(e) - star-REPLACE item marker (parser-internal)"),
+      (es: Seq[Expression]) => graft.plans.StarReplaceMarker(es.head)))
+    ext.injectResolutionRule(_ => graft.plans.RewriteStarReplace)
   }
 }

@@ -259,7 +259,8 @@ class GraftSqlParser(
 
   private def sugar(sqlText: String): String =
     QualifySyntax.rewrite(DistinctOnSyntax.rewrite(
-      ExcludeSyntax.rewrite(AsOfSyntax.rewrite(sqlText))))
+      StarReplaceSyntax.rewrite(
+        ExcludeSyntax.rewrite(AsOfSyntax.rewrite(sqlText)))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sugar(sqlText))

@@ -128,6 +128,40 @@ object JoinExtQueries {
         .orderBy(col("user_id"), col("grid_ms"))
     },
 
+    // Interval-overlap join, fact × fact, UNKEYED — the shape that
+    // nested-loops at scale unless blocked. Each interval (event ts
+    // + value-derived duration) explodes to the hour-chunks it
+    // covers (bounded: duration ≤ ~82 min → ≤ 3 chunks); the join is
+    // then a plain EQUI-join on the chunk key with the overlap
+    // predicate as a post-filter. Duplicate hits (a pair overlapping
+    // in 2+ shared chunks) are eliminated WITHOUT a distinct: only
+    // the chunk containing greatest(a_s, b_s) — the overlap's start,
+    // which both sides of a true overlap share — owns the pair, so
+    // dedup is a map-side filter, not a shuffle. At 100 TB this is
+    // the difference between a cartesian and a hash join whose key
+    // cardinality is the time axis.
+    "q_interval_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def iv(types: Seq[String], p: String) = ev
+        .filter(col("event_type").isin(types: _*))
+        .select(col("event_id").as(s"${p}_id"),
+          unix_millis(col("ts")).as(s"${p}_s"),
+          (unix_millis(col("ts")) +
+            floor(col("value") * 100 + 0.5).cast("long") * 10)
+            .as(s"${p}_e"))
+      def chunked(df: DataFrame, p: String) = df.withColumn("chunk",
+        explode(sequence(expr(s"${p}_s div 3600000"),
+          expr(s"${p}_e div 3600000"))))
+      chunked(iv(Seq("view", "click"), "a"), "a")
+        .join(chunked(iv(Seq("error", "purchase"), "b"), "b"), "chunk")
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .filter(col("chunk") === expr("greatest(a_s, b_s) div 3600000"))
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_ms"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Range join against a tiny literal tier table: broadcast
     // nested-loop on the band predicate — the correct shape when one
     // side is a handful of bands (never shuffle the fact side).
@@ -486,6 +520,23 @@ object JoinExtQueries {
          FROM grid g ASOF LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.ts >= o.ts
          ORDER BY g.user_id, grid_ms""",
+
+    // chunking is invisible to the data: the oracle is the naive
+    // overlap join
+    "q_interval_join" ->
+      """WITH iv AS (
+           SELECT event_id, event_type, epoch_ms(ts) AS s_ms,
+             epoch_ms(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 10
+               AS e_ms
+           FROM events),
+         a AS (SELECT event_id AS a_id, s_ms AS a_s, e_ms AS a_e
+               FROM iv WHERE event_type IN ('view', 'click')),
+         b AS (SELECT event_id AS b_id, s_ms AS b_s, e_ms AS b_e
+               FROM iv WHERE event_type IN ('error', 'purchase'))
+         SELECT a_id, b_id,
+           least(a_e, b_e) - greatest(a_s, b_s) AS overlap_ms
+         FROM a, b WHERE a_s <= b_e AND b_s <= a_e
+         ORDER BY a_id, b_id""",
 
     "q_range_join" ->
       """SELECT tier, count(*) AS cnt, round(avg(value), 4) AS avg_v

@@ -431,6 +431,21 @@ object RelationalQueries {
         ORDER BY o_orderkey LIMIT 50""")
     },
 
+    // star-REPLACE (DuckDB grammar, absent from Spark — parser
+    // marker + in-place resolution swap, graft.plans
+    // .StarReplaceSyntax): same statement on both engines, and the
+    // replaced columns keep their original star position. The ORDER
+    // BY deliberately references a replaced column — both engines
+    // must order by the REPLACED value.
+    "q_select_replace" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                          upper(o_orderstatus) AS o_orderstatus)
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
+    },
+
     // ---- window functions ----------------------------------------
     "q_window_rank" -> { (s, dir) =>
       val bucket = floor(col("o_totalprice") / 50000).cast("long")
@@ -821,6 +836,13 @@ object RelationalQueries {
     "q_select_exclude" ->
       """SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders
          ORDER BY o_orderkey LIMIT 50""",
+
+    // the Spark query's exact text: DuckDB's native REPLACE
+    "q_select_replace" ->
+      """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                           upper(o_orderstatus) AS o_orderstatus)
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
 
     // the Spark query's exact text: DuckDB's native DISTINCT ON
     "q_distinct_on" ->

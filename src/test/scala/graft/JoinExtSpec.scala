@@ -215,6 +215,34 @@ class JoinExtSpec extends SparkSpec {
     assert(rows.forall(r => r.isNullAt(3) || r.getLong(3) >= 0L))
   }
 
+  test("interval join: chunk blocking == naive overlap, equi-join plan") {
+    val blocked = SparkEntry.queries("q_interval_join")(spark, sf("0.001"))
+    withoutAqe {
+      val plan = blocked.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"overlap must not nested-loop:\n$plan")
+    }
+    val got = blocked.collect().map(_.toString).toSeq
+
+    val ev = Tables(spark, sf("0.001"), "events")
+    def iv(types: Seq[String], p: String) = ev
+      .filter($"event_type".isin(types: _*))
+      .select($"event_id".as(s"${p}_id"),
+        unix_millis($"ts").as(s"${p}_s"),
+        (unix_millis($"ts") +
+          floor($"value" * 100 + 0.5).cast("long") * 10).as(s"${p}_e"))
+    val naive = iv(Seq("view", "click"), "a")
+      .crossJoin(iv(Seq("error", "purchase"), "b"))
+      .filter($"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+      .select($"a_id", $"b_id",
+        (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_ms"))
+      .orderBy($"a_id", $"b_id")
+      .collect().map(_.toString).toSeq
+    assert(got == naive, "chunked overlap join diverges from naive")
+    assert(got.nonEmpty, "no overlaps at sf0.001 — vacuous")
+  }
+
   test("KMV estimate stays within 3 standard errors of exact") {
     val est = SparkEntry.queries("q_agg_distinct_kmv")(spark, sf("0.01"))
       .as[(String, Double)].collect().toMap

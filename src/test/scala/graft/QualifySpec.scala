@@ -132,4 +132,65 @@ class QualifySpec extends SparkSpec {
       "SELECT 1 QUALIFY x = 1"))
     assert(noFrom.getMessage.contains("FROM"))
   }
+
+  test("star-REPLACE keeps position, name, and the rest of the row") {
+    Tables.registerViews(spark, sf())
+    val replaced = spark.sql(
+      """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+         FROM orders ORDER BY o_orderkey LIMIT 20""")
+    val plain = spark.sql("SELECT * FROM orders ORDER BY o_orderkey LIMIT 20")
+    // identical schema: same names, same ORDER (replace is in-place)
+    assert(replaced.columns.toSeq == plain.columns.toSeq)
+    val idx = replaced.columns.indexOf("o_totalprice")
+    replaced.collect().zip(plain.collect()).foreach { case (r, p) =>
+      assert(r.getDouble(idx) == p.getDouble(idx) * 2)
+      r.toSeq.zip(p.toSeq).zipWithIndex.foreach { case ((a, b), i) =>
+        if (i != idx) assert(a == b, s"column $i changed")
+      }
+    }
+  }
+
+  test("star-REPLACE: ORDER BY a replaced column sees the replaced value") {
+    Tables.registerViews(spark, sf())
+    val flipped = spark.sql(
+      """SELECT * REPLACE (0 - o_totalprice AS o_totalprice)
+         FROM orders ORDER BY o_totalprice LIMIT 5""")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    // ordering by the negated price ascending == original descending
+    val expect = spark.sql(
+      """SELECT o_orderkey FROM orders
+         ORDER BY o_totalprice DESC LIMIT 5""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flipped == expect)
+  }
+
+  test("star-REPLACE can change a column's type in place") {
+    Tables.registerViews(spark, sf())
+    val df = spark.sql(
+      """SELECT * REPLACE (CAST(o_orderkey AS STRING) AS o_orderkey)
+         FROM orders LIMIT 3""")
+    assert(df.schema("o_orderkey").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(df.columns.head == "o_orderkey" ||
+      df.columns.indexOf("o_orderkey") ==
+        spark.table("orders").columns.indexOf("o_orderkey"))
+  }
+
+  test("star-REPLACE failures are loud") {
+    Tables.registerViews(spark, sf())
+    val noCol = intercept[Exception](spark.sql(
+      "SELECT * REPLACE (1 AS nope) FROM orders").collect())
+    assert(noCol.getMessage.contains("no such column"),
+      s"got: ${noCol.getMessage}")
+    val noAs = intercept[Exception](spark.sql(
+      "SELECT * REPLACE (o_orderkey + 1) FROM orders").collect())
+    assert(noAs.getMessage.contains("AS"), s"got: ${noAs.getMessage}")
+    val qual = intercept[Exception](spark.sql(
+      "SELECT o.* REPLACE (1 AS o_orderkey) FROM orders o").collect())
+    assert(qual.getMessage.contains("qualified"), s"got: ${qual.getMessage}")
+    // a column named replace is untouched
+    assert(graft.plans.StarReplaceSyntax.rewrite(
+      "SELECT replace FROM t WHERE replace > 1") ===
+      "SELECT replace FROM t WHERE replace > 1")
+  }
 }

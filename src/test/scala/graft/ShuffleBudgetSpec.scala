@@ -112,4 +112,36 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(rows < (nb + nc) * 40 + 1000,
       s"incremental shuffle not linear in band keys: $rows")
   }
+
+  test("radius join shuffle is the rollup, never the fact side") {
+    val nFacts = Tables(spark, sf(), "events").count()
+    val rows = shuffledRecords {
+      graft.queries.GeoQueries.defs("q_geo_radius_join")(spark, sf())
+        .collect()
+    }
+    // the fact side hash-joins against the BROADCAST station cells;
+    // only the per-station aggregate's partials (≤ 25 stations ×
+    // partitions) and the tiny result cross the wire
+    info(s"radius join shuffled $rows rows over $nFacts facts")
+    assert(rows < nFacts / 2,
+      s"radius join shuffled like a fact-side exchange: $rows of $nFacts")
+  }
+
+  test("interval join shuffle is chunk keys, never the pair space") {
+    val ev = Tables(spark, sf(), "events")
+    val na = ev.filter(col("event_type").isin("view", "click")).count()
+    val nb2 = ev.filter(col("event_type").isin("error", "purchase")).count()
+    val rows = shuffledRecords {
+      SparkEntry.queries("q_interval_join")(spark, sf()).collect()
+    }
+    // each interval explodes to ≤3 chunks; the equi-join shuffles the
+    // chunked streams (≤ 3·(|a|+|b|)) plus the matched pairs for the
+    // final sort — far from the |a|·|b| pair space a nested loop scans
+    info(s"interval join shuffled $rows rows; a=$na b=$nb2 " +
+      s"pair space=${na * nb2}")
+    assert(rows < na * nb2 / 10,
+      s"interval join shuffled near the pair space: $rows")
+    assert(rows < (na + nb2) * 6 + 4000,
+      s"interval join shuffle not linear in chunk keys: $rows")
+  }
 }
