@@ -76,7 +76,8 @@ class TrackPointTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"trackpoints($path)"
   override def schema(): StructType = TrackPointSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new TrackPointScanBuilder(path)
@@ -173,14 +174,84 @@ class TrackPointScan(path: String, required: StructType,
       else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.getName)
+    val files = TrackPointScan.listFiles(path)
     files.map(f => TrackFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TrackPointReaderFactory(required, pushed, aggGroups, aggs)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TrackPointMicroBatchStream(path, required, pushed)
+}
+
+object TrackPointScan {
+  /** Immutable, lexicographically-monotonic file layout (part-00000
+    * style) — the contract that makes a file-count offset a valid
+    * high-watermark for the streaming form below.
+    */
+  private[sources] def listFiles(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+}
+
+/** The same source as an unbounded stream — the reference's actual
+  * runtime shape (S2 polls on a cadence, `task.ts:172-205`; S1
+  * accepts pushes): each trigger "polls" the directory and ingests
+  * exactly the files that arrived since the last committed offset.
+  * The offset is a file-count HIGH-WATERMARK over the sorted listing
+  * (the reference's `cachetime` gate, `task.ts:172`, is precisely
+  * this — "what have I already seen"), which with the immutable
+  * append-only layout gives exactly-once per file across restarts:
+  * Spark checkpoints the offset range per micro-batch and replays
+  * only uncommitted ranges.
+  *
+  * Pushed filters ride along: V2 pushdown runs for micro-batch scans
+  * too, so the reference's `noEarlierThan` predicate drops rows
+  * inside the reader in streaming exactly as in batch.
+  */
+class TrackPointMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = FileWatermarkOffset(0)
+  override def latestOffset(): Offset =
+    FileWatermarkOffset(TrackPointScan.listFiles(path).length)
+  override def deserializeOffset(json: String): Offset =
+    FileWatermarkOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[FileWatermarkOffset].files
+    val e = end.asInstanceOf[FileWatermarkOffset].files
+    TrackPointScan.listFiles(path).slice(s, e)
+      .map(f => TrackFilePartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TrackPointReaderFactory(required, pushed)
+
+  override def toString: String =
+    s"trackpoints-stream($path) ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+}
+
+case class FileWatermarkOffset(files: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"files":$files}"""
+}
+
+object FileWatermarkOffset {
+  private val Pat = """\{"files":(\d+)\}""".r
+  def fromJson(json: String): FileWatermarkOffset = json.trim match {
+    case Pat(n) => FileWatermarkOffset(n.toInt)
+    case other => throw new IllegalArgumentException(
+      s"not a FileWatermarkOffset: $other")
+  }
 }
 
 case class TrackFilePartition(file: String) extends InputPartition
