@@ -103,6 +103,30 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("measured: radius-join shuffle tracks the dims, not the facts") {
+    // the fact side never shuffles pre-rollup: what crosses the wire
+    // is the count_distinct's (station, user) partials plus the
+    // 25-row rollup — bounded by the DIM cardinalities (stations ×
+    // users), a small fraction of the fact count at every scale (in
+    // this testdata the user dim itself grows with SF, so the
+    // absolute number grows; the fact-relative budget is the
+    // invariant)
+    def at(d: String): (Long, Long) = {
+      val facts = Tables(spark, sf(d), "events").count()
+      val rows = shuffledRecords {
+        graft.queries.GeoQueries.defs("q_geo_radius_join")(spark, sf(d))
+          .collect()
+      }
+      (rows, facts)
+    }
+    val (s1, f1) = at("0.001")
+    val (s2, f2) = at("0.01")
+    info(s"radius join shuffle: sf0.001=$s1/$f1 facts, " +
+      s"sf0.01=$s2/$f2 facts")
+    assert(s1 * 5 < f1, s"sf0.001 shuffle not dim-bounded: $s1 of $f1")
+    assert(s2 * 5 < f2, s"sf0.01 shuffle not dim-bounded: $s2 of $f2")
+  }
+
   test("nearest-station assignment agrees with the window formulation") {
     val agg = graft.queries.GeoQueries
       .defs("q_geo_nearest_station")(spark, sf("0.001")).collect()
