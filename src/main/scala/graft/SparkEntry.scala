@@ -26,7 +26,7 @@ object SparkEntry {
     RelationalQueries.defs ++ PipelineQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
-      ClusterQueries.defs ++ GeoQueries.defs
+      ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -36,5 +36,6 @@ object SparkEntry {
       FunctionQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ StreamQueries.oracles ++
       SourceQueries.oracles ++ JoinExtQueries.oracles ++
-      ClusterQueries.oracles ++ GeoQueries.oracles
+      ClusterQueries.oracles ++ GeoQueries.oracles ++
+      QualityQueries.oracles
 }

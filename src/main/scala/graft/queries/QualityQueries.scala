@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality / operations operators a 100 TB pipeline runs beside
+  * the analytics proper: one-pass column profiling (the "what is in
+  * this table" scan), rolling-statistics anomaly detection over the
+  * event stream, and blocked record linkage (entity resolution).
+  *
+  * Scale designs:
+  *  - profiling reads the table ONCE for every per-column statistic
+  *    (multi-distinct plans via Expand — one scan, not one scan per
+  *    column; ProfileSpec pins the single-scan plan);
+  *  - anomaly scoring is a rows-frame window per event_type — one
+  *    shuffle on the type key, and the rolling moments are exact
+  *    DECIMAL sums so the score is bit-identical in any engine
+  *    (double window-sums are association-dependent: Spark's sliding
+  *    accumulator and DuckDB's segment tree would disagree in ulps);
+  *  - entity resolution joins on a blocking key (never all-pairs) and
+  *    verifies candidates with edit distance — the same
+  *    block→candidate→verify envelope as the LSH dedup family.
+  */
+object QualityQueries {
+
+  /** Columns profiled by q_profile_columns — a representative mix of
+    * key, low-cardinality, date, and free-text columns. min/max are
+    * emitted as strings so one result schema covers all types
+    * (binary collation in both engines).
+    */
+  private val profileCols =
+    Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
+      "l_quantity")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // One-pass table profile: row count, null count, exact distinct
+    // count, min/max for five lineitem columns — in a SINGLE
+    // aggregate over a single scan. Catalyst plans the five exact
+    // count-distincts as one Expand (each input row fans out once
+    // per distinct column) + two-level hash aggregate; at 100 TB
+    // that is one read of the table instead of five, and the
+    // shuffle carries only (column, value) pairs pre-deduplicated
+    // map-side. The row-multiplication cost of Expand is the
+    // documented trade for exactness; swap countDistinct for
+    // approx_count_distinct when a profile tolerates ±2%.
+    "q_profile_columns" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val aggs = profileCols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))
+      }
+      val stackArgs = profileCols.map { c =>
+        s"'$c', __total - ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx"
+      }.mkString(", ")
+      li.agg(count(lit(1)).as("__total"), aggs: _*)
+        .select(col("__total").as("n_rows"),
+          expr(s"stack(${profileCols.size}, $stackArgs) AS " +
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("col_name"))
+    },
+
+    // Rolling z-score anomaly detection: each event scores against
+    // the mean/stddev of the 20 events BEFORE it (same type,
+    // time-ordered) — the streaming-friendly "is this point normal
+    // given recent history" gate, here in its batch form. The
+    // rolling moments are sums of DECIMAL(18,6)-quantized values
+    // (exact, order-independent — see the scaladoc), converted to
+    // DOUBLE only for the final mean/variance/sqrt arithmetic,
+    // which is IEEE-deterministic given identical inputs. Rows
+    // without a full 20-event history (or zero variance) stay
+    // unscored. One shuffle on event_type; the frame is O(1) state
+    // per row in Spark's sliding-window evaluator.
+    "q_anomaly_zscore" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      val dv = col("value").cast("decimal(18,6)")
+      val scored = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          sum(dv).over(w).as("s"),
+          sum(dv * dv).over(w).as("sq"),
+          count(dv).over(w).as("c"))
+        .withColumn("mean", col("s").cast("double") / col("c"))
+        .withColumn("variance",
+          col("sq").cast("double") / col("c")
+            - col("mean") * col("mean"))
+        .withColumn("z", when(col("c") === 20 && col("variance") > 0,
+          (col("value") - col("mean")) / sqrt(col("variance"))))
+      scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("z")).as("n_scored"),
+          count(when(abs(col("z")) > 3, 1)).as("n_anomalies"),
+          round(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy(col("event_type"))
+    },
+
+    // Blocked entity resolution over part names with planted
+    // single-char corruptions (partkey<100, last char replaced —
+    // id-shifted so matches are self-evident): candidates pair ONLY
+    // within a blocking key (first name word), then edit-distance
+    // verifies. The plan is a plain equi-join on the block key —
+    // never a cross product (ProfileSpec pins no CartesianProduct) —
+    // so the pair space is Σ(block size²), the classic linkage
+    // envelope; production corpora block on stronger keys (sorted
+    // neighborhood, phonetic, LSH) exactly like the dedup family's
+    // band buckets, and the verify stage is unchanged.
+    "q_entity_resolution" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val variants = p.filter(col("p_partkey") < 100)
+        .select((col("p_partkey") + 500000).as("p_partkey"),
+          concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+            lit("#")).as("p_name"))
+      val keyed = p.unionByName(variants)
+        .withColumn("block", element_at(split(col("p_name"), " "), 1))
+      val a = keyed.as("a")
+      val b = keyed.as("b")
+      a.join(b, col("a.block") === col("b.block")
+          && col("a.p_partkey") < col("b.p_partkey"))
+        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+        .select(col("a.p_partkey").as("id_a"),
+          col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_profile_columns" -> {
+      val per = profileCols.map { c =>
+        s"""SELECT '$c' AS col_name,
+              (SELECT count(*) FROM lineitem) AS n_rows,
+              count(*) - count($c) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_val,
+              CAST(max($c) AS VARCHAR) AS max_val
+            FROM lineitem"""
+      }.mkString("\n UNION ALL\n")
+      s"SELECT * FROM (\n$per\n) ORDER BY col_name"
+    },
+
+    "q_anomaly_zscore" ->
+      """WITH s AS (
+           SELECT event_type, value,
+             sum(CAST(value AS DECIMAL(18,6))) OVER w AS sm,
+             sum(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) OVER w AS sq,
+             count(value) OVER w AS c
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT event_type,
+             CASE WHEN c = 20
+                   AND CAST(sq AS DOUBLE) / c
+                       - (CAST(sm AS DOUBLE) / c)
+                         * (CAST(sm AS DOUBLE) / c) > 0
+                  THEN (value - CAST(sm AS DOUBLE) / c)
+                       / sqrt(CAST(sq AS DOUBLE) / c
+                              - (CAST(sm AS DOUBLE) / c)
+                                * (CAST(sm AS DOUBLE) / c))
+             END AS z
+           FROM s)
+         SELECT event_type, count(*) AS n_events,
+           count(z) AS n_scored,
+           count(CASE WHEN abs(z) > 3 THEN 1 END) AS n_anomalies,
+           round(max(abs(z)), 4) AS max_abs_z
+         FROM z GROUP BY event_type ORDER BY event_type""",
+
+    "q_entity_resolution" ->
+      """WITH allp AS (
+           SELECT p_partkey, p_name FROM part
+           UNION ALL
+           SELECT p_partkey + 500000 AS p_partkey,
+                  substr(p_name, 1, length(p_name) - 1) || '#' AS p_name
+           FROM part WHERE p_partkey < 100),
+         k AS (
+           SELECT p_partkey, p_name,
+                  string_split(p_name, ' ')[1] AS block
+           FROM allp)
+         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         FROM k a JOIN k b
+           ON a.block = b.block AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY id_a, id_b""",
+  )
+}

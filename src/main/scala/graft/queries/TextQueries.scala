@@ -479,6 +479,34 @@ object TextQueries {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy(col("id"))
     },
+
+    // Sliding token-window chunking with overlap — the document →
+    // training-sample step every pretraining/RAG pipeline runs
+    // before tokenization proper. Chunk starts advance by `stride`
+    // (= size − overlap); the final chunk starts at the last
+    // stride-multiple < n and truncates, so 1 + ceil((n−size)/stride)
+    // chunks cover every token with no degenerate suffix chunk that
+    // is fully contained in its predecessor. Pure per-row HOF
+    // arithmetic (sequence → slice under transform → posexplode):
+    // zero shuffle beyond the deterministic output order, so at
+    // 100 TB this runs at scan speed and the only cost is the
+    // ~n/stride output-row multiplier every chunker pays.
+    "q_chunk_sliding" -> { (s, dir) =>
+      val cLen = 64; val cStride = 48
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), greatest(lit(0),
+              ceil((col("n") - lit(cLen)).cast("double") / cStride)
+                .cast("int"))),
+            i => slice(col("t"), i * cStride + 1, lit(cLen)))))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          size(col("col")).as("chunk_tokens"),
+          array_join(col("col"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1130,5 +1158,25 @@ object TextQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS cluster_id FROM reach
          GROUP BY a ORDER BY id""",
+
+    "q_chunk_sliding" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(0, CAST(ceil((n - 64) / 48.0) AS INTEGER))))
+               AS chunk_id
+           FROM t)
+         SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1,
+                               chunk_id * 48 + 64)) AS INTEGER)
+             AS chunk_tokens,
+           array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                      chunk_id * 48 + 64), ' ')
+             AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Gates for the data-quality family (QualityQueries) and the
+  * chunking operator: plan shapes that make them scale (single scan
+  * for the profile, equi-join — never cartesian — for linkage) and
+  * the semantic invariants an oracle row-hash alone doesn't state
+  * (chunk coverage/overlap, planted-corruption recovery, z-score
+  * windows need full history).
+  */
+class QualitySpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_profile_columns: five columns profiled in ONE table scan") {
+    val p = withoutAqe(q("q_profile_columns")
+      .queryExecution.executedPlan.toString)
+    val scans = p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct should plan via Expand (one pass):\n$p")
+  }
+
+  test("q_profile_columns: totals are consistent per column") {
+    val rows = q("q_profile_columns").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val nulls = r.getAs[Long]("n_nulls")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nulls >= 0 && nd >= 1 && nd <= n - nulls,
+        s"inconsistent profile row: $r")
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+    }
+  }
+
+  test("q_chunk_sliding: chunks cover every token exactly once per stride") {
+    // Reassembling chunk 0 + the tail (size−stride = last 16 dropped)
+    // of every later chunk must reproduce the document verbatim —
+    // the coverage/overlap contract of a stride-48/size-64 chunker.
+    val docs = graft.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val piece = when(col("chunk_id") === 0, col("chunk_text"))
+      .otherwise(array_join(
+        slice(split(col("chunk_text"), " "), 17, 10000), " "))
+    val re = q("q_chunk_sliding")
+      .select(col("doc_id"), struct(col("chunk_id"), piece.as("p"))
+        .as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("cp"))),
+        x => x.getField("p")), " ").as("rebuilt"))
+    val bad = re.join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(bad == 0, s"$bad docs fail chunk-reassembly")
+  }
+
+  test("q_chunk_sliding: every chunk is at most 64 tokens and non-empty") {
+    val agg = q("q_chunk_sliding")
+      .agg(max(col("chunk_tokens")).as("mx"), min(col("chunk_tokens")).as("mn"),
+        max(when(col("chunk_id") === 0, col("chunk_tokens"))).as("c0mx"))
+      .head()
+    assert(agg.getAs[Int]("mx") <= 64 && agg.getAs[Int]("mn") >= 1)
+    assert(agg.getAs[Int]("c0mx") <= 64)
+  }
+
+  test("q_entity_resolution: plan is a blocked equi-join, no cartesian") {
+    val p = withoutAqe(q("q_entity_resolution")
+      .queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage fell back to all-pairs:\n$p")
+  }
+
+  test("q_entity_resolution: recovers every planted corruption at dist 1") {
+    val rows = q("q_entity_resolution")
+      .filter(col("id_b") >= 500000 && col("id_a") === col("id_b") - 500000)
+      .collect()
+    assert(rows.length == 100,
+      s"expected 100 planted matches (partkeys 0-99), got ${rows.length}")
+    assert(rows.forall(_.getAs[Int]("dist") == 1))
+  }
+
+  test("q_anomaly_zscore: only full-history rows are scored") {
+    val r = q("q_anomaly_zscore").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_events")
+      val scored = row.getAs[Long]("n_scored")
+      val anom = row.getAs[Long]("n_anomalies")
+      // at most n−20 rows can have 20 predecessors
+      assert(scored <= math.max(0, n - 20), s"over-scored: $row")
+      assert(anom <= scored, s"more anomalies than scored rows: $row")
+    }
+  }
+}
