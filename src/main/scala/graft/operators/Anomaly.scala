@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling-statistics anomaly scoring, shared by the batch query
+  * (`q_anomaly_zscore`) and the streaming form
+  * ([[graft.streaming.StreamAnomaly]]).
+  *
+  * Each row scores against the mean/stddev of the `window` rows
+  * BEFORE it within its key (time-ordered): the "is this point
+  * normal given recent history" gate. The rolling moments are sums
+  * of DECIMAL(18,6)-quantized values — exact and order-independent,
+  * where double window-sums are association-dependent (Spark's
+  * sliding accumulator vs DuckDB's segment tree disagree in ulps) —
+  * converted to DOUBLE only for the final mean/variance/sqrt
+  * arithmetic, which is IEEE-deterministic given identical inputs.
+  * Rows without a full `window` of history, or with zero variance,
+  * are left unscored (z = null).
+  *
+  * Scale: one shuffle on the key; the rows-frame is O(1) state per
+  * row in Spark's sliding-window evaluator. The streaming form keeps
+  * the same `window` values per key as explicit state.
+  */
+object Anomaly {
+
+  /** Adds a `z` column; null when history is short or variance 0. */
+  def rollingZ(events: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      valueCol: Column, window: Int = 20): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-window, -1)
+    val dv = valueCol.cast("decimal(18,6)")
+    events
+      .withColumn("__s", sum(dv).over(w))
+      .withColumn("__sq", sum(dv * dv).over(w))
+      .withColumn("__c", count(dv).over(w))
+      .withColumn("__mean", col("__s").cast("double") / col("__c"))
+      .withColumn("__var", col("__sq").cast("double") / col("__c")
+        - col("__mean") * col("__mean"))
+      .withColumn("z", when(col("__c") === window && col("__var") > 0,
+        (valueCol - col("__mean")) / sqrt(col("__var"))))
+      .drop("__s", "__sq", "__c", "__mean", "__var")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -66,32 +65,14 @@ object QualityQueries {
         .orderBy(col("col_name"))
     },
 
-    // Rolling z-score anomaly detection: each event scores against
-    // the mean/stddev of the 20 events BEFORE it (same type,
-    // time-ordered) — the streaming-friendly "is this point normal
-    // given recent history" gate, here in its batch form. The
-    // rolling moments are sums of DECIMAL(18,6)-quantized values
-    // (exact, order-independent — see the scaladoc), converted to
-    // DOUBLE only for the final mean/variance/sqrt arithmetic,
-    // which is IEEE-deterministic given identical inputs. Rows
-    // without a full 20-event history (or zero variance) stay
-    // unscored. One shuffle on event_type; the frame is O(1) state
-    // per row in Spark's sliding-window evaluator.
+    // Rolling z-score anomaly detection — scoring semantics and the
+    // exact-decimal-moments portability argument live in
+    // [[graft.operators.Anomaly.rollingZ]], which the streaming form
+    // (StreamAnomaly, spec-pinned row-identical) shares.
     "q_anomaly_zscore" -> { (s, dir) =>
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
-      val dv = col("value").cast("decimal(18,6)")
-      val scored = Tables(s, dir, "events")
-        .select(col("event_type"), col("value"),
-          sum(dv).over(w).as("s"),
-          sum(dv * dv).over(w).as("sq"),
-          count(dv).over(w).as("c"))
-        .withColumn("mean", col("s").cast("double") / col("c"))
-        .withColumn("variance",
-          col("sq").cast("double") / col("c")
-            - col("mean") * col("mean"))
-        .withColumn("z", when(col("c") === 20 && col("variance") > 0,
-          (col("value") - col("mean")) / sqrt(col("variance"))))
+      val scored = graft.operators.Anomaly.rollingZ(
+        Tables(s, dir, "events"), col("event_type"),
+        Seq(col("ts"), col("event_id")), col("value"))
       scored.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           count(col("z")).as("n_scored"),
@@ -128,6 +109,35 @@ object QualityQueries {
           col("b.p_partkey").as("id_b"),
           levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // CDC apply-changes: collapse a keyed change log (insert /
+    // update / delete, totally ordered per key by (ts, event_id))
+    // into the current snapshot — the lakehouse MERGE/apply_changes
+    // primitive. events stands in as the log: signup→I, error→D,
+    // everything else→U; a key whose LAST change is a delete leaves
+    // the snapshot. One max_by hash aggregate (map-side partials —
+    // the shuffle carries |keys| pre-combined rows, not |rows|; same
+    // shape as latest-per-key, plan-pinned in PlanSpec) plus a
+    // post-agg delete filter: no window sort, no join, and at 100 TB
+    // the log is never globally sorted.
+    "q_cdc_apply" -> { (s, dir) =>
+      val log = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"))
+      log.groupBy(col("user_id"))
+        .agg(max_by(struct(col("op"), col("value"), col("ts")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last.op") =!= "D")
+        .select(col("user_id"), col("last.op").as("last_op"),
+          round(col("last.value"), 4).as("last_value"),
+          unix_millis(col("last.ts")).as("last_ts_ms"),
+          col("n_changes"))
+        .orderBy(col("user_id"))
     },
   )
 
@@ -190,5 +200,23 @@ object QualityQueries {
            ON a.block = b.block AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
+
+    "q_cdc_apply" ->
+      """WITH chg AS (
+           SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+           FROM chg)
+         SELECT user_id, op AS last_op, round(value, 4) AS last_value,
+           epoch_us(ts) // 1000 AS last_ts_ms, n_changes
+         FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY user_id""",
   )
 }

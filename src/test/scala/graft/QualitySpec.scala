@@ -82,6 +82,37 @@ class QualitySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("dist") == 1))
   }
 
+  test("q_cdc_apply: keys whose last change is a delete leave the snapshot") {
+    import org.apache.spark.sql.expressions.Window
+    val log = graft.Tables(spark, sf(), "events")
+    val lastOp = log
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        (col("event_type") === "error").as("deleted"))
+    val deleted = lastOp.filter(col("deleted"))
+      .select("user_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSet
+    assert(deleted.nonEmpty, "fixture should delete at least one key")
+    val snapshot = q("q_cdc_apply")
+      .select("user_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSet
+    assert(snapshot.intersect(deleted).isEmpty,
+      "deleted keys leaked into the snapshot")
+    val live = lastOp.filter(!col("deleted")).count()
+    assert(snapshot.size.toLong == live,
+      s"snapshot ${snapshot.size} != live keys $live")
+  }
+
+  test("q_cdc_apply: plan aggregates via max_by, not a window sort") {
+    val p = withoutAqe(q("q_cdc_apply")
+      .queryExecution.executedPlan.toString)
+    assert(p.contains("max_by"), s"expected max_by aggregate:\n$p")
+    assert(!p.toLowerCase.contains("window"),
+      s"snapshot should not pay a window sort:\n$p")
+  }
+
   test("q_anomaly_zscore: only full-history rows are scored") {
     val r = q("q_anomaly_zscore").collect()
     assert(r.nonEmpty)
