@@ -26,7 +26,8 @@ object SparkEntry {
     RelationalQueries.defs ++ PipelineQueries.defs ++
       FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
-      ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs
+      ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs ++
+      AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +38,5 @@ object SparkEntry {
       VectorQueries.oracles ++ StreamQueries.oracles ++
       SourceQueries.oracles ++ JoinExtQueries.oracles ++
       ClusterQueries.oracles ++ GeoQueries.oracles ++
-      QualityQueries.oracles
+      QualityQueries.oracles ++ AnalyticsQueries.oracles
 }

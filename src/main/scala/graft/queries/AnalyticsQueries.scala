@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics operators over the event stream — ordered
+  * funnels, cohort retention, and a count-min frequency sketch —
+  * the workloads an events table exists for.
+  *
+  * Scale designs:
+  *  - the funnel folds each user's sorted event array with a
+  *    higher-order `aggregate` — ONE shuffle on user_id, no window,
+  *    no per-step self-join (the DuckDB oracle uses the textbook
+  *    3-stage join chain, which is provably the same greedy
+  *    earliest-step semantics — a deliberate two-formulation check);
+  *  - cohort retention is integer epoch-week arithmetic and three
+  *    hash aggregates — no calendar table, no window;
+  *  - the count-min sketch is FIXED d×w state (4×256 counters)
+  *    regardless of input size, built with map-side partial
+  *    aggregation — the bounded-memory answer to per-key counting
+  *    when |keys| itself is the scale problem; estimates are
+  *    oracle-exact because the bucket hash is the engine-portable
+  *    md5 idiom shared with the dedup/sampling families.
+  */
+object AnalyticsQueries {
+
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+
+  /** Portable bucket hash: first 8 md5 hex chars of "j:key", read
+    * base-16, mod width — DuckDB replays it bit-for-bit.
+    */
+  private def cmsBucket(j: Column, key: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % cmsWidth
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ordered funnel signup → click → purchase per user: the stage
+    // counter advances on the EARLIEST event of the next step
+    // strictly after the previous step's time (greedy earliest is
+    // optimal for funnel reachability). Each user's events collect
+    // into one sorted array and a codegen'd HOF fold walks it once.
+    "q_funnel_steps" -> { (s, dir) =>
+      val stage = aggregate(col("evs"),
+        struct(lit(0).as("st"), lit(-1L).as("t")),
+        (acc, e) => {
+          val st = acc.getField("st"); val t = acc.getField("t")
+          val u = e.getField("u"); val et = e.getField("et")
+          when(st === 0 && et === "signup",
+              struct(lit(1).as("st"), u.as("t")))
+            .when(st === 1 && et === "click" && u > t,
+              struct(lit(2).as("st"), u.as("t")))
+            .when(st === 2 && et === "purchase" && u > t,
+              struct(lit(3).as("st"), u.as("t")))
+            .otherwise(acc)
+        }).getField("st")
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("u"),
+            col("event_type").as("et")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("e"))).as("evs"))
+        .select(col("user_id"), stage.as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    },
+
+    // Cohort retention: users cohort by first-active epoch-week
+    // (integer floor-div of epoch-µs — no calendar arithmetic to
+    // disagree on), and each later active week counts them under
+    // (cohort_wk, weeks-since-cohort). act is distinct(user, week),
+    // so the final count(*) is already distinct users.
+    "q_cohort_retention" -> { (s, dir) =>
+      val act = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohorts = act.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("c0"))
+      act.join(cohorts, "user_id")
+        .groupBy(col("c0").as("cohort_wk"),
+          (col("wk") - col("c0")).as("wk_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("wk_offset"))
+    },
+
+    // Count-min sketch frequency estimates for part keys in the
+    // lineitem fact: d=4 hash rows × w=256 counters, built in one
+    // pass (each row explodes to its 4 (row, bucket) cells; the
+    // groupBy partial-aggregates map-side down to ≤1024 cells), then
+    // 50 probe keys read min-over-rows. `est >= exact` always
+    // (collisions only inflate) — both columns are emitted and the
+    // inequality is spec-gated; the estimates are oracle-exact
+    // because the bucket hash replays in DuckDB.
+    "q_agg_heavy_hitters_cms" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select(col("l_partkey"))
+      val sketch = li
+        .select(posexplode(transform(
+          sequence(lit(0), lit(cmsDepth - 1)),
+          j => cmsBucket(j, col("l_partkey")))).as(Seq("j", "bucket")))
+        .groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = li.filter(col("l_partkey") < 50)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+      val probeCells = probes
+        .select(col("l_partkey"), col("exact"),
+          posexplode(transform(sequence(lit(0), lit(cmsDepth - 1)),
+            j => cmsBucket(j, col("l_partkey"))))
+            .as(Seq("j", "bucket")))
+      probeCells.join(sketch, Seq("j", "bucket"))
+        .groupBy(col("l_partkey"), col("exact"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("l_partkey"), col("est"), col("exact"))
+        .orderBy(col("l_partkey"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Join-chain formulation: min signup; min click strictly after
+    // it; min purchase strictly after that — identical to the
+    // greedy fold by exchange argument (taking the earliest
+    // qualifying event at each step never forecloses a later step).
+    "q_funnel_steps" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND epoch_us(e.ts) > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) > s2.t2 GROUP BY e.user_id)
+         SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS stage,
+                count(*) AS n_users
+         FROM u LEFT JOIN s1 USING (user_id)
+                LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+         GROUP BY 1 ORDER BY stage""",
+
+    "q_cohort_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         c AS (SELECT user_id, min(wk) AS c0 FROM act
+               GROUP BY user_id)
+         SELECT c0 AS cohort_wk, wk - c0 AS wk_offset,
+                count(*) AS n_users
+         FROM act JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_wk, wk_offset""",
+
+    "q_agg_heavy_hitters_cms" ->
+      """WITH cells AS (
+           SELECT l_partkey, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                 || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 256
+               AS bucket
+           FROM lineitem
+           CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+         sketch AS (
+           SELECT j, bucket, count(*) AS cnt FROM cells
+           GROUP BY j, bucket),
+         probes AS (
+           SELECT l_partkey, count(*) AS exact FROM lineitem
+           WHERE l_partkey < 50 GROUP BY l_partkey),
+         pcells AS (
+           SELECT p.l_partkey, p.exact, t.j,
+             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                 || CAST(p.l_partkey AS VARCHAR)), 1, 8))::BIGINT % 256
+               AS bucket
+           FROM probes p
+           CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) t)
+         SELECT pc.l_partkey, min(s.cnt) AS est, pc.exact
+         FROM pcells pc JOIN sketch s
+           ON pc.j = s.j AND pc.bucket = s.bucket
+         GROUP BY pc.l_partkey, pc.exact
+         ORDER BY l_partkey""",
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the product-analytics family
+  * (AnalyticsQueries): funnel stages partition the user base from a
+  * single-shuffle fold (no joins, no window), retention never
+  * exceeds cohort size, and the count-min sketch never
+  * underestimates.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_funnel_steps: stage counts partition the distinct-user base") {
+    val rows = q("q_funnel_steps").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val users = Tables(spark, sf(), "events")
+      .select("user_id").distinct().count()
+    assert(rows.keySet.subsetOf(Set(0, 1, 2, 3)))
+    assert(rows.values.sum == users,
+      s"stages ${rows.values.sum} != users $users")
+    assert(rows.getOrElse(3, 0L) > 0, "fixture should complete the funnel")
+  }
+
+  test("q_funnel_steps: fold plan — no join, no window, one user shuffle") {
+    val p = withoutAqe(q("q_funnel_steps")
+      .queryExecution.executedPlan.toString)
+    assert(!p.contains("Join"), s"funnel should not self-join:\n$p")
+    assert(!p.contains("Window"), s"funnel should not window-sort:\n$p")
+  }
+
+  test("q_cohort_retention: week-0 is the cohort maximum") {
+    val rows = q("q_cohort_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val week0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    rows.foreach { case (cohort, _, n) =>
+      assert(n <= week0(cohort),
+        s"cohort $cohort retains more users than it started with")
+    }
+    assert(rows.exists(_._2 > 0L), "fixture should span multiple weeks")
+  }
+
+  test("q_agg_heavy_hitters_cms: estimates never undercount") {
+    val rows = q("q_agg_heavy_hitters_cms").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est"); val exact = r.getAs[Long]("exact")
+      assert(est >= exact, s"CMS undercounted: $r")
+    }
+  }
+}
