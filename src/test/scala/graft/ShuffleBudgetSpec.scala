@@ -144,4 +144,35 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(rows < (na + nb2) * 6 + 4000,
       s"interval join shuffle not linear in chunk keys: $rows")
   }
+
+  test("count-min sketch shuffle is sketch cells, never the exploded stream") {
+    val n = Tables(spark, sf(), "lineitem").count()
+    val rows = shuffledRecords {
+      SparkEntry.queries("q_agg_heavy_hitters_cms")(spark, sf()).collect()
+    }
+    // the build explodes every row into d=4 cells, but map-side
+    // partial aggregation collapses each task's contribution to at
+    // most d×w=1024 live counters before the exchange — the wire
+    // carries sketch cells plus the 50-key probe stream, never the
+    // 4·n exploded stream (the property that makes the sketch the
+    // bounded-memory answer at 100 TB)
+    info(s"CMS shuffled $rows rows for $n lineitems (exploded=${4 * n})")
+    assert(rows > 0 && rows < n,
+      s"CMS shuffle should stay below the input size: $rows of $n")
+  }
+
+  test("funnel fold shuffles per-user partials, never the event stream") {
+    val ev = Tables(spark, sf(), "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val rows = shuffledRecords {
+      SparkEntry.queries("q_funnel_steps")(spark, sf()).collect()
+    }
+    // collect_list partial-aggregates map-side: one buffer per user
+    // per map partition crosses the exchange — the wire scales with
+    // |users|, not |events| (plus the 4-row stage rollup)
+    info(s"funnel shuffled $rows rows for $nEvents events, $nUsers users")
+    assert(rows > 0 && rows < nEvents,
+      s"funnel shuffle should scale with users, not events: $rows")
+  }
 }
