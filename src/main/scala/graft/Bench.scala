@@ -43,8 +43,14 @@ object Bench {
     // measuring; min-of-3 also rides out one-off GC pauses that
     // min-of-2 still caught.
     val runs = 3
+    // Local-iteration filter (mirrors Verify's 3rd arg): the driver
+    // never sets it, so driver rounds always time the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val timed = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter(q => names(q._1)))
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      timed.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

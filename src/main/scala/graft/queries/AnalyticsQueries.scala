@@ -28,12 +28,56 @@ object AnalyticsQueries {
   private val cmsDepth = 4
   private val cmsWidth = 256
 
-  /** Portable bucket hash: first 8 md5 hex chars of "j:key", read
-    * base-16, mod width — DuckDB replays it bit-for-bit.
+  /** All d bucket positions from ONE md5 digest per row,
+    * Kirsch–Mitzenmacher style: bucket_j = (h1 + j·h2) mod w with h1
+    * and h2 the digest's first two 32-bit hex windows — the same
+    * one-digest lesson the bloom-filter expressions encode (d
+    * independent digests per row quadruple the hash cost for no
+    * statistical gain). The digest is extracted in a PROJECTION
+    * (whole-stage codegen + runtime subexpression elimination → one
+    * md5 per row); only the j-arithmetic sits inside the transform
+    * lambda, because higher-order-function lambdas evaluate
+    * interpreted PER ELEMENT — a first cut that put the digest
+    * inside the lambda paid 8 interpreted digests per row and was
+    * SLOWER than four independent ones. Portable: DuckDB replays the
+    * identical arithmetic bit-for-bit.
     */
-  private def cmsBucket(j: Column, key: Column): Column =
-    conv(substring(md5(concat(j.cast("string"), lit(":"),
-      key.cast("string"))), 1, 8), 16, 10).cast("long") % cmsWidth
+  private def withDigestHalves(df: DataFrame, key: Column): DataFrame = {
+    val h = md5(key.cast("string"))
+    df.select(df.columns.map(col) :+
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1") :+
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"): _*)
+  }
+
+  private def cmsCells: Column =
+    transform(sequence(lit(0), lit(cmsDepth - 1)),
+      j => (col("h1") + j * col("h2")) % cmsWidth)
+
+  /** Per-user funnel stage (0–3) — the single-shuffle HOF fold; also
+    * the batch side of the stream-parity gate (FunnelStreamSpec).
+    */
+  private[graft] def userStages(s: SparkSession, dir: String): DataFrame = {
+    val stage = aggregate(col("evs"),
+      struct(lit(0).as("st"), lit(-1L).as("t")),
+      (acc, e) => {
+        val st = acc.getField("st"); val t = acc.getField("t")
+        val u = e.getField("u"); val et = e.getField("et")
+        when(st === 0 && et === "signup",
+            struct(lit(1).as("st"), u.as("t")))
+          .when(st === 1 && et === "click" && u > t,
+            struct(lit(2).as("st"), u.as("t")))
+          .when(st === 2 && et === "purchase" && u > t,
+            struct(lit(3).as("st"), u.as("t")))
+          .otherwise(acc)
+      }).getField("st")
+    Tables(s, dir, "events")
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("u"),
+          col("event_type").as("et")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"), stage.as("stage"))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -41,28 +85,10 @@ object AnalyticsQueries {
     // counter advances on the EARLIEST event of the next step
     // strictly after the previous step's time (greedy earliest is
     // optimal for funnel reachability). Each user's events collect
-    // into one sorted array and a codegen'd HOF fold walks it once.
+    // into one sorted array and a codegen'd HOF fold walks it once
+    // (userStages — shared with the streaming-parity spec).
     "q_funnel_steps" -> { (s, dir) =>
-      val stage = aggregate(col("evs"),
-        struct(lit(0).as("st"), lit(-1L).as("t")),
-        (acc, e) => {
-          val st = acc.getField("st"); val t = acc.getField("t")
-          val u = e.getField("u"); val et = e.getField("et")
-          when(st === 0 && et === "signup",
-              struct(lit(1).as("st"), u.as("t")))
-            .when(st === 1 && et === "click" && u > t,
-              struct(lit(2).as("st"), u.as("t")))
-            .when(st === 2 && et === "purchase" && u > t,
-              struct(lit(3).as("st"), u.as("t")))
-            .otherwise(acc)
-        }).getField("st")
-      Tables(s, dir, "events")
-        .select(col("user_id"),
-          struct(unix_micros(col("ts")).as("u"),
-            col("event_type").as("et")).as("e"))
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("e"))).as("evs"))
-        .select(col("user_id"), stage.as("stage"))
+      userStages(s, dir)
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("stage"))
     },
@@ -96,19 +122,15 @@ object AnalyticsQueries {
     // because the bucket hash replays in DuckDB.
     "q_agg_heavy_hitters_cms" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select(col("l_partkey"))
-      val sketch = li
-        .select(posexplode(transform(
-          sequence(lit(0), lit(cmsDepth - 1)),
-          j => cmsBucket(j, col("l_partkey")))).as(Seq("j", "bucket")))
+      val sketch = withDigestHalves(li, col("l_partkey"))
+        .select(posexplode(cmsCells).as(Seq("j", "bucket")))
         .groupBy(col("j"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))
       val probes = li.filter(col("l_partkey") < 50)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
-      val probeCells = probes
+      val probeCells = withDigestHalves(probes, col("l_partkey"))
         .select(col("l_partkey"), col("exact"),
-          posexplode(transform(sequence(lit(0), lit(cmsDepth - 1)),
-            j => cmsBucket(j, col("l_partkey"))))
-            .as(Seq("j", "bucket")))
+          posexplode(cmsCells).as(Seq("j", "bucket")))
       probeCells.join(sketch, Seq("j", "bucket"))
         .groupBy(col("l_partkey"), col("exact"))
         .agg(min(col("cnt")).as("est"))
@@ -157,13 +179,16 @@ object AnalyticsQueries {
          GROUP BY 1, 2 ORDER BY cohort_wk, wk_offset""",
 
     "q_agg_heavy_hitters_cms" ->
-      """WITH cells AS (
-           SELECT l_partkey, j,
-             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
-                 || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 256
-               AS bucket
-           FROM lineitem
-           CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+      """WITH h AS (
+           SELECT l_partkey,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+               ::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 9, 8))
+               ::BIGINT AS h2
+           FROM lineitem),
+         cells AS (
+           SELECT l_partkey, j, (h1 + j * h2) % 256 AS bucket
+           FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
          sketch AS (
            SELECT j, bucket, count(*) AS cnt FROM cells
            GROUP BY j, bucket),
@@ -172,9 +197,10 @@ object AnalyticsQueries {
            WHERE l_partkey < 50 GROUP BY l_partkey),
          pcells AS (
            SELECT p.l_partkey, p.exact, t.j,
-             ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
-                 || CAST(p.l_partkey AS VARCHAR)), 1, 8))::BIGINT % 256
-               AS bucket
+             (('0x' || substr(md5(CAST(p.l_partkey AS VARCHAR)), 1, 8))
+               ::BIGINT
+              + t.j * ('0x' || substr(md5(CAST(p.l_partkey AS VARCHAR)),
+                  9, 8))::BIGINT) % 256 AS bucket
            FROM probes p
            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) t)
          SELECT pc.l_partkey, min(s.cnt) AS est, pc.exact

@@ -48,10 +48,21 @@ object QualityQueries {
     "q_profile_columns" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val aggs = profileCols.flatMap { c =>
+        // HashAggregate demands FIXED-WIDTH aggregation buffers; a
+        // min/max over a string column forces SortAggregate, which
+        // sorts the whole 6×-expanded stream — measured 5.8 s vs
+        // ~1 s at sf0.1. The one string column here is the 1-char
+        // returnflag, so its min/max ride through ascii()/char()
+        // (order-isomorphic for single chars) and every buffer stays
+        // numeric. A general profiler pays SortAggregate for long
+        // string extremes or drops them — documented trade.
+        val (mn, mx) =
+          if (c == "l_returnflag")
+            (expr(s"char(min(ascii($c)))"), expr(s"char(max(ascii($c)))"))
+          else (min(col(c)).cast("string"), max(col(c)).cast("string"))
         Seq(count(col(c)).as(s"${c}__nn"),
           countDistinct(col(c)).as(s"${c}__nd"),
-          min(col(c)).cast("string").as(s"${c}__mn"),
-          max(col(c)).cast("string").as(s"${c}__mx"))
+          mn.as(s"${c}__mn"), mx.as(s"${c}__mx"))
       }
       val stackArgs = profileCols.map { c =>
         s"'$c', __total - ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx"
@@ -82,32 +93,37 @@ object QualityQueries {
     },
 
     // Blocked entity resolution over part names with planted
-    // single-char corruptions (partkey<100, last char replaced —
-    // id-shifted so matches are self-evident): candidates pair ONLY
-    // within a blocking key (first name word), then edit-distance
-    // verifies. The plan is a plain equi-join on the block key —
-    // never a cross product (ProfileSpec pins no CartesianProduct) —
-    // so the pair space is Σ(block size²), the classic linkage
-    // envelope; production corpora block on stronger keys (sorted
-    // neighborhood, phonetic, LSH) exactly like the dedup family's
-    // band buckets, and the verify stage is unchanged.
+    // single-char corruptions (every distinct name gets an
+    // id-shifted variant with its last char replaced): the rows
+    // first canonicalize to the DISTINCT-NAME dictionary (min
+    // partkey as representative), and pairing happens in dictionary
+    // space — candidates pair only within a blocking key (first
+    // word), verified ONCE by edit distance. Dictionary-first is THE
+    // scale decision: a name space is sublinear in the row count (64
+    // names under 20k rows here — and a first formulation that
+    // paired ROWS spent 42 s at sf0.1 on a quadratic same-name match
+    // stream whose pairs carry no information), so the dictionary
+    // aggregation is the only row-scale pass, map-side-partial, and
+    // the quadratic stage runs over Σ(name-block²). Production adds
+    // complementary blocking passes (phonetic, q-gram, LSH bands)
+    // the same way the dedup family stacks band keys; QualitySpec
+    // pins the no-cartesian plan.
     "q_entity_resolution" -> { (s, dir) =>
-      val p = Tables(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"))
-      val variants = p.filter(col("p_partkey") < 100)
-        .select((col("p_partkey") + 500000).as("p_partkey"),
-          concat(expr("substring(p_name, 1, length(p_name) - 1)"),
-            lit("#")).as("p_name"))
-      val keyed = p.unionByName(variants)
+      val dict = Tables(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+      val variants = dict.select((col("id") + 500000).as("id"),
+        concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+          lit("#")).as("p_name"))
+      val keyed = dict.select(col("id"), col("p_name"))
+        .unionByName(variants)
         .withColumn("block", element_at(split(col("p_name"), " "), 1))
       val a = keyed.as("a")
       val b = keyed.as("b")
       a.join(b, col("a.block") === col("b.block")
-          && col("a.p_partkey") < col("b.p_partkey"))
-        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
-        .select(col("a.p_partkey").as("id_a"),
-          col("b.p_partkey").as("id_b"),
+          && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -184,20 +200,23 @@ object QualityQueries {
          FROM z GROUP BY event_type ORDER BY event_type""",
 
     "q_entity_resolution" ->
-      """WITH allp AS (
-           SELECT p_partkey, p_name FROM part
+      """WITH dict AS (
+           SELECT p_name, min(p_partkey) AS id FROM part
+           GROUP BY p_name),
+         allp AS (
+           SELECT id, p_name FROM dict
            UNION ALL
-           SELECT p_partkey + 500000 AS p_partkey,
+           SELECT id + 500000 AS id,
                   substr(p_name, 1, length(p_name) - 1) || '#' AS p_name
-           FROM part WHERE p_partkey < 100),
+           FROM dict),
          k AS (
-           SELECT p_partkey, p_name,
+           SELECT id, p_name,
                   string_split(p_name, ' ')[1] AS block
            FROM allp)
-         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         SELECT a.id AS id_a, b.id AS id_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
          FROM k a JOIN k b
-           ON a.block = b.block AND a.p_partkey < b.p_partkey
+           ON a.block = b.block AND a.id < b.id
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
 

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One funnel-relevant event arriving on the stream. */
+case class FunnelEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, event_type: String)
+
+/** Emitted when a user advances a funnel stage. */
+case class StageAdvance(user_id: Long, stage: Int, at_us: Long)
+
+/** Per-user funnel position: stage reached + its event time (µs). */
+case class FunnelState(st: Int, t: Long)
+
+/** Streaming parity for the batch ordered-funnel fold
+  * ([[graft.queries.AnalyticsQueries]] `q_funnel_steps`): users
+  * advance signup → click → purchase AS EVENTS ARRIVE, with two
+  * ints of state per user — where the batch form must wait for the
+  * corpus and collect each user's array.
+  *
+  * Emits one row per stage ADVANCE (append-mode friendly, no
+  * retraction); a user's latest emitted stage equals the batch
+  * fold's final stage, which FunnelStreamSpec pins across uneven
+  * micro-batch splits. Step comparisons use µs timestamps derived
+  * via Instant (java.sql.Timestamp.getTime is ms-truncated — not
+  * enough when the batch fold orders by unix_micros).
+  *
+  * Same in-order feed contract as the anomaly/geofence streams:
+  * per-key order across micro-batches is the caller's job; each
+  * group's slice is sorted here.
+  */
+object StreamFunnel {
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  def stageAdvances(events: Dataset[FunnelEvent]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.map(_.st).getOrElse(0)
+          var t = state.getOption.map(_.t).getOrElse(-1L)
+          val out = List.newBuilder[StageAdvance]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val u = micros(e.ts)
+            val advance =
+              (st == 0 && e.event_type == "signup") ||
+              (st == 1 && e.event_type == "click" && u > t) ||
+              (st == 2 && e.event_type == "purchase" && u > t)
+            if (advance) {
+              st += 1; t = u
+              out += StageAdvance(uid, st, u)
+            }
+          }
+          state.update(FunnelState(st, t))
+          out.result().iterator
+      }
+  }
+}

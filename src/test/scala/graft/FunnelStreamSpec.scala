@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{FunnelEvent, StreamFunnel}
+
+/** Stream/batch parity for the ordered funnel: replaying the event
+  * table through the stateful stage tracker must land every user on
+  * the same final stage as the batch HOF fold, across uneven
+  * micro-batch splits — and stage advances must arrive monotonically.
+  */
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def events: Seq[FunnelEvent] =
+    Tables(spark, sf("0.001"), "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .as[FunnelEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order feed contract
+
+  test("streaming stage advances land on the batch fold's final stages") {
+    val batch = graft.queries.AnalyticsQueries
+      .userStages(spark, sf("0.001"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val all = events
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.stageAdvances(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    val advances = try {
+      val (a, rest) = all.splitAt(all.size / 4)
+      val (b, c) = rest.splitAt(rest.size / 3)
+      Seq(a, b, c).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      spark.table("funnel").as[(Long, Int, Long)].collect().toSeq
+    } finally q.stop()
+
+    // advances are strictly monotone per user: 1, 2, 3 with no skips
+    advances.groupBy(_._1).foreach { case (uid, rows) =>
+      val stages = rows.sortBy(_._3).map(_._2)
+      assert(stages == (1 to stages.max).toList,
+        s"user $uid advanced non-monotonically: $stages")
+    }
+
+    val streamedFinal = advances.groupBy(_._1)
+      .map { case (uid, rows) => uid -> rows.map(_._2).max }
+    // every batch stage ≥1 must match; batch stage-0 users emit nothing
+    batch.foreach { case (uid, st) =>
+      assert(streamedFinal.getOrElse(uid, 0) == st,
+        s"user $uid: stream ${streamedFinal.getOrElse(uid, 0)} != batch $st")
+    }
+  }
+}

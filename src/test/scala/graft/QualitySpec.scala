@@ -74,11 +74,14 @@ class QualitySpec extends SparkSpec {
   }
 
   test("q_entity_resolution: recovers every planted corruption at dist 1") {
+    val nNames = graft.Tables(spark, sf(), "part")
+      .select("p_name").distinct().count()
     val rows = q("q_entity_resolution")
-      .filter(col("id_b") >= 500000 && col("id_a") === col("id_b") - 500000)
+      .filter(col("id_a") === col("id_b") - 500000)
       .collect()
-    assert(rows.length == 100,
-      s"expected 100 planted matches (partkeys 0-99), got ${rows.length}")
+    assert(rows.length.toLong == nNames,
+      s"expected $nNames planted matches (one per distinct name), " +
+        s"got ${rows.length}")
     assert(rows.forall(_.getAs[Int]("dist") == 1))
   }
 
