@@ -115,6 +115,26 @@ object SourceQueries {
         .orderBy(col("entity_id"))
     },
 
+    // ORC source/sink round trip: part rewritten as ORC (Spark's
+    // built-in columnar alternative), read back with a pushed
+    // filter + pruned columns — the same DSv2 scan machinery as
+    // parquet, asserted in SourcesSpec. The aggregate proves the
+    // typed round trip (strings, ints, doubles); the oracle
+    // recomputes from the parquet original, so any ORC encode/decode
+    // drift fails the hash.
+    "q_source_orc" -> { (s, dir) =>
+      val path = graft.sources.OrcFixture.ensure(s, dir)
+      s.read.orc(path)
+        .filter(col("p_size") <= 30)
+        .groupBy(element_at(split(col("p_name"), " "), 1).as("adjective"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p_type")).as("n_types"),
+          sum(col("p_size")).cast("long").as("sum_size"),
+          round(sum(col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_price"))
+        .orderBy(col("adjective"))
+    },
+
     // S2 one level deeper: the poll API's server-side aggregation
     // (latestPositionOnly) as DSv2 AGGREGATE pushdown — each file
     // partition hash-aggregates inside the reader and ships per-group
@@ -135,6 +155,15 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_orc" ->
+      """SELECT string_split(p_name, ' ')[1] AS adjective,
+         count(*) AS n, count(DISTINCT p_type) AS n_types,
+         CAST(sum(p_size) AS BIGINT) AS sum_size,
+         round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+           AS DOUBLE), 2) AS sum_price
+         FROM part WHERE p_size <= 30
+         GROUP BY 1 ORDER BY adjective""",
+
     "q_source_agg_pushdown" ->
       """SELECT user_id AS entity_id, max(epoch_ms(ts)) AS last_ms,
          min(event_id) AS first_event, count(*) AS n

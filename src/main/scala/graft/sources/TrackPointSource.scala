@@ -470,3 +470,28 @@ object CsvFixture {
       out
     })
 }
+
+/** ORC fixture: the `part` table rewritten as ORC under
+  * target/fixtures, once per SF (idempotent via _SUCCESS, like
+  * [[CsvFixture]]). ORC ships in Spark itself — the columnar
+  * alternative when a lake standardizes on it — and reads through
+  * the same DSv2 scan machinery as parquet (pushed filters, pruned
+  * columns, vectorized reader), which SourcesSpec asserts.
+  */
+object OrcFixture {
+  import org.apache.spark.sql.SparkSession
+
+  private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensure(s: SparkSession, dir: String): String =
+    done.computeIfAbsent(dir, { _ =>
+      val out = new java.io.File(
+        s"target/fixtures/part_orc_${new java.io.File(dir).getName}")
+        .getAbsolutePath
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        graft.Tables(s, dir, "part")
+          .write.mode("overwrite").orc(out)
+      }
+      out
+    })
+}

@@ -161,6 +161,19 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"CMS shuffle should stay below the input size: $rows of $n")
   }
 
+  test("entity resolution shuffle is flat across a row decade (dictionary space)") {
+    val q = SparkEntry.queries("q_entity_resolution")
+    val r1 = shuffledRecords(q(spark, sf()).collect())
+    val r10 = shuffledRecords(q(spark, sf("0.01")).collect())
+    // rows ×10 but the name dictionary is fixed (62 → 64 names), so
+    // the pair/verify stage is constant and the only scaling term is
+    // the dictionary agg's map-side partials (names × partitions) —
+    // the measured form of "canonicalize first, then pair"
+    info(s"ER shuffled $r1 rows at sf0.001, $r10 at sf0.01 (rows ×10)")
+    assert(r10 > 0 && r10 < r1 * 3,
+      s"ER shuffle should not scale with the row count: $r1 -> $r10")
+  }
+
   test("funnel fold shuffles per-user partials, never the event stream") {
     val ev = Tables(spark, sf(), "events")
     val nEvents = ev.count()

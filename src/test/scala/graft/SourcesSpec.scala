@@ -192,4 +192,14 @@ class SourcesSpec extends SparkSpec {
     assert(viaSource.nonEmpty)
     assert(viaSource == direct)
   }
+
+  test("ORC source: pushed filter + pruned columns, like the parquet scans") {
+    val p = SparkEntry.queries("q_source_orc")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
+    assert(p.contains("LessThanOrEqual(p_size,30)"),
+      s"p_size filter not pushed into the ORC reader:\n$p")
+    assert(!p.contains("p_partkey") && !p.contains("p_brand"),
+      s"untouched columns should be pruned from the ORC scan:\n$p")
+  }
 }
