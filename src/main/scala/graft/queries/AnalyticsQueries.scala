@@ -137,9 +137,81 @@ object AnalyticsQueries {
         .select(col("l_partkey"), col("est"), col("exact"))
         .orderBy(col("l_partkey"))
     },
+    // Bounded-memory quantile estimation — the percentile analogue
+    // of the HLL/KMV/CMS sketches: a FIXED k=256 sample per group,
+    // chosen as the k smallest md5(event_id) values (hash order ≈
+    // uniform random, and deterministic — so DuckDB draws the SAME
+    // sample and the estimates are oracle-exact, not
+    // contract-bounded). The rank filter is the WindowGroupLimit
+    // pattern (plan-pinned for q_topk_per_group): each map task
+    // forwards at most k rows per group, so the shuffle is k·groups
+    // where exact percentile sorts the world. Estimates sit beside
+    // the exact quantiles; expected rank error is ~1/√k
+    // (AnalyticsSpec gates it).
+    "q_agg_quantile_sketch" -> { (s, dir) =>
+      val k = 256
+      val h = conv(substring(md5(col("event_id").cast("string")),
+        1, 15), 16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+      val samp = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("value"))).as("sv"),
+          count(lit(1)).as("n_sample"))
+      def est(q: Double) = round(element_at(col("sv"),
+        greatest(lit(1), ceil(lit(q) * col("n_sample")).cast("int"))), 4)
+      val exact = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      samp.join(exact, "event_type")
+        .select(col("event_type"), col("n_sample"),
+          est(0.5).as("est_p50"), est(0.9).as("est_p90"),
+          est(0.99).as("est_p99"),
+          round(element_at(col("p"), 1), 6).as("exact_p50"),
+          round(element_at(col("p"), 2), 6).as("exact_p90"),
+          round(element_at(col("p"), 3), 6).as("exact_p99"))
+        .orderBy(col("event_type"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_quantile_sketch" ->
+      """WITH h AS (
+           SELECT event_type, event_id, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hh
+           FROM events),
+         samp AS (
+           SELECT * FROM h
+           QUALIFY row_number() OVER (PARTITION BY event_type
+             ORDER BY hh, event_id) <= 256),
+         sv AS (
+           SELECT event_type, list_sort(list(value)) AS v,
+                  count(*) AS n_sample
+           FROM samp GROUP BY event_type),
+         ex AS (
+           SELECT event_type,
+             quantile_cont(value, 0.5) AS e50,
+             quantile_cont(value, 0.9) AS e90,
+             quantile_cont(value, 0.99) AS e99
+           FROM events GROUP BY event_type)
+         SELECT s.event_type, n_sample,
+           round(v[CAST(greatest(1, ceil(0.5 * n_sample)) AS INTEGER)], 4)
+             AS est_p50,
+           round(v[CAST(greatest(1, ceil(0.9 * n_sample)) AS INTEGER)], 4)
+             AS est_p90,
+           round(v[CAST(greatest(1, ceil(0.99 * n_sample)) AS INTEGER)], 4)
+             AS est_p99,
+           round(e50, 6) AS exact_p50, round(e90, 6) AS exact_p90,
+           round(e99, 6) AS exact_p99
+         FROM sv s JOIN ex ON s.event_type = ex.event_type
+         ORDER BY s.event_type""",
+
     // Join-chain formulation: min signup; min click strictly after
     // it; min purchase strictly after that — identical to the
     // greedy fold by exchange argument (taking the earliest

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -155,6 +155,39 @@ object QualityQueries {
           col("n_changes"))
         .orderBy(col("user_id"))
     },
+
+    // Declarative data-quality expectations (the dbt-test /
+    // Great-Expectations shape): each rule is one aggregate over its
+    // table — referential integrity as a broadcast left join with a
+    // null-count (never an anti-join SUBTRACTION, which would need a
+    // second pass for n_checked), range/nullness as conditional
+    // sums. One scan per table, rules on the same table can fuse;
+    // the result is a tiny (rule, checked, violations, passed)
+    // contract table a pipeline gates deploys on.
+    "q_dq_expectations" -> { (s, dir) =>
+      def rule(name: String, df: DataFrame, bad: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_checked"),
+            sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"),
+            (col("n_violations") === 0).as("passed"))
+      val orders = Tables(s, dir, "orders")
+      val withCust = orders.join(
+        broadcast(Tables(s, dir, "customer").select(col("c_custkey"))),
+        orders("o_custkey") === col("c_custkey"), "left_outer")
+      rule("fk_orders_customer", withCust, col("c_custkey").isNull)
+        .unionByName(rule("range_lineitem_quantity",
+          Tables(s, dir, "lineitem"),
+          col("l_quantity").isNull || col("l_quantity") < 1 ||
+            col("l_quantity") > 50))
+        .unionByName(rule("nonneg_events_value",
+          Tables(s, dir, "events"),
+          col("value").isNull || col("value") < 0))
+        .unionByName(rule("notnull_customer_name",
+          Tables(s, dir, "customer"),
+          col("c_name").isNull || length(col("c_name")) === 0))
+        .orderBy(col("rule"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +270,38 @@ object QualityQueries {
            epoch_us(ts) // 1000 AS last_ts_ms, n_changes
          FROM r WHERE rn = 1 AND op <> 'D'
          ORDER BY user_id""",
+
+    "q_dq_expectations" ->
+      """SELECT * FROM (
+           SELECT 'fk_orders_customer' AS rule,
+             count(*) AS n_checked,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+               AS passed
+           FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey
+           UNION ALL
+           SELECT 'range_lineitem_quantity', count(*),
+             CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+           FROM lineitem
+           UNION ALL
+           SELECT 'nonneg_events_value', count(*),
+             CAST(sum(CASE WHEN value IS NULL OR value < 0
+                 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN value IS NULL OR value < 0
+                 THEN 1 ELSE 0 END) = 0
+           FROM events
+           UNION ALL
+           SELECT 'notnull_customer_name', count(*),
+             CAST(sum(CASE WHEN c_name IS NULL OR length(c_name) = 0
+                 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN c_name IS NULL OR length(c_name) = 0
+                 THEN 1 ELSE 0 END) = 0
+           FROM customer)
+         ORDER BY rule""",
   )
 }

@@ -41,6 +41,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._2 > 0L), "fixture should span multiple weeks")
   }
 
+  test("q_agg_quantile_sketch: rank error within the k=256 sampling bound") {
+    val events = Tables(spark, sf(), "events")
+    q("q_agg_quantile_sketch").collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val grp = events.filter(col("event_type") === et)
+      val n = grp.count().toDouble
+      for ((q0, cname) <- Seq(0.5 -> "est_p50", 0.9 -> "est_p90")) {
+        val est = r.getAs[Double](cname)
+        val rank = grp.filter(col("value") <= est).count() / n
+        // ±3σ for a k=256 uniform sample ≈ ±0.094 around the target
+        assert(math.abs(rank - q0) < 0.1,
+          s"$et $cname: rank $rank too far from $q0")
+      }
+    }
+  }
+
+  test("q_agg_quantile_sketch: sample rank filter prunes map-side") {
+    val p = withoutAqe(q("q_agg_quantile_sketch")
+      .queryExecution.executedPlan.toString)
+    assert(p.contains("WindowGroupLimit"),
+      s"sample selection should prune via WindowGroupLimit:\n$p")
+  }
+
   test("q_agg_heavy_hitters_cms: estimates never undercount") {
     val rows = q("q_agg_heavy_hitters_cms").collect()
     assert(rows.nonEmpty)

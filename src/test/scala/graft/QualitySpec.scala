@@ -116,6 +116,26 @@ class QualitySpec extends SparkSpec {
       s"snapshot should not pay a window sort:\n$p")
   }
 
+  test("q_dq_expectations: every rule checks its full table") {
+    val rows = q("q_dq_expectations").collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Boolean]("passed"))).toMap
+    assert(rows.size == 4)
+    val expected = Map(
+      "fk_orders_customer" -> graft.Tables(spark, sf(), "orders").count(),
+      "range_lineitem_quantity" ->
+        graft.Tables(spark, sf(), "lineitem").count(),
+      "nonneg_events_value" -> graft.Tables(spark, sf(), "events").count(),
+      "notnull_customer_name" ->
+        graft.Tables(spark, sf(), "customer").count())
+    expected.foreach { case (rule, n) =>
+      val (checked, viol, passed) = rows(rule)
+      assert(checked == n, s"$rule checked $checked of $n rows")
+      assert(passed == (viol == 0L), s"$rule passed flag inconsistent")
+    }
+  }
+
   test("q_anomaly_zscore: only full-history rows are scored") {
     val r = q("q_anomaly_zscore").collect()
     assert(r.nonEmpty)
