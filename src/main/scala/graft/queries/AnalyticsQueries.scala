@@ -177,9 +177,63 @@ object AnalyticsQueries {
           round(element_at(col("p"), 3), 6).as("exact_p99"))
         .orderBy(col("event_type"))
     },
+    // Point-in-time-correct feature assembly — the feature-store
+    // training-set pattern: every purchase event becomes a training
+    // row whose features see ONLY strictly-earlier data (lag = last
+    // prior event; a trailing-hour RANGE frame ending at −1 µs =
+    // recent activity), so there is no label leakage by
+    // construction. Both features ride ONE shuffle on the entity key
+    // — two window specs over the same partitioning share the
+    // exchange — where a join-based formulation would shuffle the
+    // events table once per feature. The trailing sum is an exact
+    // decimal window sum (portability, like the anomaly scorer).
+    "q_pit_features" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wHour = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, -1L)
+      val dv = col("value").cast("decimal(18,6)")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          lag(col("value"), 1).over(wLag).as("prev_value"),
+          (col("us") - lag(col("us"), 1).over(wLag)).as("stale_us"),
+          count(lit(1)).over(wHour).as("cnt_1h"),
+          round(sum(dv).over(wHour).cast("double"), 4).as("sum_1h"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("value").as("target_value"), col("prev_value"),
+          col("stale_us"), col("cnt_1h"), col("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pit_features" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+                  epoch_us(ts) AS us
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, event_type, value,
+             lag(value) OVER wl AS prev_value,
+             us - lag(us) OVER wl AS stale_us,
+             count(*) OVER wh AS cnt_1h,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wh
+               AS DOUBLE), 4) AS sum_1h
+           FROM e
+           WINDOW wl AS (PARTITION BY user_id ORDER BY us, event_id),
+                  wh AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND 1 PRECEDING))
+         SELECT user_id, event_id, value AS target_value,
+                prev_value, stale_us, cnt_1h, sum_1h
+         FROM f WHERE event_type = 'purchase'
+         ORDER BY user_id, event_id""",
+
     "q_agg_quantile_sketch" ->
       """WITH h AS (
            SELECT event_type, event_id, value,
