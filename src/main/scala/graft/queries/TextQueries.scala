@@ -480,6 +480,47 @@ object TextQueries {
         .orderBy(col("id"))
     },
 
+    // Hybrid retrieval fusion — the RAG-stack pattern of fusing a
+    // sparse keyword ranking with a dense embedding ranking by
+    // Reciprocal Rank Fusion: rrf = Σ 1/(60 + rank_leg), absent leg
+    // contributes 0. Each leg ranks independently (term-frequency
+    // sum over the token stream; cosine against a broadcast query
+    // vector — one-row crossJoin, never a shuffle of the corpus),
+    // keeps its top-50 via the rank filter (WindowGroupLimit prunes
+    // ≤50/partition map-side before the single-reducer final rank),
+    // and only the ≤100 surviving rows meet in the full-outer fuse.
+    // RRF only reads RANKS, so the fused scores are engine-exact
+    // even though the leg scores are floats.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val toks = split(col("text"), " ")
+      val tf = Seq("spark", "hash", "join")
+        .map(t => size(filter(toks, x => x === t)))
+        .reduce(_ + _)
+      val sparse = docs(s, dir)
+        .select(col("doc_id"), tf.as("tf")).filter(col("tf") > 0)
+        .withColumn("rank_s", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("rank_s") <= 50)
+      val emb = Tables(s, dir, "embeddings")
+      val qv = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      val dense = emb.crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosine(col("embedding"), col("qv")).as("cos"))
+        .withColumn("rank_d", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("rank_d") <= 50)
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rank_s")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_d")), lit(0.0)),
+            6).as("rrf"),
+          col("rank_s"), col("rank_d"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Sliding token-window chunking with overlap — the document →
     // training-sample step every pretraining/RAG pipeline runs
     // before tokenization proper. Chunk starts advance by `stride`
@@ -1158,6 +1199,44 @@ object TextQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS cluster_id FROM reach
          GROUP BY a ORDER BY id""",
+
+    "q_hybrid_rrf" ->
+      """WITH sparse0 AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+             + len(list_filter(string_split(text, ' '), x -> x = 'hash'))
+             + len(list_filter(string_split(text, ' '), x -> x = 'join'))
+               AS tf
+           FROM documents),
+         sp AS (
+           SELECT doc_id, tf,
+             row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_s
+           FROM sparse0 WHERE tf > 0
+           QUALIFY rank_s <= 50),
+         qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         dense0 AS (
+           SELECT e.vec_id AS doc_id,
+             list_sum([e.embedding[i]::DOUBLE * qv.q[i]::DOUBLE
+                       for i in range(1, len(e.embedding) + 1)]) /
+             sqrt(
+               list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                         for i in range(1, len(e.embedding) + 1)]) *
+               list_sum([qv.q[i]::DOUBLE * qv.q[i]::DOUBLE
+                         for i in range(1, len(qv.q) + 1)])) AS cos
+           FROM embeddings e, qv),
+         de AS (
+           SELECT doc_id, cos,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_d
+           FROM dense0
+           QUALIFY rank_d <= 50)
+         SELECT doc_id,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_s), 0)
+             + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_d), 0), 6)
+             AS rrf,
+           CAST(rank_s AS INTEGER) AS rank_s,
+           CAST(rank_d AS INTEGER) AS rank_d
+         FROM sp FULL OUTER JOIN de USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "q_chunk_sliding" ->
       """WITH t AS (

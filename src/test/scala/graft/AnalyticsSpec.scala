@@ -64,6 +64,24 @@ class AnalyticsSpec extends SparkSpec {
       s"sample selection should prune via WindowGroupLimit:\n$p")
   }
 
+  test("q_hybrid_rrf: fused scores are rank-consistent and bounded") {
+    val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sf()).collect()
+    assert(rows.length == 10)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      val rs = Option(r.getAs[Integer]("rank_s"))
+      val rd = Option(r.getAs[Integer]("rank_d"))
+      assert(rs.nonEmpty || rd.nonEmpty, s"doc in neither leg: $r")
+      assert(rrf > 0 && rrf <= 2.0 / 61 + 1e-9, s"rrf out of range: $r")
+      assert(rrf <= prev, s"results not rrf-descending: $r")
+      prev = rrf
+    }
+    // a doc present in both legs must outrank a same-rank single-leg doc
+    val both = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    assert(both.nonEmpty, "fixture should fuse at least one doc")
+  }
+
   test("q_agg_heavy_hitters_cms: estimates never undercount") {
     val rows = q("q_agg_heavy_hitters_cms").collect()
     assert(rows.nonEmpty)
