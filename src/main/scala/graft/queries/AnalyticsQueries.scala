@@ -53,6 +53,30 @@ object AnalyticsQueries {
     transform(sequence(lit(0), lit(cmsDepth - 1)),
       j => (col("h1") + j * col("h2")) % cmsWidth)
 
+  /** The deterministic k=256 per-group sample: the k rows with the
+    * smallest md5(event_id), sorted values collected per group.
+    * Shared by the quantile sketch and equi-depth binning; `est(q)`
+    * reads the q-quantile from the sorted sample.
+    */
+  private def sampleSorted(s: SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
+    val h = conv(substring(md5(col("event_id").cast("string")),
+      1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("sv"),
+        count(lit(1)).as("n_sample"))
+  }
+
+  private def est(q: Double): Column = round(element_at(col("sv"),
+    greatest(lit(1), ceil(lit(q) * col("n_sample")).cast("int"))), 4)
+
   /** Per-user funnel stage (0–3) — the single-shuffle HOF fold; also
     * the batch side of the stream-parity gate (FunnelStreamSpec).
     */
@@ -149,21 +173,7 @@ object AnalyticsQueries {
     // the exact quantiles; expected rank error is ~1/√k
     // (AnalyticsSpec gates it).
     "q_agg_quantile_sketch" -> { (s, dir) =>
-      val k = 256
-      val h = conv(substring(md5(col("event_id").cast("string")),
-        1, 15), 16, 10).cast("long")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
-      val samp = Tables(s, dir, "events")
-        .select(col("event_type"), col("event_id"), col("value"),
-          h.as("h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("value"))).as("sv"),
-          count(lit(1)).as("n_sample"))
-      def est(q: Double) = round(element_at(col("sv"),
-        greatest(lit(1), ceil(lit(q) * col("n_sample")).cast("int"))), 4)
+      val samp = sampleSorted(s, dir)
       val exact = Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(percentile(col("value"),
@@ -177,6 +187,34 @@ object AnalyticsQueries {
           round(element_at(col("p"), 3), 6).as("exact_p99"))
         .orderBy(col("event_type"))
     },
+    // Equi-depth (quantile-boundary) binning — the complement of the
+    // equal-WIDTH histogram (q_agg_histogram): bin edges are the
+    // sample quartiles, so each bin holds ~25% of its group. The
+    // classic formulation (global ntile) sorts the world; here the
+    // boundaries come from the fixed deterministic sample (a tiny
+    // 5-row broadcast) and bin assignment is a map-side CASE — the
+    // fact table never shuffles before the final per-bin rollup.
+    // Quantization: boundaries are the sample values rounded to 4
+    // places, identical in the oracle, so bin membership is
+    // bit-deterministic.
+    "q_equidepth_bins" -> { (s, dir) =>
+      val bounds = sampleSorted(s, dir)
+        .select(col("event_type"), est(0.25).as("b1"),
+          est(0.5).as("b2"), est(0.75).as("b3"))
+      Tables(s, dir, "events")
+        .join(broadcast(bounds), "event_type")
+        .withColumn("bin",
+          when(col("value") <= col("b1"), 0)
+            .when(col("value") <= col("b2"), 1)
+            .when(col("value") <= col("b3"), 2)
+            .otherwise(3))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
     // Point-in-time-correct feature assembly — the feature-store
     // training-set pattern: every purchase event becomes a training
     // row whose features see ONLY strictly-earlier data (lag = last
@@ -212,6 +250,37 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_equidepth_bins" ->
+      """WITH h AS (
+           SELECT event_type, event_id, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hh
+           FROM events),
+         samp AS (
+           SELECT * FROM h
+           QUALIFY row_number() OVER (PARTITION BY event_type
+             ORDER BY hh, event_id) <= 256),
+         sv AS (
+           SELECT event_type, list_sort(list(value)) AS v,
+                  count(*) AS ns
+           FROM samp GROUP BY event_type),
+         b AS (
+           SELECT event_type,
+             round(v[CAST(greatest(1, ceil(0.25 * ns)) AS INTEGER)], 4)
+               AS b1,
+             round(v[CAST(greatest(1, ceil(0.5 * ns)) AS INTEGER)], 4)
+               AS b2,
+             round(v[CAST(greatest(1, ceil(0.75 * ns)) AS INTEGER)], 4)
+               AS b3
+           FROM sv)
+         SELECT e.event_type,
+           CASE WHEN value <= b1 THEN 0 WHEN value <= b2 THEN 1
+                WHEN value <= b3 THEN 2 ELSE 3 END AS bin,
+           count(*) AS n, round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+         FROM events e JOIN b ON e.event_type = b.event_type
+         GROUP BY 1, 2 ORDER BY e.event_type, bin""",
+
     "q_pit_features" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, value,

@@ -64,6 +64,22 @@ class AnalyticsSpec extends SparkSpec {
       s"sample selection should prune via WindowGroupLimit:\n$p")
   }
 
+  test("q_equidepth_bins: every bin holds roughly a quarter of its group") {
+    val rows = q("q_equidepth_bins").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("bin"),
+        r.getAs[Long]("n")))
+    rows.groupBy(_._1).foreach { case (et, bins) =>
+      assert(bins.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3),
+        s"$et missing bins: $bins")
+      val total = bins.map(_._3).sum.toDouble
+      bins.foreach { case (_, b, n) =>
+        val frac = n / total
+        assert(frac > 0.10 && frac < 0.45,
+          s"$et bin $b holds $frac of the group — boundaries off")
+      }
+    }
+  }
+
   test("q_hybrid_rrf: fused scores are rank-consistent and bounded") {
     val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sf()).collect()
     assert(rows.length == 10)
