@@ -156,6 +156,31 @@ object QualityQueries {
         .orderBy(col("user_id"))
     },
 
+    // k-anonymity audit over quasi-identifiers — the privacy gate a
+    // training-data release runs: rows whose QI combination (event
+    // type × value decade × epoch-week here) is shared by fewer than
+    // k=5 rows are re-identification risks. Two hash aggregates (QI
+    // group sizes, then per-type rollup), no window; at 100 TB the
+    // QI-group count is bounded by the QI domain, not the row count,
+    // and both aggs take map-side partials.
+    "q_k_anonymity" -> { (s, dir) =>
+      val k = 5
+      val groups = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast("long").as("value_bucket"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .agg(count(lit(1)).as("gsize"))
+      groups.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("gsize") < k, 1L).otherwise(0L))
+            .as("n_small_groups"),
+          sum(when(col("gsize") < k, col("gsize")).otherwise(0L))
+            .cast("long").as("n_rows_at_risk"),
+          round(sum(when(col("gsize") < k, col("gsize")).otherwise(0L))
+            .cast("double") / sum(col("gsize")), 4).as("risk_frac"))
+        .orderBy(col("event_type"))
+    },
+
     // Declarative data-quality expectations (the dbt-test /
     // Great-Expectations shape): each rule is one aggregate over its
     // table — referential integrity as a broadcast left join with a
@@ -270,6 +295,22 @@ object QualityQueries {
            epoch_us(ts) // 1000 AS last_ts_ms, n_changes
          FROM r WHERE rn = 1 AND op <> 'D'
          ORDER BY user_id""",
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+           SELECT event_type,
+             CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+             epoch_us(ts) // 604800000000 AS wk,
+             count(*) AS gsize
+           FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, count(*) AS n_groups,
+           CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)
+             AS BIGINT) AS n_rows_at_risk,
+           round(CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)
+               AS DOUBLE) / sum(gsize), 4) AS risk_frac
+         FROM g GROUP BY event_type ORDER BY event_type""",
 
     "q_dq_expectations" ->
       """SELECT * FROM (

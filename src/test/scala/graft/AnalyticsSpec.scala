@@ -64,6 +64,19 @@ class AnalyticsSpec extends SparkSpec {
       s"sample selection should prune via WindowGroupLimit:\n$p")
   }
 
+  test("q_pit_features: both feature windows share one entity exchange") {
+    val p = withoutAqe(SparkEntry.queries("q_pit_features")(spark, sf())
+      .queryExecution.executedPlan.toString)
+    // one hash exchange on user_id feeds BOTH window specs (lag and
+    // the trailing-hour range frame); the only other exchange is the
+    // deterministic final orderBy. A join-based assembly would add
+    // one per feature.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"feature windows should share the entity exchange:\n$p")
+    assert(!p.contains("Join"), s"PIT assembly should not join:\n$p")
+  }
+
   test("q_equidepth_bins: every bin holds roughly a quarter of its group") {
     val rows = q("q_equidepth_bins").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("bin"),

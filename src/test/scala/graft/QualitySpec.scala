@@ -116,6 +116,22 @@ class QualitySpec extends SparkSpec {
       s"snapshot should not pay a window sort:\n$p")
   }
 
+  test("q_k_anonymity: risk accounting is internally consistent") {
+    val rows = q("q_k_anonymity").collect()
+    assert(rows.nonEmpty)
+    val totalAtRisk = rows.map(_.getAs[Long]("n_rows_at_risk")).sum
+    val totalRows = graft.Tables(spark, sf(), "events").count()
+    assert(totalAtRisk <= totalRows)
+    rows.foreach { r =>
+      val ng = r.getAs[Long]("n_groups")
+      val ns = r.getAs[Long]("n_small_groups")
+      val risk = r.getAs[Double]("risk_frac")
+      assert(ns <= ng && risk >= 0.0 && risk <= 1.0, s"inconsistent: $r")
+      // a small group holds at most k-1=4 rows
+      assert(r.getAs[Long]("n_rows_at_risk") <= ns * 4, s"overcounted: $r")
+    }
+  }
+
   test("q_dq_expectations: every rule checks its full table") {
     val rows = q("q_dq_expectations").collect()
       .map(r => r.getAs[String]("rule") ->
