@@ -234,4 +234,35 @@ class PropertiesSpec extends SparkSpec {
     assert(base.nonEmpty && base == withGhost,
       s"unmatched term changed ranking: $base vs $withGhost")
   }
+
+  test("chunker boundary arithmetic: exact chunk counts at the edges") {
+    // n tokens → 1 + max(0, ceil((n-64)/48)) chunks; when n > 64 the
+    // last chunk holds 17..64 tokens — never a degenerate suffix
+    // shorter than the 16-token overlap (those would duplicate
+    // content already fully covered by the previous chunk)
+    def expectChunks(n: Int): Int =
+      1 + math.max(0, math.ceil((n - 64.0) / 48).toInt)
+    def lastLen(n: Int): Int =
+      n - 48 * (expectChunks(n) - 1)
+    Seq(1, 16, 63, 64, 65, 111, 112, 113, 160, 161, 500).foreach { n =>
+      val c = expectChunks(n)
+      val l = lastLen(n)
+      assert(c >= 1 && (n <= 64 || l >= 17) && l <= 64,
+        s"n=$n chunks=$c last=$l violates the boundary contract")
+    }
+    // and every real-corpus doc obeys the same closed form
+    val chunked = graft.queries.TextQueries
+      .defs("q_chunk_sliding")(spark, sf())
+    val bad = chunked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("chunks"),
+        max(col("chunk_tokens")).as("mx"))
+      .join(Tables(spark, sf(), "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n")), "doc_id")
+      .filter(col("chunks") =!=
+        (lit(1) + greatest(lit(0),
+          ceil((col("n") - lit(64)).cast("double") / 48).cast("int"))))
+      .count()
+    assert(bad == 0, s"$bad docs break the chunk-count closed form")
+  }
 }
