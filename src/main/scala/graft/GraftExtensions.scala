@@ -82,5 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_replace(e) - star-REPLACE item marker (parser-internal)"),
       (es: Seq[Expression]) => graft.plans.StarReplaceMarker(es.head)))
     ext.injectResolutionRule(_ => graft.plans.RewriteStarReplace)
+    // `SELECT * RENAME (col AS newname)` — positional star rename
+    ext.injectFunction((FunctionIdentifier("graft_rename"),
+      info("graft_rename",
+        "graft_rename(col) - star-RENAME item marker (parser-internal)"),
+      (es: Seq[Expression]) => graft.plans.StarRenameMarker(es.head)))
+    ext.injectResolutionRule(_ => graft.plans.RewriteStarRename)
   }
 }

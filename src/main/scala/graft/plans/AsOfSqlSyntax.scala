@@ -259,8 +259,8 @@ class GraftSqlParser(
 
   private def sugar(sqlText: String): String =
     QualifySyntax.rewrite(DistinctOnSyntax.rewrite(
-      StarReplaceSyntax.rewrite(
-        ExcludeSyntax.rewrite(AsOfSyntax.rewrite(sqlText)))))
+      StarRenameSyntax.rewrite(StarReplaceSyntax.rewrite(
+        ExcludeSyntax.rewrite(AsOfSyntax.rewrite(sqlText))))))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sugar(sqlText))

@@ -446,6 +446,20 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
     },
 
+    // `SELECT * RENAME` — the third star modifier (DuckDB 1.3+/
+    // Snowflake grammar; EXCLUDE and REPLACE above): rename keeps
+    // the value and POSITION, and the ORDER BY deliberately uses the
+    // new name to prove it resolves. DuckDB 1.0 lacks the grammar,
+    // so this oracle is the hand-expanded equivalent rather than the
+    // same text.
+    "q_select_rename" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT * RENAME (o_totalprice AS price, o_orderstatus AS status)
+        FROM orders
+        ORDER BY price DESC, o_orderkey LIMIT 50""")
+    },
+
     // ---- window functions ----------------------------------------
     "q_window_rank" -> { (s, dir) =>
       val bucket = floor(col("o_totalprice") / 50000).cast("long")
@@ -843,6 +857,13 @@ object RelationalQueries {
                            upper(o_orderstatus) AS o_orderstatus)
          FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    // hand-expanded: DuckDB 1.0 predates the RENAME star modifier
+    "q_select_rename" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+                o_totalprice AS price, o_orderdate, o_orderpriority
+         FROM orders
+         ORDER BY price DESC, o_orderkey LIMIT 50""",
 
     // the Spark query's exact text: DuckDB's native DISTINCT ON
     "q_distinct_on" ->

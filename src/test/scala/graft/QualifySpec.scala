@@ -193,4 +193,42 @@ class QualifySpec extends SparkSpec {
       "SELECT replace FROM t WHERE replace > 1") ===
       "SELECT replace FROM t WHERE replace > 1")
   }
+
+  test("star-RENAME keeps position and value; new name orders") {
+    Tables.registerViews(spark, sf())
+    val df = spark.sql(
+      """SELECT * RENAME (o_totalprice AS price)
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 5""")
+    val base = spark.table("orders")
+    assert(df.columns.indexOf("price") ==
+      base.columns.indexOf("o_totalprice"),
+      s"rename moved the column: ${df.columns.mkString(",")}")
+    assert(!df.columns.contains("o_totalprice"))
+    val expected = base
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .limit(5).select("o_totalprice")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(df.select("price").collect().map(_.getDouble(0)).toSeq
+      == expected)
+  }
+
+  test("star-RENAME failures are loud") {
+    Tables.registerViews(spark, sf())
+    val noCol = intercept[Exception](spark.sql(
+      "SELECT * RENAME (nope AS x) FROM orders").collect())
+    assert(noCol.getMessage.toLowerCase.contains("nope"),
+      s"got: ${noCol.getMessage}")
+    val noAs = intercept[Exception](spark.sql(
+      "SELECT * RENAME (o_orderkey) FROM orders").collect())
+    assert(noAs.getMessage.contains("AS"), s"got: ${noAs.getMessage}")
+    val qual = intercept[Exception](spark.sql(
+      "SELECT o.* RENAME (o_orderkey AS x) FROM orders o").collect())
+    assert(qual.getMessage.contains("qualified"),
+      s"got: ${qual.getMessage}")
+    // ALTER-style RENAME text (no star) is untouched
+    assert(graft.plans.StarRenameSyntax.rewrite(
+      "ALTER TABLE t RENAME COLUMN a TO b") ===
+      "ALTER TABLE t RENAME COLUMN a TO b")
+  }
 }
