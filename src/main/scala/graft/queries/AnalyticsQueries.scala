@@ -42,14 +42,14 @@ object AnalyticsQueries {
     * SLOWER than four independent ones. Portable: DuckDB replays the
     * identical arithmetic bit-for-bit.
     */
-  private def withDigestHalves(df: DataFrame, key: Column): DataFrame = {
+  private[graft] def withDigestHalves(df: DataFrame, key: Column): DataFrame = {
     val h = md5(key.cast("string"))
     df.select(df.columns.map(col) :+
       conv(substring(h, 1, 8), 16, 10).cast("long").as("h1") :+
       conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"): _*)
   }
 
-  private def cmsCells: Column =
+  private[graft] def cmsCells: Column =
     transform(sequence(lit(0), lit(cmsDepth - 1)),
       j => (col("h1") + j * col("h2")) % cmsWidth)
 
