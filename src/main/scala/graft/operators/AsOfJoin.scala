@@ -60,15 +60,36 @@ object AsOfJoin {
     * encoder-simple and null-cleanly absent for no-match rows.
     * Semantics match [[asOf]]: newest right row with ts' <= ts,
     * equal-ts visible, null key/ts never match.
+    *
+    * `maxRows` is the driver-envelope guard (same discipline as
+    * [[Dedup.connectedComponents]]'s `driverMaxEdges`): the right
+    * side is counted BEFORE the collect, and a side above the cap
+    * fails fast with an actionable error instead of a late driver
+    * OOM mid-collect. The default (2²¹ ≈ 2M rows) matches the
+    * "broadcast dimension" envelope — tens of MB of (long, long,
+    * short string) — not "whatever happens to fit today".
     */
   def asOfStatic(left: DataFrame, right: DataFrame,
       key: String, ts: String, payload: String,
-      outCol: String): DataFrame = {
+      outCol: String, maxRows: Long = 1L << 21): DataFrame = {
     val spark = left.sparkSession
+    val projected = right
+      .select(col(key).cast("long"), col(ts).cast("long"),
+        col(payload).cast("string"))
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+    val n = projected.count()
+    if (n > maxRows)
+      throw new IllegalArgumentException(
+        s"asOfStatic: static right side has $n rows, above the " +
+          s"driver-collect envelope of $maxRows. This operator " +
+          "builds a driver-side broadcast index and is only for " +
+          "small static dimensions; for a large right side use " +
+          "AsOfJoin.asOf (union + single-shuffle running window) " +
+          "or the native ASOF JOIN (graft.plans.AsOfJoinNative / " +
+          "`l ASOF JOIN r`), which never leave the executors. " +
+          "If the size is intentional, raise maxRows explicitly.")
     val index: Map[Long, (Array[Long], Array[String])] =
-      right.select(col(key).cast("long"), col(ts).cast("long"),
-          col(payload).cast("string"))
-        .filter(col(key).isNotNull && col(ts).isNotNull)
+      projected
         .collect()
         .groupBy(_.getLong(0))
         .map { case (k, rows) =>

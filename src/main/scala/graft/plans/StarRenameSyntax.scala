@@ -159,17 +159,29 @@ object RewriteStarRename extends Rule[LogicalPlan] {
             throw new IllegalArgumentException(
               s"star-RENAME: '$n' must rename a plain column, got: $other")
         }
+        // "renamed twice" is a property of the RENAME list (two
+        // items targeting one source column), not of the projectList:
+        // `SELECT * RENAME (a AS x), a` re-references the renamed
+        // column — the explicit `a` shares the star-expanded
+        // attribute's exprId — and per the lenient-superset contract
+        // it passes through untouched (still named `a`, same value),
+        // only the FIRST (star-expanded) occurrence is re-aliased.
+        markers.groupBy(_._2).collect {
+          case (_, ms) if ms.size > 1 => ms.map(_._1)
+        }.headOption.foreach { names =>
+          throw new IllegalArgumentException(
+            "star-RENAME: column renamed twice: " +
+              names.map(n => s"'$n'").mkString(", "))
+        }
         val used = scala.collection.mutable.Set.empty[ExprId]
         val added = scala.collection.mutable.Map.empty[ExprId, Attribute]
         val newList = proj.projectList.flatMap {
           case Alias(StarRenameMarker(_), _) => None
           case attr: Attribute
-              if markers.exists(_._2 == attr.exprId) =>
+              if markers.exists(_._2 == attr.exprId)
+                && !used.contains(attr.exprId) =>
             val (newName, srcId, markerId) =
               markers.find(_._2 == attr.exprId).get
-            if (used.contains(srcId))
-              throw new IllegalArgumentException(
-                s"star-RENAME: column renamed twice: '$newName'")
             used += srcId
             val fresh = Alias(attr, newName)()
             added += srcId -> fresh.toAttribute

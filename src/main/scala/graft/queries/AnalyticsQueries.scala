@@ -80,7 +80,17 @@ object AnalyticsQueries {
   /** Per-user funnel stage (0–3) — the single-shuffle HOF fold; also
     * the batch side of the stream-parity gate (FunnelStreamSpec).
     */
-  private[graft] def userStages(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def userStages(s: SparkSession, dir: String): DataFrame =
+    userStagesFold(Tables(s, dir, "events"))
+
+  /** The collect_list + HOF-fold formulation: ONE shuffle, but the
+    * whole per-user event array materializes in a single task — fine
+    * until a whale user (bot, load tester) concentrates millions of
+    * events on one key. Gated by [[funnelStages]]; the fold stays the
+    * default because at healthy per-key cardinality it is the faster
+    * plan (single exchange, codegen'd walk).
+    */
+  private[graft] def userStagesFold(ev: DataFrame): DataFrame = {
     val stage = aggregate(col("evs"),
       struct(lit(0).as("st"), lit(-1L).as("t")),
       (acc, e) => {
@@ -94,13 +104,69 @@ object AnalyticsQueries {
             struct(lit(3).as("st"), u.as("t")))
           .otherwise(acc)
       }).getField("st")
-    Tables(s, dir, "events")
+    ev
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("u"),
           col("event_type").as("et")).as("e"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("user_id"), stage.as("stage"))
+  }
+
+  /** Whale-safe funnel: the same greedy-earliest semantics as the
+    * fold, re-expressed as three conditional-min aggregates whose
+    * per-key state is ONE long each — no task ever materializes a
+    * user's event list, so a 100M-event bot key costs exactly what a
+    * 10-event key costs per row. The stage recurrence
+    * `t1 = min(signup); t2 = min(click > t1); t3 = min(purchase >
+    * t2)` is the fold's fixed point (greedy earliest is optimal for
+    * funnel reachability, so min at each step IS the greedy choice;
+    * strict `>` preserves the fold's same-µs tie rule). Cost: three
+    * aggregates over event subsets plus |users|-sized joins — more
+    * shuffles than the fold, each with O(1) per-key state. This is
+    * the 100×-scale path; [[funnelStages]] picks it when a measured
+    * per-key count says the fold's array would be a memory risk.
+    */
+  private[graft] def userStagesBounded(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"),
+      unix_micros(col("ts")).as("u"), col("event_type").as("et"))
+    val t1 = ev.filter(col("et") === "signup")
+      .groupBy(col("user_id")).agg(min(col("u")).as("t1"))
+    val t2 = ev.filter(col("et") === "click")
+      .join(t1, "user_id")
+      .filter(col("u") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("u")).as("t2"))
+    val t3 = ev.filter(col("et") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("u") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("u")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1.select(col("user_id"), lit(1).as("s1")),
+        Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), lit(2).as("s2")),
+        Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), lit(3).as("s3")),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("s3"), col("s2"), col("s1"), lit(0)).as("stage"))
+  }
+
+  /** Funnel front door: measure max events-per-key first (one
+    * map-side-partial count aggregate — the operator's one eager
+    * action, same sizing discipline as
+    * [[graft.operators.Dedup.connectedComponents]]'s
+    * `driverMaxEdges`), then run the fold when every key's array is
+    * comfortably bounded, the O(1)-state formulation when any key is
+    * a whale. FunnelGateSpec pins both paths row-identical and the
+    * gate's flip point.
+    */
+  private[graft] def funnelStages(ev: DataFrame,
+      foldMaxPerUser: Long = 1L << 16): DataFrame = {
+    val maxPerKey = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c")))
+      .head().getLong(0)
+    if (maxPerKey <= foldMaxPerUser) userStagesFold(ev)
+    else userStagesBounded(ev)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,9 +176,11 @@ object AnalyticsQueries {
     // strictly after the previous step's time (greedy earliest is
     // optimal for funnel reachability). Each user's events collect
     // into one sorted array and a codegen'd HOF fold walks it once
-    // (userStages — shared with the streaming-parity spec).
+    // (userStages — shared with the streaming-parity spec). The
+    // funnelStages gate swaps in the O(1)-per-key-state formulation
+    // when a measured per-key count finds a whale user.
     "q_funnel_steps" -> { (s, dir) =>
-      userStages(s, dir)
+      funnelStages(Tables(s, dir, "events"))
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("stage"))
     },

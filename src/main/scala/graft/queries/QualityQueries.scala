@@ -111,9 +111,21 @@ object QualityQueries {
     "q_entity_resolution" -> { (s, dir) =>
       val dict = Tables(s, dir, "part")
         .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
-      val variants = dict.select((col("id") + 500000).as("id"),
-        concat(expr("substring(p_name, 1, length(p_name) - 1)"),
-          lit("#")).as("p_name"))
+      // Variant ids sit in a disjoint range derived IN-PLAN from the
+      // data (next multiple of 10^6 above max id, one-row broadcast):
+      // a fixed constant collides with real ids once p_partkey grows
+      // past it (sf ≳ 2.5), silently corrupting the a.id < b.id pair
+      // dedup. Integer arithmetic keeps Spark and DuckDB bit-equal.
+      val off = dict.agg(
+        ((floor(max(col("id")) / 1000000L) + 1L) * 1000000L)
+          .cast("long").as("off"))
+      // the one-row broadcast attaches as a nested-loop join by
+      // construction (a constant key would be folded right back);
+      // QualitySpec pins that the PAIR join stays hash-on-block
+      val variants = dict.crossJoin(broadcast(off))
+        .select((col("id") + col("off")).as("id"),
+          concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+            lit("#")).as("p_name"))
       val keyed = dict.select(col("id"), col("p_name"))
         .unionByName(variants)
         .withColumn("block", element_at(split(col("p_name"), " "), 1))
@@ -261,10 +273,12 @@ object QualityQueries {
       """WITH dict AS (
            SELECT p_name, min(p_partkey) AS id FROM part
            GROUP BY p_name),
+         offs AS (
+           SELECT (max(id) // 1000000 + 1) * 1000000 AS off FROM dict),
          allp AS (
            SELECT id, p_name FROM dict
            UNION ALL
-           SELECT id + 500000 AS id,
+           SELECT id + (SELECT off FROM offs) AS id,
                   substr(p_name, 1, length(p_name) - 1) || '#' AS p_name
            FROM dict),
          k AS (

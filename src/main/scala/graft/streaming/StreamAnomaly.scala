@@ -40,6 +40,11 @@ case class RingState(values: List[Double])
   */
 object StreamAnomaly {
 
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   def zScores(events: Dataset[MetricPoint], window: Int = 20,
       zMax: Double = 3.0): Dataset[AnomalyScore] = {
     import events.sparkSession.implicits._
@@ -50,7 +55,7 @@ object StreamAnomaly {
          state: GroupState[RingState]) =>
           var buf = state.getOption.map(_.values).getOrElse(Nil)
           val out = List.newBuilder[AnomalyScore]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             val z: Option[Double] =
               if (buf.length == window) {
                 val q = buf.map(v => BigDecimal.decimal(v)

@@ -22,7 +22,10 @@ class AnomalyStreamSpec extends SparkSpec {
       .select(col("event_id"), col("ts"), col("event_type"),
         col("value"))
       .as[MetricPoint].collect().toSeq
-      .sortBy(p => (p.ts.getTime, p.event_id)) // in-order feed contract
+      .sortBy { p => // in-order feed contract, at full µs precision
+        val i = p.ts.toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L, p.event_id)
+      }
 
   test("streaming z-scores == batch rollingZ, bit-exact, across splits") {
     val batch = graft.operators.Anomaly.rollingZ(
@@ -55,5 +58,36 @@ class AnomalyStreamSpec extends SparkSpec {
     }
     assert(diffs.isEmpty,
       s"${diffs.size} z-scores differ, e.g. ${diffs.take(3)}")
+  }
+
+  test("same-millisecond events score in full-µs order, not ms+id order") {
+    // pA and pB land in the same millisecond (getTime = 1000 for
+    // both) but pA precedes pB by µs while having the LARGER
+    // event_id — an ms-truncated (getTime, event_id) sort would
+    // process pB first and assign both events the wrong z.
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000); t
+    }
+    val pts = Seq(
+      MetricPoint(100L, ts(0L), "k", 0.0),
+      MetricPoint(101L, ts(500000L), "k", 10.0),
+      MetricPoint(2L, ts(1000100L), "k", 20.0), // first by µs, 2nd by id
+      MetricPoint(1L, ts(1000900L), "k", 40.0))
+
+    val input = MemoryStream[MetricPoint]
+    val q = StreamAnomaly.zScores(input.toDS(), window = 2)
+      .writeStream.format("memory").queryName("anom_us")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      input.addData(pts); q.processAllAvailable()
+      spark.table("anom_us").as[(Long, String, Option[Double], Boolean)]
+        .collect().map(t => t._1 -> t._3).toMap
+    } finally q.stop()
+
+    // µs order: pA(20) vs [0,10] → z=3; pB(40) vs [10,20] → z=5.
+    // ms+id order would give pB z=7 and pA z=-1/3 instead.
+    assert(got(2L) == Some(3.0), s"pA z: ${got(2L)}")
+    assert(got(1L) == Some(5.0), s"pB z: ${got(1L)}")
   }
 }

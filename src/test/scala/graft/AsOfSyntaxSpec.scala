@@ -150,6 +150,25 @@ class AsOfSyntaxSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfStatic fails fast on an oversized right side") {
+    val ev = Tables(spark, sf(), "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id").cast("string").as("err"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("tms"))
+    val oom = intercept[IllegalArgumentException](
+      graft.operators.AsOfJoin.asOfStatic(
+        purchases, errors, "user_id", "tms", "err", "err",
+        maxRows = 1L))
+    // the error is actionable: it names BOTH executor-side fallbacks
+    assert(oom.getMessage.contains("envelope"),
+      s"got: ${oom.getMessage}")
+    assert(oom.getMessage.contains("AsOfJoin.asOf") &&
+      oom.getMessage.contains("ASOF JOIN"), s"got: ${oom.getMessage}")
+  }
+
   test("the lowered plan is the native merge exec (no cartesian)") {
     events()
     val df = spark.sql("""

@@ -231,4 +231,26 @@ class QualifySpec extends SparkSpec {
       "ALTER TABLE t RENAME COLUMN a TO b") ===
       "ALTER TABLE t RENAME COLUMN a TO b")
   }
+
+  test("star-RENAME: re-referencing the renamed column is lenient") {
+    Tables.registerViews(spark, sf())
+    // The explicit o_totalprice shares the star-expanded attribute's
+    // exprId; per the lenient-superset contract it passes through as
+    // its own column while the star occurrence is renamed.
+    val df = spark.sql(
+      """SELECT * RENAME (o_totalprice AS price), o_totalprice
+         FROM orders ORDER BY o_orderkey LIMIT 3""")
+    assert(df.columns.count(_ == "price") == 1)
+    assert(df.columns.last == "o_totalprice",
+      s"got: ${df.columns.mkString(",")}")
+    val rows = df.select("price", "o_totalprice").collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // renaming the SAME column twice in one list is still loud
+    val twice = intercept[Exception](spark.sql(
+      "SELECT * RENAME (o_totalprice AS a, o_totalprice AS b) " +
+        "FROM orders").collect())
+    assert(twice.getMessage.contains("renamed twice"),
+      s"got: ${twice.getMessage}")
+  }
 }

@@ -68,16 +68,29 @@ class QualitySpec extends SparkSpec {
   test("q_entity_resolution: plan is a blocked equi-join, no cartesian") {
     val p = withoutAqe(q("q_entity_resolution")
       .queryExecution.executedPlan.toString)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"linkage fell back to all-pairs:\n$p")
+    // the candidate-pair join must be HASH on the blocking key; the
+    // only nested-loop joins allowed are the one-row variant-offset
+    // broadcasts (they carry the `off` column, never a p_name pair)
+    assert(p.contains("HashJoin [block"),
+      s"pair join is not a hash join on block:\n$p")
+    val nlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nlj.forall(_.contains("off")),
+      s"unexpected nested-loop join beyond the offset attach:\n$p")
   }
 
   test("q_entity_resolution: recovers every planted corruption at dist 1") {
-    val nNames = graft.Tables(spark, sf(), "part")
-      .select("p_name").distinct().count()
+    val part = graft.Tables(spark, sf(), "part")
+    val nNames = part.select("p_name").distinct().count()
+    // Same in-plan derivation as the query: next multiple of 10^6
+    // above the max dictionary id (min p_partkey per name).
+    val off = (part.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .agg(max("id")).head().getLong(0) / 1000000L + 1L) * 1000000L
     val rows = q("q_entity_resolution")
-      .filter(col("id_a") === col("id_b") - 500000)
+      .filter(col("id_a") === col("id_b") - off)
       .collect()
     assert(rows.length.toLong == nNames,
       s"expected $nNames planted matches (one per distinct name), " +

@@ -38,6 +38,30 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       tally.get
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  /** Max shuffle bytes read by any SINGLE task across everything `f`
+    * runs — the measured form of "no task receives an unbounded
+    * per-key payload". (Execution-memory metrics can't see this:
+    * ObjectHashAggregate's per-key buffers are untracked on-heap
+    * state, which is exactly why a whale key is dangerous there.)
+    */
+  def maxTaskShuffleReadBytes(f: => Unit): Long = {
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          peak.accumulateAndGet(
+            te.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            Math.max(_, _))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      peak.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
 
 object SparkSpec {
