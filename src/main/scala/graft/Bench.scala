@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   * The COMPLETE per-query artifact — every query, full precision —
   * is always written to `SPARK_GRAFT_BENCH_OUT` (default
   * `BENCH_full.json` in the working directory) for round-over-round
-  * regression diffs.
+  * regression diffs, and mirrored to the round-stamped
+  * `BENCH_r{N}.json` (round from PROGRESS.jsonl) on full-set runs so
+  * the per-round record is never the truncated tail.
   */
 object Bench {
   /** Stdout-line budget: the driver's tail capture is 2000 chars;
@@ -74,6 +76,31 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
+    // ... and to the round-stamped artifact (BENCH_r{N}.json, round
+    // from PROGRESS.jsonl) so the per-round record carries every
+    // query — the stdout tail capture is 2000 chars and 135 query
+    // names alone exceed it, so the budgeted line below can never be
+    // the complete record. Skipped for SPARK_GRAFT_ONLY partial runs
+    // (a filtered map must not masquerade as the round's numbers).
+    if (only.isEmpty) {
+      try {
+        val progress = java.nio.file.Paths.get("PROGRESS.jsonl")
+        if (java.nio.file.Files.exists(progress)) {
+          val last = java.nio.file.Files.readAllLines(progress)
+            .toArray(Array.empty[String]).reverse
+            .find(_.trim.nonEmpty)
+          val round = last.flatMap(l =>
+            """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(l))
+            .map(_.group(1).toInt)
+          round.foreach { n =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"BENCH_r$n%02d.json"),
+              (fullJson + "\n").getBytes("UTF-8"))
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not stamp round artifact: $e") }
+    }
 
     // stdout contract line: slowest queries first, greedily packed
     // under the driver's capture budget

@@ -486,11 +486,15 @@ object TextQueries {
     // contributes 0. Each leg ranks independently (term-frequency
     // sum over the token stream; cosine against a broadcast query
     // vector — one-row crossJoin, never a shuffle of the corpus),
-    // keeps its top-50 via the rank filter (WindowGroupLimit prunes
-    // ≤50/partition map-side before the single-reducer final rank),
-    // and only the ≤100 surviving rows meet in the full-outer fuse.
-    // RRF only reads RANKS, so the fused scores are engine-exact
-    // even though the leg scores are floats.
+    // keeps its top-50 via orderBy+limit — TakeOrderedAndProject,
+    // i.e. map-side partial top-k, so the corpus NEVER reaches a
+    // single-partition window (Spark does not infer WindowGroupLimit
+    // for empty-partition windows; a rank<=50 filter alone would
+    // ship every row to one reducer) — then ranks the ≤50 survivors
+    // with a global window that touches 50 rows by construction
+    // (same shape as k-means seeding). Only ≤100 rows meet in the
+    // full-outer fuse. RRF only reads RANKS, so the fused scores are
+    // engine-exact even though the leg scores are floats.
     "q_hybrid_rrf" -> { (s, dir) =>
       import graft.functions.VectorFunctions
       val toks = split(col("text"), " ")
@@ -499,18 +503,18 @@ object TextQueries {
         .reduce(_ + _)
       val sparse = docs(s, dir)
         .select(col("doc_id"), tf.as("tf")).filter(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id")).limit(50)
         .withColumn("rank_s", row_number().over(
           Window.orderBy(col("tf").desc, col("doc_id"))))
-        .filter(col("rank_s") <= 50)
       val emb = Tables(s, dir, "embeddings")
       val qv = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv")))
       val dense = emb.crossJoin(qv)
         .select(col("vec_id").as("doc_id"),
           VectorFunctions.cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
         .withColumn("rank_d", row_number().over(
           Window.orderBy(col("cos").desc, col("doc_id"))))
-        .filter(col("rank_d") <= 50)
       sparse.join(dense, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           round(coalesce(lit(1.0) / (lit(60) + col("rank_s")), lit(0.0))

@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
       s"rank<=10 must prune map-side:\n$p")
   }
 
+  test("q_hybrid_rrf: rank legs pre-limit map-side; windows touch <=50 rows") {
+    // An earlier formulation filtered rank<=50 over empty-partition
+    // windows, trusting WindowGroupLimit to prune map-side — but
+    // Spark does NOT infer the prune for empty partitionSpec, so the
+    // whole corpus reached one reducer (the round-6 "Moving all data
+    // to a single partition" warning was real, not benign). The
+    // legs now orderBy+limit(50) first: TakeOrderedAndProject is the
+    // map-side partial top-k, and each global rank window touches 50
+    // rows by construction (same shape as k-means seeding).
+    val p = withoutAqe { plan("q_hybrid_rrf") }
+    val hits = p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject")
+    assert(hits >= 2,
+      s"expected both rank legs to pre-limit via TakeOrderedAndProject, " +
+        s"found $hits:\n$p")
+  }
+
   test("q_text_perplexity / q_text_decontaminate: no cartesian fan-out") {
     Seq("q_text_perplexity", "q_text_decontaminate").foreach { q =>
       val p = withoutAqe { plan(q) }

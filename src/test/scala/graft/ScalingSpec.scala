@@ -155,4 +155,71 @@ class ScalingSpec extends SparkSpec {
     assert(big <= small * 1.5,
       f"candidate fraction degraded across the decade: $small%.3f → $big%.3f")
   }
+
+  // ---- decade 1 (real, sf0.01 → sf0.1) rows for the round-6
+  // families: events grows ×10; each family's shuffle must track its
+  // documented discipline, measured from task metrics like the dedup
+  // decades above. Exponents recorded in DESIGN.md ("Round-7
+  // decade rows").
+
+  private def queryRows(name: String, d: String): Long = shuffledRecords(
+    SparkEntry.queries(name)(spark, sf(d)).count())
+
+  private def decade(name: String): (Long, Long, Double) = {
+    val small = queryRows(name, "0.01")
+    val big = queryRows(name, "0.1")
+    (small, big, big.toDouble / small)
+  }
+
+  test("decade 1 (real): geofence shuffle is linear (one ordered pass)") {
+    val (s, b, g) = decade("q_geo_geofence")
+    info(f"geofence shuffle ×$g%.1f across ×10 events ($s → $b rows)")
+    // transition detection is ONE per-key ordered window over the
+    // stream — inherently linear; anything superlinear means a join
+    // or re-shuffle crept in
+    assert(s > 0 && g < 30, f"geofence shuffle superlinear: ×$g%.1f")
+  }
+
+  test("decade 1 (real): cohort retention shuffle tracks distinct(user,week)") {
+    val (s, b, g) = decade("q_cohort_retention")
+    val pairs01 = Tables(spark, sf("0.01"), "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000"))
+      .distinct().count()
+    val pairs1 = Tables(spark, sf("0.1"), "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000"))
+      .distinct().count()
+    val pairG = pairs1.toDouble / pairs01
+    info(f"cohort shuffle ×$g%.1f vs distinct(user,week) ×$pairG%.1f " +
+      f"($s → $b shuffle rows, $pairs01 → $pairs1 pairs)")
+    // the wire carries map-side-combined (user, week) partials and
+    // the |users| cohort join — bounded by the key space's growth,
+    // never a pair space
+    assert(s > 0 && g < pairG * 3 + 3,
+      f"cohort shuffle outgrew its key space: ×$g%.1f vs ×$pairG%.1f")
+  }
+
+  test("decade 1 (real): quantile sketch shuffle is ~flat (fixed sample)") {
+    val (s, b, g) = decade("q_agg_quantile_sketch")
+    info(f"quantile-sketch shuffle ×$g%.1f across ×10 events ($s → $b rows)")
+    // the sketch leg ships ≤256 sampled rows per (type, partition)
+    // and the exact-percentile leg ships one partial buffer per
+    // (type, partition): both scale with partition count, not rows
+    assert(s > 0 && g < 8,
+      f"quantile-sketch shuffle grew with the row count: ×$g%.1f")
+  }
+
+  test("decade 1 (real): interval join shuffles chunks linearly while pairs explode") {
+    val (s, b, g) = decade("q_interval_join")
+    val out01 = SparkEntry.queries("q_interval_join")(spark, sf("0.01")).count()
+    val out1 = SparkEntry.queries("q_interval_join")(spark, sf("0.1")).count()
+    val outG = out1.toDouble / out01
+    info(f"interval-join shuffle ×$g%.1f vs overlap-pair output " +
+      f"×$outG%.1f ($s → $b shuffle rows, $out01 → $out1 pairs)")
+    // chunking keeps the WIRE linear in rows (≤3 chunk copies per
+    // interval); the quadratic term lives only in the per-chunk
+    // post-filter output, which is the result, not the shuffle
+    assert(s > 0 && g < 30, f"interval-join shuffle superlinear: ×$g%.1f")
+    assert(outG > g,
+      f"expected the pair output (×$outG%.1f) to outgrow the wire (×$g%.1f)")
+  }
 }
