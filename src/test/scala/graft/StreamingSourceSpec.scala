@@ -73,6 +73,95 @@ class StreamingSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("S1 live-socket leg: loopback feeder drives ingestion end-to-end") {
+    // The reference's S1 is a live push endpoint (`task.ts:97-164`):
+    // clients POST JSON over a real socket and the payload flows
+    // through the pipeline. This leg runs a loopback ServerSocket
+    // "webhook receiver" that spools each connection's payload as an
+    // immutable part- file (write-to-hidden-tmp + atomic rename, so
+    // the file-count watermark never sees a half-written file), with
+    // the DSv2 micro-batch stream draining the spool — ingestion
+    // over a live socket, not just offset arithmetic.
+    val server = scala.util.Try(new java.net.ServerSocket(
+      0, 16, java.net.InetAddress.getLoopbackAddress)) match {
+      case scala.util.Success(s) => s
+      case scala.util.Failure(e) =>
+        cancel(s"sandbox forbids loopback sockets: $e")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tp_sock").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("tp_sock_ck").toFile
+    val nFiles = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acceptor = new Thread(() =>
+      try while (!server.isClosed) {
+        val c = server.accept()
+        try {
+          val payload = scala.io.Source
+            .fromInputStream(c.getInputStream, "UTF-8").mkString
+          if (payload.nonEmpty) {
+            val n = nFiles.getAndIncrement()
+            val tmp = new java.io.File(dir, f".part-$n%05d.tmp")
+            java.nio.file.Files.write(tmp.toPath,
+              payload.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp.toPath,
+              new java.io.File(dir, f"part-$n%05d").toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        } finally c.close()
+      } catch { case _: java.net.SocketException => () }) // closed
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def post(rows: Seq[String]): Unit = {
+      val c = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, server.getLocalPort)
+      try {
+        val w = new java.io.OutputStreamWriter(
+          c.getOutputStream, "UTF-8")
+        w.write(rows.mkString("\n")); w.flush()
+      } finally c.close()
+    }
+    def awaitSpooled(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 10000
+      def count = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+      while (count < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(count >= n, s"feeder never spooled file $n")
+    }
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .format("graft.sources.TrackPointSource")
+      .option("path", dir.getAbsolutePath).load()
+      .select(col("entity_id"), col("event_id"))
+      .writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      post(Seq(row(1, 10, 1000), row(2, 20, 2000)))
+      awaitSpooled(1)
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == Seq((1L, 10L), (2L, 20L)),
+        s"first live push wrong: $seen")
+      // second push while the query is live: only the new payload
+      post(Seq(row(3, 30, 3000)))
+      awaitSpooled(2)
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq ==
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+        s"second live push wrong: $seen")
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("pushed filter drops rows inside the streaming reader") {
     val dir = java.nio.file.Files.createTempDirectory("tp_stream_f").toFile
     writeFile(dir, "part-00000",
