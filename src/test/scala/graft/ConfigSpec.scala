@@ -1,60 +1,80 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftConfig
 
-/** S3 config source semantics (reference `task.ts:48-64`). */
+/** The S3 config source's layering and secret indirection
+  * (reference: env/layer settings `task.ts:101,167`, secrets-manager
+  * values `package-lock.json:1538`): precedence, typed reads, loud
+  * failures, and the two built-in resolvers. Pure driver-side — no
+  * SparkSession needed.
+  */
 class ConfigSpec extends AnyFunSuite {
 
-  test("defaults match the reference (incl. the 60-min retention quirk)") {
-    val c = GraftConfig.fromMap(Map.empty)
-    assert(c == GraftConfig(None, 300000L, 3600000L, debug = false))
+  private def tmpJson(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft-cfg", ".json")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toString
   }
 
-  test("explicit values override defaults; empty TokenId is absent") {
-    val c = GraftConfig.fromMap(Map(
-      "TokenId" -> "tok-1", "CacheRefresh" -> "60000",
-      "RetentionDuration" -> "120000", "DEBUG" -> "true"))
-    assert(c == GraftConfig(Some("tok-1"), 60000L, 120000L, debug = true))
-    assert(GraftConfig.fromMap(Map("TokenId" -> "")).tokenId.isEmpty)
+  test("precedence: defaults < json file < env") {
+    val json = tmpJson(
+      """{"poll": {"minutes": 10, "url": "https://file.example"},
+         |"retention": {"minutes": 30}}""".stripMargin)
+    val cfg = GraftConfig.load(
+      defaults = Map("poll.minutes" -> "5", "stale.gate" -> "true"),
+      jsonPath = Some(json),
+      env = Map("GRAFT_POLL_MINUTES" -> "20", "HOME" -> "/nope"))
+    assert(cfg.getLong("poll.minutes") == 20L) // env wins
+    assert(cfg("poll.url") == "https://file.example") // file over default
+    assert(cfg.getLong("retention.minutes") == 30L) // file only
+    assert(cfg.getBoolean("stale.gate")) // default survives
+    assert(cfg.get("home").isEmpty, "unprefixed env must not leak in")
   }
 
-  test("malformed numerics fail fast (TypeBox-style validation)") {
-    intercept[NumberFormatException] {
-      GraftConfig.fromMap(Map("CacheRefresh" -> "five minutes"))
-    }
-    intercept[IllegalArgumentException] {
-      GraftConfig(retentionMs = 0)
-    }
+  test("secret:// resolves through the pluggable resolver at read time") {
+    val cfg = GraftConfig.load(
+      defaults = Map("api.token" -> "secret://layer-token"),
+      env = Map("GRAFT_SECRET_LAYER_TOKEN" -> "s3cr3t"))
+    assert(cfg("api.token") == "s3cr3t")
+    // the raw map never holds the secret value — only the name
+    assert(cfg.values("api.token") == "secret://layer-token")
   }
 
-  test("layered resolve: overrides > system props > secrets file > defaults") {
-    val f = java.nio.file.Files.createTempFile("graft-secrets", ".properties")
-    try {
-      java.nio.file.Files.write(f,
-        "TokenId=file-token\nCacheRefresh=11000\n".getBytes("UTF-8"))
-      // file layer supplies both; no higher layer set
-      val fromFile = GraftConfig.resolve(secretsFile = Some(f))
-      assert(fromFile.tokenId.contains("file-token"))
-      assert(fromFile.cacheRefreshMs == 11000L)
-      // a system property outranks the file
-      System.setProperty("graft.CacheRefresh", "22000")
-      try {
-        val sysWins = GraftConfig.resolve(secretsFile = Some(f))
-        assert(sysWins.cacheRefreshMs == 22000L)
-        assert(sysWins.tokenId.contains("file-token"))
-        // an explicit override outranks everything
-        val ovr = GraftConfig.resolve(
-          overrides = Map("CacheRefresh" -> "33000"), secretsFile = Some(f))
-        assert(ovr.cacheRefreshMs == 33000L)
-      } finally System.clearProperty("graft.CacheRefresh")
-      // absent layers fall through to the reference defaults
-      assert(GraftConfig.resolve().retentionMs == 3600000L)
-    } finally java.nio.file.Files.deleteIfExists(f)
+  test("file-mount resolver reads one file per secret") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-secrets").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "db-pass"),
+      "hunter2\n".getBytes("UTF-8"))
+    val cfg = GraftConfig.Config(
+      Map("db.pass" -> "secret://db-pass"),
+      GraftConfig.fileSecrets(dir))
+    assert(cfg("db.pass") == "hunter2") // trimmed
   }
 
-  test("toString never leaks the token (secrets hygiene)") {
-    val c = GraftConfig(tokenId = Some("super-secret-token"))
-    assert(!c.toString.contains("super-secret"))
-    assert(c.toString.contains("tokenId=***"))
+  test("failures are loud and name the key") {
+    val cfg = GraftConfig.load(
+      defaults = Map("api.token" -> "secret://missing-one",
+        "poll.minutes" -> "soon"),
+      env = Map.empty)
+    val noKey = intercept[IllegalArgumentException](cfg("nope"))
+    assert(noKey.getMessage.contains("'nope'"))
+    val noSecret = intercept[IllegalArgumentException](cfg("api.token"))
+    assert(noSecret.getMessage.contains("missing-one"),
+      s"got: ${noSecret.getMessage}")
+    val badLong =
+      intercept[IllegalArgumentException](cfg.getLong("poll.minutes"))
+    assert(badLong.getMessage.contains("poll.minutes"))
+  }
+
+  test("config drives pipeline parameters end-to-end") {
+    // the reference reads its staleness/retention knobs from layer
+    // config; the engine's analogue parameterizes plan construction
+    val cfg = GraftConfig.load(
+      defaults = Map("retention.minutes" -> "30"),
+      env = Map("GRAFT_RETENTION_MINUTES" -> "60"))
+    val retentionMs = cfg.getLong("retention.minutes") * 60000L
+    assert(retentionMs == 3600000L)
   }
 }
