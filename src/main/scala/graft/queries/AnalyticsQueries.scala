@@ -315,6 +315,38 @@ object AnalyticsQueries {
           col("stale_us"), col("cnt_1h"), col("sum_1h"))
         .orderBy(col("user_id"), col("event_id"))
     },
+
+    // Incremental materialized-aggregate maintenance — the 100 TB
+    // warehouse pattern where nightly rollups NEVER rescan history:
+    // keep per-group mergeable partials (count, decimal sum) as the
+    // stored "materialized view", aggregate only the new partition
+    // (here: the latest epoch-week, split in-plan by a one-row max
+    // broadcast), and MERGE by re-aggregating partials — counts and
+    // decimal sums are associative, and avg is derived from them,
+    // never stored. The oracle recomputes from the full scan, so
+    // the correctness gate IS the incremental==full contract.
+    // DECIMAL(18,6) quantization makes the sum order-independent
+    // (double addition is not associative; a snapshot+delta split
+    // would drift a double sum's ULPs).
+    "q_agg_incremental" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val cut = ev.agg(max(col("wk")).as("cutwk"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      def partial(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      partial(tagged.filter(col("wk") < col("cutwk")))      // "stored"
+        .unionByName(partial(tagged.filter(col("wk") >= col("cutwk"))))
+        .groupBy(col("event_type"))                          // merge
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("decimal(18,6)").as("sum_value"))
+        .select(col("event_type"), col("n_events"), col("sum_value"),
+          round(col("sum_value").cast("double") / col("n_events"), 4)
+            .as("avg_value"))
+        .orderBy(col("event_type"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,5 +503,16 @@ object AnalyticsQueries {
            ON pc.j = s.j AND pc.bucket = s.bucket
          GROUP BY pc.l_partkey, pc.exact
          ORDER BY l_partkey""",
+
+    // Full-scan recompute: the incremental snapshot+delta merge must
+    // land on exactly this (decimal sums are order-independent).
+    "q_agg_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6) AS sum_value,
+           round((sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6))::DOUBLE
+             / count(*), 4) AS avg_value
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
   )
 }

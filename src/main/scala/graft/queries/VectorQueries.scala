@@ -88,6 +88,19 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // SQ8 ANN: per-dimension [min,max] 8-bit scalar quantization,
+    // shortlist-20 over dequantized codes (the 4x-smaller hot
+    // representation), exact float re-rank of the shortlist only
+    // (recall >= 0.9, SimilaritySpec-gated). Floor-grid quantizer ->
+    // exact oracle.
+    "q_ann_sq8" -> { (s, dir) =>
+      Similarity.annSq8(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank"), col("id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Per-vector stats: norm / extremes / argmax over the embedding.
     "q_vector_stats" -> { (s, dir) =>
       val e = col("embedding")
@@ -152,6 +165,64 @@ object VectorQueries {
            FROM cand c
            JOIN embeddings q ON q.vec_id = c.q_id
            JOIN embeddings v ON v.vec_id = c.id)
+         SELECT q_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, id) AS INTEGER) AS rank,
+           id, round(cos, 4) AS cos_sim
+         FROM scored
+         QUALIFY rank <= 5
+         ORDER BY q_id, rank""",
+
+    // Replays Similarity.annSq8: per-dim min/max over the corpus,
+    // the same floor-grid quantize/dequantize arithmetic (identical
+    // parenthesization — IEEE doubles make it bit-equal), the same
+    // approx-cosine shortlist-20 and exact re-rank.
+    "q_ann_sq8" ->
+      """WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+         dims AS (
+           SELECT d, min(x) AS mn, max(x) AS mx FROM (
+             SELECT unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS d FROM v) u
+           GROUP BY d),
+         b AS (SELECT list(mn ORDER BY d) AS mns,
+                      list(mx ORDER BY d) AS mxs FROM dims),
+         enc AS (
+           SELECT id, embedding,
+             [CASE WHEN b.mxs[i] = b.mns[i]
+                   THEN (b.mns[i]::DOUBLE)::FLOAT
+                   ELSE (b.mns[i]::DOUBLE
+                     + least(255, greatest(0,
+                         floor(((embedding[i]::DOUBLE - b.mns[i]::DOUBLE)
+                                * 255.0)
+                           / (b.mxs[i]::DOUBLE - b.mns[i]::DOUBLE))))::DOUBLE
+                       * ((b.mxs[i]::DOUBLE - b.mns[i]::DOUBLE) / 255.0)
+                   )::FLOAT END
+              for i in range(1, len(embedding) + 1)] AS dq
+           FROM v, b),
+         q AS (SELECT id AS q_id, embedding AS q_embedding, dq AS q_dq
+               FROM enc WHERE id < 5),
+         short AS (
+           SELECT q.q_id, q.q_embedding, e.id, e.embedding,
+             list_sum([q.q_dq[i]::DOUBLE * e.dq[i]::DOUBLE
+                       for i in range(1, len(q.q_dq) + 1)]) /
+             sqrt(
+               list_sum([q.q_dq[i]::DOUBLE * q.q_dq[i]::DOUBLE
+                         for i in range(1, len(q.q_dq) + 1)]) *
+               list_sum([e.dq[i]::DOUBLE * e.dq[i]::DOUBLE
+                         for i in range(1, len(e.dq) + 1)])) AS approx
+           FROM q JOIN enc e ON e.id <> q.q_id
+           QUALIFY row_number() OVER (PARTITION BY q.q_id
+             ORDER BY approx DESC, e.id) <= 20),
+         scored AS (
+           SELECT q_id, id,
+             list_sum([q_embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                       for i in range(1, len(q_embedding) + 1)]) /
+             sqrt(
+               list_sum([q_embedding[i]::DOUBLE * q_embedding[i]::DOUBLE
+                         for i in range(1, len(q_embedding) + 1)]) *
+               list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                         for i in range(1, len(embedding) + 1)])) AS cos
+           FROM short)
          SELECT q_id,
            CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, id) AS INTEGER) AS rank,

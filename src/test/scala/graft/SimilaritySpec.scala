@@ -76,6 +76,27 @@ class SimilaritySpec extends SparkSpec {
       s"IVF scored $scored pairs — no better than brute force")
   }
 
+  test("SQ8 ANN: exact precision on re-ranked pairs, recall >= 0.9") {
+    val k = 5
+    val truth = truthSets(k)
+    val sq = Similarity.annSq8(emb, qs, "vec_id", "embedding", k)
+      .select($"q_id", $"id", $"cos").as[(Long, Long, Double)].collect()
+    val ann = sq.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val mean = meanRecall(ann, truth)
+    info(f"SQ8 recall@$k = $mean%.2f over ${truth.size} queries " +
+      "(8-bit codes, shortlist 20)")
+    assert(mean >= 0.9, f"recall below contract: $mean%.2f")
+    // precision is exact: every returned cos equals the brute-force
+    // cosine for that pair (the re-rank uses the raw floats)
+    val brute = Similarity
+      .scoreAll(emb, qs, "vec_id", "embedding")
+      .select($"q_id", $"id", $"cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(sq.forall(t => brute((t._1, t._2)) == t._3),
+      "re-ranked scores must be the exact float cosine")
+  }
+
   test("IVF multi-assignment dedups candidates (full probe = corpus)") {
     // probing ALL cells must return every non-self vector exactly
     // once even though assign-3 indexes each vector under 3 cells —
