@@ -22,6 +22,14 @@ case class ImageMeta(doc_id: Long, width: Int, height: Int,
 case class ResizedImage(doc_id: Long, width: Int, height: Int,
     payload: Array[Byte])
 
+/** Real decoded audio metadata + the loudness content signal. */
+case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+    n_samples: Int, rms: Double)
+
+/** One fixed-length audio analysis window (frame-sample step). */
+case class AudioWindow(doc_id: Long, window_no: Int,
+    start_sample: Int, rms: Double, zero_crossings: Int)
+
 /** Multimodal-column plumbing: binary payloads, typed partition-wise
   * decode, frame sampling.
   *
@@ -30,12 +38,16 @@ case class ResizedImage(doc_id: Long, width: Int, height: Int,
   * 1. [[decodeImages]] / [[resizeImages]] are REAL: the JDK bundles
   *    PNG/JPEG/BMP/GIF codecs in `javax.imageio` (java.desktop,
   *    present in this runtime — no external dependency), so image
-  *    payloads decode, measure and resample for real. No DuckDB
-  *    oracle can replay a codec, so these are spec-verified
-  *    (ImageCodecSpec: synthesized PNGs with known pixels) — the
-  *    same gate tier as streaming state.
+  *    payloads decode, measure and resample for real. Likewise
+  *    [[decodeWav]] / [[windowAudio]]: `javax.sound.sampled` parses
+  *    WAV/AIFF PCM, so audio decodes, measures (RMS) and windows
+  *    (RMS + zero-crossings per frame) for real. No DuckDB oracle
+  *    can replay a codec, so these are spec-verified
+  *    (ImageCodecSpec: synthesized PNGs with known pixels;
+  *    AudioCodecSpec: synthesized WAVs with known sine content) —
+  *    the same gate tier as streaming state.
   * 2. [[extractFeatures]] remains the deterministic STAND-IN for
-  *    codecs the JVM does NOT ship (audio/video): a byte histogram +
+  *    codecs the JVM does NOT ship (video): a byte histogram +
   *    checksum with the production shape — binary in, fixed-width
   *    feature vector out — keeping the oracle-checked query family
   *    engine-portable.
@@ -177,6 +189,118 @@ object Multimodal {
               i -> substring(payload, i * $stride + 1, $frameBytes))"""))
         .as(Seq("frame_no", "frame")))
       .filter(octet_length(col("frame")) === frameBytes)
+
+  /** REAL audio decode via the JDK's bundled `javax.sound.sampled`
+    * WAV/AIFF parsers (java.desktop, same zero-dependency tier as
+    * [[decodeImages]]): per record, the format header (sample rate,
+    * channels) plus full-signal RMS over the PCM16 samples — the
+    * loudness signal an audio-curation pipeline filters on.
+    * Undecodable payloads are DROPPED (the corrupt-record channel,
+    * like decodeImages). Spec-verified (AudioCodecSpec synthesizes
+    * WAVs with known sine content) — no SQL engine replays a codec.
+    */
+  def decodeWav(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // AudioSystem provider lookup happens on first use — once per
+      // partition, like the ImageIO registry scan.
+      it.flatMap { m =>
+        val in = try {
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+        if (in == null) None
+        else {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          in.close()
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val be = fmt.isBigEndian
+            val n = bytes.length / 2
+            var sumSq = 0.0
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xff
+              val hi = bytes(2 * i + (if (be) 0 else 1))
+              val s = ((hi << 8) | lo).toShort / 32768.0
+              sumSq += s * s
+              i += 1
+            }
+            Some(AudioMeta(m.doc_id, fmt.getSampleRate.toInt,
+              fmt.getChannels, n,
+              if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL audio windowing — the frame-sample step for audio: split
+    * the decoded PCM16 signal into `windowSamples`-sample windows
+    * every `hopSamples` (the STFT/feature-extraction access
+    * pattern), emitting per-window RMS and zero-crossing count (the
+    * two classic cheap features; a real pipeline hands each window
+    * to an FFT/encoder here). Decode and windowing both run inside
+    * one mapPartitions — samples never cross a shuffle, windows
+    * carry features only.
+    */
+  def windowAudio(media: Dataset[MediaRecord], windowSamples: Int,
+      hopSamples: Int): Dataset[AudioWindow] = {
+    require(windowSamples > 0 && hopSamples > 0,
+      s"window/hop must be positive: $windowSamples/$hopSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val in = try {
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+        if (in == null) Iterator.empty
+        else {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          in.close()
+          if (fmt.getSampleSizeInBits != 16) Iterator.empty
+          else {
+            val be = fmt.isBigEndian
+            val n = bytes.length / 2
+            def sample(i: Int): Double = {
+              val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xff
+              val hi = bytes(2 * i + (if (be) 0 else 1))
+              ((hi << 8) | lo).toShort / 32768.0
+            }
+            val starts = 0 to math.max(n - windowSamples, 0) by hopSamples
+            starts.iterator.filter(_ + windowSamples <= n).zipWithIndex
+              .map { case (s0, w) =>
+                var sumSq = 0.0
+                var zc = 0
+                var i = s0
+                var prev = 0.0
+                while (i < s0 + windowSamples) {
+                  val x = sample(i)
+                  sumSq += x * x
+                  if (i > s0 && ((prev < 0 && x >= 0) ||
+                      (prev >= 0 && x < 0))) zc += 1
+                  prev = x
+                  i += 1
+                }
+                AudioWindow(m.doc_id, w, s0,
+                  math.sqrt(sumSq / windowSamples), zc)
+              }
+          }
+        }
+      }
+    }
+  }
 
   /** STUB resize (the image/audio "downsample to target resolution"
     * step): keep every `factor`-th byte — a deterministic decimation

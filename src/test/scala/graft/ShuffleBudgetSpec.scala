@@ -35,6 +35,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(agged < corpus, s"aggregator shuffled the corpus: $agged")
   }
 
+  test("SQ8 shortlist shuffle stays far below the corpus") {
+    val corpus = emb.count()
+    val nQueries = qs.count()
+    // the bounds agg ships 2 floats per (dim, partition); the
+    // shortlist window is partitioned by q_id so WindowGroupLimit
+    // prunes to ≤20 rows per query per map partition — the scored
+    // |corpus|×|queries| stream never crosses an exchange
+    val rows = shuffledRecords(
+      Similarity.annSq8(emb, qs, "vec_id", "embedding", 5).count())
+    info(s"SQ8 shuffled $rows rows for a ${corpus * nQueries}-pair " +
+      "scored stream")
+    assert(rows > 0 && rows < corpus,
+      s"SQ8 shuffle should be bounds+shortlist, not the corpus: $rows")
+  }
+
   test("jaccard match-stream shuffle stays far below the pair space") {
     val docs = Tables(spark, sf(), "documents")
     val n = docs.count()
