@@ -175,6 +175,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 with an unpruned shortlist degenerates to exact brute force") {
+    // Quantization error lives ONLY in shortlist selection (the
+    // re-rank reads raw floats), so annSq8 with shortlist = corpus
+    // must reproduce brute force EXACTLY on any input — scores,
+    // ranks and ties included. Seeded random corpora push this
+    // through the real operator end-to-end; a violation would mean
+    // the re-rank leaked quantized values or dropped candidates.
+    trials.take(5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val vecs = (0L until 40L).map { id =>
+        (id, Seq.fill(8)((rng.nextDouble() * 4 - 2).toFloat))
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val qs = df.filter($"vec_id" < 3)
+      val full = graft.operators.Similarity
+        .annSq8(df, qs, "vec_id", "embedding", k = 5, shortlist = 40)
+        .select($"q_id", $"rank", $"id").as[(Long, Int, Long)]
+        .collect().toSet
+      val brute = graft.operators.Similarity
+        .topKBruteForce(df, qs, "vec_id", "embedding", k = 5)
+        .select($"q_id", $"rank", $"id").as[(Long, Int, Long)]
+        .collect().toSet
+      assert(full == brute,
+        s"seed=$seed: unpruned SQ8 must equal brute force")
+    }
+  }
+
   test("substring spans: verbatim copies score frac 1.0, unique docs absent") {
     // a doc duplicated verbatim shares EVERY 10-token span with its
     // copy; a doc with a globally unique vocabulary shares none
