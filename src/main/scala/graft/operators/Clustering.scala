@@ -81,13 +81,28 @@ object Clustering {
   /** Final centroid table `(cid, c)` after `iters` Lloyd rounds —
     * the model artifact a pipeline persists and re-applies at ingest
     * ([[assignToCentroids]]).
+    *
+    * Each round's centroids are MATERIALIZED to the driver (k rows ×
+    * dim doubles — the same micro-envelope as [[Similarity.annIvf]]'s
+    * eager centroid sample) and re-injected as a literal table:
+    * without this the loop nests lineage, so evaluating round r
+    * re-executes every earlier round's corpus scan (the classic
+    * iterative-algorithm lineage blow-up; at 100 TB round 2 would
+    * scan the corpus three times instead of once). Values are
+    * unchanged — the collect carries the exact doubles the lazy plan
+    * would produce — so the DuckDB oracles are unaffected.
     */
   def centroidTable(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
     val v = vecs(emb, idCol, vecCol)
     var cents = seeds(v, k)
-    for (_ <- 1 to iters)
-      cents = update(assign(v, cents))
+    for (_ <- 1 to iters) {
+      val next = update(assign(v, cents))
+      val rows = next.collect().toSeq
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), next.schema)
+    }
     cents
   }
 
