@@ -139,6 +139,52 @@ object QualityQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Distribution-drift audit (PSI): the ML-data-ops gate that
+    // catches a feature's distribution shifting between a reference
+    // period and the current one before a model trains on it.
+    // Periods split at the median epoch-week (derived IN-PLAN by a
+    // one-row integer-arithmetic broadcast — no driver constant to
+    // rot); values histogram into fixed decade bins; per (type, bin)
+    // the two period counts come out of ONE hash aggregate over ONE
+    // scan (map-side partials — the wire carries |types × bins|
+    // rows, never events). PSI = Σ (p−q)·ln(p/q) with add-one
+    // smoothing over the observed-bin union (no ln(0)), each term
+    // quantized through DECIMAL(18,6) before the sum so the rollup
+    // is order-independent and engine-exact (the perplexity recipe).
+    // Rule of thumb pinned in QualitySpec: PSI < 0.1 stable, > 0.25
+    // action.
+    "q_drift_psi" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          floor(col("value") / 10).cast("long").as("bin"))
+      val cut = ev.agg(expr("(min(wk) + max(wk) + 1) div 2").as("cutwk"))
+      val counts = ev.crossJoin(broadcast(cut))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("wk") < col("cutwk"), 1L).otherwise(0L))
+            .as("c_ref"),
+          sum(when(col("wk") >= col("cutwk"), 1L).otherwise(0L))
+            .as("c_cur"))
+      val stats = counts.groupBy(col("event_type"))
+        .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"),
+          count(lit(1)).as("n_bins"))
+      val p = (col("c_ref") + 1).cast("double") /
+        (col("n_ref") + col("n_bins")).cast("double")
+      val q = (col("c_cur") + 1).cast("double") /
+        (col("n_cur") + col("n_bins")).cast("double")
+      counts.join(stats, "event_type")
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          col("n_bins"),
+          ((p - q) * log(p / q).cast("decimal(18,6)").cast("double"))
+            .cast("decimal(18,6)").as("term"))
+        .groupBy(col("event_type"), col("n_ref"), col("n_cur"),
+          col("n_bins"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+        .select(col("event_type"), col("n_bins"), col("n_ref"),
+          col("n_cur"), col("psi"))
+        .orderBy(col("event_type"))
+    },
+
     // CDC apply-changes: collapse a keyed change log (insert /
     // update / delete, totally ordered per key by (ts, event_id))
     // into the current snapshot — the lakehouse MERGE/apply_changes
@@ -291,6 +337,51 @@ object QualityQueries {
            ON a.block = b.block AND a.id < b.id
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
+
+    // Mirrors the Spark plan exactly: same median-week split, same
+    // decade bins, same add-one smoothing, ln quantized to
+    // DECIMAL(18,6) before the (p−q) product, each term quantized
+    // before the order-independent decimal sum.
+    "q_drift_psi" ->
+      """WITH e AS (
+           SELECT event_type,
+             epoch_us(ts) // 604800000000 AS wk,
+             CAST(floor(value / 10) AS BIGINT) AS bin
+           FROM events),
+         cut AS (SELECT (min(wk) + max(wk) + 1) // 2 AS cutwk FROM e),
+         counts AS (
+           SELECT event_type, bin,
+             sum(CASE WHEN wk < (SELECT cutwk FROM cut)
+                      THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN wk >= (SELECT cutwk FROM cut)
+                      THEN 1 ELSE 0 END) AS c_cur
+           FROM e GROUP BY event_type, bin),
+         stats AS (
+           SELECT event_type,
+             CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur,
+             count(*) AS n_bins
+           FROM counts GROUP BY event_type),
+         terms AS (
+           SELECT c.event_type, s.n_ref, s.n_cur, s.n_bins,
+             CAST(
+               ((CAST(c.c_ref + 1 AS DOUBLE)
+                   / CAST(s.n_ref + s.n_bins AS DOUBLE)
+                 - CAST(c.c_cur + 1 AS DOUBLE)
+                   / CAST(s.n_cur + s.n_bins AS DOUBLE))
+                * CAST(CAST(ln(
+                    (CAST(c.c_ref + 1 AS DOUBLE)
+                       / CAST(s.n_ref + s.n_bins AS DOUBLE))
+                    / (CAST(c.c_cur + 1 AS DOUBLE)
+                       / CAST(s.n_cur + s.n_bins AS DOUBLE)))
+                  AS DECIMAL(18,6)) AS DOUBLE))
+               AS DECIMAL(18,6)) AS term
+           FROM counts c JOIN stats s USING (event_type))
+         SELECT event_type, n_bins, n_ref, n_cur,
+           round(CAST(sum(term) AS DOUBLE), 6) AS psi
+         FROM terms
+         GROUP BY event_type, n_ref, n_cur, n_bins
+         ORDER BY event_type""",
 
     "q_cdc_apply" ->
       """WITH chg AS (

@@ -98,6 +98,28 @@ class QualitySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("dist") == 1))
   }
 
+  test("q_drift_psi: PSI is non-negative; period totals partition the table") {
+    // each term (p−q)·ln(p/q) is individually ≥ 0 (p, q > 0 and the
+    // factors share sign), so any negative PSI means the arithmetic
+    // broke; the two period totals must partition each type's rows
+    val rows = q("q_drift_psi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= 0.0, s"${r.getString(0)}: negative PSI $psi")
+      // rule of thumb the audit exists for: flag only real drift
+      assert(psi < 25, s"${r.getString(0)}: PSI $psi out of any range")
+    }
+    val totals = graft.Tables(spark, sf(), "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")
+        == totals(r.getString(0)),
+        s"${r.getString(0)}: periods do not partition the rows")
+    }
+  }
+
   test("q_cdc_apply: keys whose last change is a delete leave the snapshot") {
     import org.apache.spark.sql.expressions.Window
     val log = graft.Tables(spark, sf(), "events")
