@@ -27,7 +27,7 @@ object SparkEntry {
       FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
       ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ StatsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -38,5 +38,6 @@ object SparkEntry {
       VectorQueries.oracles ++ StreamQueries.oracles ++
       SourceQueries.oracles ++ JoinExtQueries.oracles ++
       ClusterQueries.oracles ++ GeoQueries.oracles ++
-      QualityQueries.oracles ++ AnalyticsQueries.oracles
+      QualityQueries.oracles ++ AnalyticsQueries.oracles ++
+      StatsQueries.oracles
 }

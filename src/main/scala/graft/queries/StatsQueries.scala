@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Experimentation / robust-statistics operators — the audit queries
+  * a data platform runs on top of the event stream: A/B test readout
+  * (Welch's t), MAD-based robust outlier detection, winsorized
+  * feature moments, and a hot-key skew audit.
+  *
+  * Scale designs:
+  *  - the A/B readout is ONE hash aggregate with conditional
+  *    sub-aggregates (count/avg/var_samp over CASE columns) — no
+  *    per-variant scan, no join; variant assignment is the same
+  *    engine-portable md5-bucket idiom as q_hash_split, so the
+  *    experiment split is reproducible anywhere;
+  *  - MAD and winsorization need exact per-group quantiles of a
+  *    DERIVED column, which is inherently multi-pass (the deviation
+  *    column doesn't exist until the median is known). Each pass is
+  *    a full hash aggregate over the fact table joined to a
+  *    broadcast per-type stats row (≤ |event_type| rows) — scans
+  *    scale linearly, nothing shuffles the fact table beyond the
+  *    group key, and no window ships a whole type to one task;
+  *  - the skew audit aggregates to per-key counts (map-side
+  *    partials), then takes top-k via sort+limit
+  *    (TakeOrderedAndProject: each partition forwards only its own
+  *    top-k) against one-row broadcast totals. This is the query you
+  *    run BEFORE picking a salting factor — it measures the skew the
+  *    salted-agg operator (q_salted_agg) is the cure for.
+  */
+object StatsQueries {
+
+  /** Deterministic 2-arm experiment assignment: md5-bucket of the
+    * user id, same idiom (and therefore same split) as
+    * Sampling.hashSplit. Portable: DuckDB replays it bit-for-bit.
+    */
+  private def variantOf(c: Column): Column =
+    when(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2 === 0, "control").otherwise("treatment")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Welch's unequal-variance t-test per event_type: users are
+    // hash-assigned to control/treatment, the metric is the event
+    // value. One aggregate computes n/mean/var for both arms via
+    // CASE columns (var_samp ignores the NULLs of the other arm),
+    // then the t statistic and Welch–Satterthwaite df are derived
+    // per group. Rounding to 4 decimals is the cross-engine
+    // stability contract used repo-wide for double-reduction
+    // results.
+    "q_ab_ttest" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("variant", variantOf(col("user_id")))
+      val vc = when(col("variant") === "control", col("value"))
+      val vt = when(col("variant") === "treatment", col("value"))
+      val g = ev.groupBy(col("event_type")).agg(
+        count(vc).as("n_c"), count(vt).as("n_t"),
+        avg(vc).as("m_c"), avg(vt).as("m_t"),
+        var_samp(vc).as("s2_c"), var_samp(vt).as("s2_t"))
+      val seC = col("s2_c") / col("n_c")
+      val seT = col("s2_t") / col("n_t")
+      g.select(
+        col("event_type"), col("n_c"), col("n_t"),
+        round(col("m_c"), 4).as("mean_control"),
+        round(col("m_t"), 4).as("mean_treatment"),
+        round((col("m_t") - col("m_c")) / sqrt(seC + seT), 4)
+          .as("t_stat"),
+        round(pow(seC + seT, 2) /
+          (pow(seC, 2) / (col("n_c") - 1) +
+            pow(seT, 2) / (col("n_t") - 1)), 2).as("welch_df"))
+        .orderBy(col("event_type"))
+    },
+
+    // Robust outliers: per event_type median and MAD (median
+    // absolute deviation), then the modified z-score
+    // 0.6745·|x−med|/MAD with the standard 3.5 cutoff. Three linear
+    // passes over events (median → MAD → count), each joining a
+    // broadcast per-type stats row — the multi-pass shape is forced
+    // by exact order statistics of a derived column; swap
+    // percentile→approx_percentile to fuse passes when ±1% suffices.
+    "q_outlier_mad" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val z = lit(0.6745) * abs(col("value") - col("med")) / col("mad")
+      ev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(round(col("med"), 4)).as("median"),
+          first(round(col("mad"), 4)).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(z > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(z), 4).as("max_robust_z"))
+        .orderBy(col("event_type"))
+    },
+
+    // Winsorized moments: clip value at the exact per-type p05/p95,
+    // then report the clipped mean/stddev next to the raw mean —
+    // the standard heavy-tail-robust feature transform before model
+    // training. Two passes (quantiles, then clip+aggregate), the
+    // quantile row broadcast.
+    "q_winsorize" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val qs = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      val clipped = greatest(least(col("value"), col("p95")), col("p05"))
+      ev.join(broadcast(qs), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("mean_raw"),
+          round(avg(clipped), 4).as("mean_winsor"),
+          round(stddev_samp(clipped), 4).as("sd_winsor"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+            .as("n_clip_hi"))
+        .orderBy(col("event_type"))
+    },
+
+    // Hot-key skew audit: the top-10 user_ids by event count, each
+    // with its share of all rows and its ratio versus a uniform key
+    // distribution — the measurement that decides whether a
+    // downstream groupBy(user_id) needs salting. Per-key counts take
+    // map-side partials; totals are a one-row broadcast; the top-10
+    // is sort+limit (TakeOrderedAndProject — only per-partition
+    // winners reach the final task).
+    "q_skew_audit" -> { (s, dir) =>
+      val counts = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum(col("n")).as("total_rows"),
+        count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("user_id"), col("n"),
+          round(col("n") / col("total_rows"), 6).as("share"),
+          round(col("n") * col("n_keys") / col("total_rows"), 4)
+            .as("x_uniform"))
+        .orderBy(col("n").desc, col("user_id")).limit(10)
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q_ab_ttest" ->
+      """WITH ev AS (
+           SELECT event_type, value,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         g AS (
+           SELECT event_type,
+             count(CASE WHEN variant = 'control' THEN value END) AS n_c,
+             count(CASE WHEN variant = 'treatment' THEN value END) AS n_t,
+             avg(CASE WHEN variant = 'control' THEN value END) AS m_c,
+             avg(CASE WHEN variant = 'treatment' THEN value END) AS m_t,
+             var_samp(CASE WHEN variant = 'control' THEN value END) AS s2_c,
+             var_samp(CASE WHEN variant = 'treatment' THEN value END) AS s2_t
+           FROM ev GROUP BY event_type)
+         SELECT event_type, n_c, n_t,
+           round(m_c, 4) AS mean_control,
+           round(m_t, 4) AS mean_treatment,
+           round((m_t - m_c) / sqrt(s2_c / n_c + s2_t / n_t), 4) AS t_stat,
+           round(pow(s2_c / n_c + s2_t / n_t, 2) /
+             (pow(s2_c / n_c, 2) / (n_c - 1) +
+              pow(s2_t / n_t, 2) / (n_t - 1)), 2) AS welch_df
+         FROM g ORDER BY event_type""",
+
+    "q_outlier_mad" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY e.event_type, m.med)
+         SELECT e.event_type,
+           round(any_value(m.med), 4) AS median,
+           round(any_value(m.mad), 4) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN 0.6745 * abs(e.value - m.med) / m.mad > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(0.6745 * abs(e.value - m.med) / m.mad), 4)
+             AS max_robust_z
+         FROM events e JOIN mad m USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "q_winsorize" ->
+      """WITH qs AS (
+           SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n,
+           round(avg(e.value), 4) AS mean_raw,
+           round(avg(greatest(least(e.value, q.p95), q.p05)), 4)
+             AS mean_winsor,
+           round(stddev_samp(greatest(least(e.value, q.p95), q.p05)), 4)
+             AS sd_winsor,
+           CAST(sum(CASE WHEN e.value < q.p05 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN e.value > q.p95 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_hi
+         FROM events e JOIN qs q USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "q_skew_audit" ->
+      """WITH c AS (
+           SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         t AS (SELECT sum(n) AS total_rows, count(*) AS n_keys FROM c)
+         SELECT c.user_id, c.n,
+           round(c.n / t.total_rows, 6) AS share,
+           round(c.n * t.n_keys / t.total_rows, 4) AS x_uniform
+         FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10""")
+}

@@ -1,0 +1,83 @@
+package graft
+
+/** Gates for the experimentation / robust-stats family
+  * (StatsQueries): plan shapes that keep them linear at scale (one
+  * scan for the A/B readout, broadcast-only joins for the multi-pass
+  * quantile queries, top-k via TakeOrderedAndProject for the skew
+  * audit) plus the semantic invariants the oracle row-hash doesn't
+  * state (arms partition the rows, clip fractions bounded by the
+  * quantile definition, outlier count consistent with the max score).
+  */
+class StatsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_ab_ttest: one scan, no join — conditional aggs do both arms") {
+    val p = withoutAqe(q("q_ab_ttest")
+      .queryExecution.executedPlan.toString)
+    val scans = p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"A/B readout must not join:\n$p")
+  }
+
+  test("q_ab_ttest: arms partition every event; stats are finite") {
+    val rows = q("q_ab_ttest").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r =>
+      r.getAs[Long]("n_c") + r.getAs[Long]("n_t")).sum
+    val nEvents = Tables(spark, sf(), "events").count()
+    assert(total == nEvents, s"arms must partition rows: $total != $nEvents")
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("t_stat").isNaN)
+      assert(r.getAs[Double]("welch_df") > 0)
+    }
+  }
+
+  test("q_outlier_mad / q_winsorize: broadcast-only joins (stats rows never shuffle the fact table)") {
+    Seq("q_outlier_mad", "q_winsorize").foreach { name =>
+      val p = withoutAqe(q(name).queryExecution.executedPlan.toString)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: per-type stats should broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: no shuffle join expected:\n$p")
+    }
+  }
+
+  test("q_outlier_mad: outlier count consistent with the max score") {
+    q("q_outlier_mad").collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      val out = r.getAs[Long]("n_outliers")
+      val maxZ = r.getAs[Double]("max_robust_z")
+      assert(r.getAs[Double]("mad") >= 0)
+      assert(out >= 0 && out <= n)
+      // n_outliers counts z > 3.5 BEFORE rounding; max_robust_z is
+      // rounded to 4 decimals, so compare against the half-ulp edge.
+      assert((out > 0) == (maxZ > 3.5 - 5e-5),
+        s"count/max disagree: n_outliers=$out max_robust_z=$maxZ")
+    }
+  }
+
+  test("q_winsorize: clip fractions bounded by the 5% quantile definition") {
+    q("q_winsorize").collect().foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      assert(r.getAs[Long]("n_clip_lo") <= 0.05 * n + 1)
+      assert(r.getAs[Long]("n_clip_hi") <= 0.05 * n + 1)
+      assert(r.getAs[Double]("mean_winsor") <= r.getAs[Double]("mean_raw")
+        + 3 * r.getAs[Double]("sd_winsor") + 1e-9)
+    }
+  }
+
+  test("q_skew_audit: top-k plans as TakeOrderedAndProject, shares sum ≤ 1") {
+    val df = q("q_skew_audit")
+    val p = withoutAqe(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+    // descending by count — the audit surfaces the heaviest keys
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+}
