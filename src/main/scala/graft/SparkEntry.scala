@@ -27,7 +27,8 @@ object SparkEntry {
       FunctionQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
       ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs ++
-      AnalyticsQueries.defs ++ StatsQueries.defs
+      AnalyticsQueries.defs ++ StatsQueries.defs ++
+      SequenceQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -39,5 +40,5 @@ object SparkEntry {
       SourceQueries.oracles ++ JoinExtQueries.oracles ++
       ClusterQueries.oracles ++ GeoQueries.oracles ++
       QualityQueries.oracles ++ AnalyticsQueries.oracles ++
-      StatsQueries.oracles
+      StatsQueries.oracles ++ SequenceQueries.oracles
 }

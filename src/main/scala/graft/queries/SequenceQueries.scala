@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral-sequence and market-basket mining over the event
+  * stream and the order fact table: last-touch attribution, a
+  * first-order Markov transition matrix, and association-rule
+  * mining with apriori pruning.
+  *
+  * Scale designs:
+  *  - attribution and transitions are ONE window each, partitioned
+  *    by user_id with a rows frame — a single shuffle on the user
+  *    key, state bounded by the frame (1 row), never a per-user
+  *    collect;
+  *  - association rules never enumerate the item×item cross
+  *    product: baskets are pruned to frequent items FIRST (the
+  *    apriori bound — a pair at support s needs both items at
+  *    support ≥ s), via a broadcast semi-join, then the pair join is
+  *    an equi-join on the basket key, so shuffle volume is
+  *    Σ basket², bounded by the max basket size (13 here; a cap
+  *    would guard pathological baskets at 100 TB), not |items|².
+  */
+object SequenceQueries {
+
+  /** Per-user event order: ts then event_id — a deterministic total
+    * order (event_id is unique), identical in both engines.
+    */
+  private def userSeq = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  private val touchTypes = Seq("click", "view", "signup")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Last-touch attribution: each purchase is credited to the
+    // user's most recent PRECEDING touch event (click/view/signup;
+    // errors and earlier purchases don't count as touches). One
+    // window with an unbounded-preceding rows frame and
+    // ignore-nulls last() — the running "latest touch seen" — then
+    // a hash aggregate per channel. Purchases with no prior touch
+    // report as 'unattributed' rather than being dropped: the
+    // attribution table must sum to all conversions.
+    "q_attribution_last_touch" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val touch = when(col("event_type").isin(touchTypes: _*),
+        col("event_type"))
+      val lastTouch = last(touch, ignoreNulls = true)
+        .over(userSeq.rowsBetween(Window.unboundedPreceding, -1))
+      ev.withColumn("channel", lastTouch)
+        .where(col("event_type") === "purchase")
+        .select(coalesce(col("channel"), lit("unattributed"))
+          .as("channel"), col("value"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          // DECIMAL sum: order-independent across partitions, exact
+          // in any engine (a double sum differs in ulps by
+          // association) — the repo-wide idiom for summed metrics.
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("revenue"))
+        .orderBy(col("channel"))
+    },
+
+    // First-order Markov transition matrix of event types: lag(1)
+    // per user sequence, then (prev → next) counts and the
+    // row-normalized transition probability. The second window
+    // (sum over prev) runs on the |types|² grouped table — 25 rows
+    // here, bounded by the type-domain size at any scale.
+    "q_markov_transitions" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val withPrev = ev.select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type").as("next"))
+        .withColumn("prev", lag(col("next"), 1).over(userSeq))
+        .where(col("prev").isNotNull)
+      val counts = withPrev.groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("p_transition",
+          round(col("n") / sum(col("n"))
+            .over(Window.partitionBy(col("prev"))), 4))
+        .orderBy(col("prev"), col("next"))
+    },
+
+    // Association rules over order baskets (basket = order, item =
+    // part): apriori-pruned pair mining with support, directional
+    // confidence, and lift. Pipeline: distinct (basket, item) →
+    // frequent-item prune (broadcast semi-join against the ≥minsup
+    // item list) → self-equi-join on the basket key with a < b →
+    // pair support filter → stats join (broadcast; the item-count
+    // side is |frequent items| rows) → lift against the one-row
+    // basket total.
+    "q_cooccur_rules" -> { (s, dir) =>
+      val minSup = 3
+      val baskets = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")).distinct()
+      val itemN = baskets.groupBy(col("item"))
+        .agg(count(lit(1)).as("n_item"))
+        .where(col("n_item") >= minSup)
+      val frequent = baskets.join(broadcast(itemN.select(col("item"))),
+        Seq("item"), "left_semi")
+      val a = frequent.select(col("basket"), col("item").as("item_a"))
+      val b = frequent.select(col("basket"), col("item").as("item_b"))
+      val pairs = a.join(b, Seq("basket"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= minSup)
+      val nBaskets = baskets.select(col("basket")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      pairs
+        .join(broadcast(itemN.select(col("item").as("item_a"),
+          col("n_item").as("n_a"))), Seq("item_a"))
+        .join(broadcast(itemN.select(col("item").as("item_b"),
+          col("n_item").as("n_b"))), Seq("item_b"))
+        .crossJoin(broadcast(nBaskets))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          round(col("n_ab") / col("n_baskets"), 6).as("support"),
+          round(col("n_ab") / col("n_a"), 4).as("conf_a_to_b"),
+          round(col("n_ab") / col("n_b"), 4).as("conf_b_to_a"),
+          round(col("n_ab") * col("n_baskets") /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q_attribution_last_touch" ->
+      """WITH seq AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click','view','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+           FROM events)
+         SELECT coalesce(channel, 'unattributed') AS channel,
+           count(*) AS n_conversions,
+           sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6) AS revenue
+         FROM seq WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY channel""",
+
+    "q_markov_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS next,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (
+           SELECT prev, next, count(*) AS n FROM seq
+           WHERE prev IS NOT NULL GROUP BY prev, next)
+         SELECT prev, next, n,
+           round(n / (sum(n) OVER (PARTITION BY prev)), 4)
+             AS p_transition
+         FROM c ORDER BY prev, next""",
+
+    "q_cooccur_rules" ->
+      """WITH baskets AS (
+           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+         itemn AS (
+           SELECT item, count(*) AS n_item FROM baskets
+           GROUP BY item HAVING count(*) >= 3),
+         freq AS (
+           SELECT b.basket, b.item FROM baskets b
+           WHERE b.item IN (SELECT item FROM itemn)),
+         pairs AS (
+           SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+           FROM freq a JOIN freq b
+             ON a.basket = b.basket AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         t AS (SELECT count(DISTINCT basket) AS n_baskets FROM baskets)
+         SELECT p.item_a, p.item_b, p.n_ab, na.n_item AS n_a,
+           nb.n_item AS n_b,
+           round(p.n_ab / t.n_baskets, 6) AS support,
+           round(p.n_ab / na.n_item, 4) AS conf_a_to_b,
+           round(p.n_ab / nb.n_item, 4) AS conf_b_to_a,
+           round(p.n_ab * t.n_baskets / (na.n_item * nb.n_item), 4)
+             AS lift
+         FROM pairs p
+         JOIN itemn na ON p.item_a = na.item
+         JOIN itemn nb ON p.item_b = nb.item, t
+         ORDER BY p.n_ab DESC, p.item_a, p.item_b""")
+}

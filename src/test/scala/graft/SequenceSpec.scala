@@ -1,0 +1,78 @@
+package graft
+
+/** Gates for the behavioral-sequence / market-basket family
+  * (SequenceQueries): conservation invariants (attribution must
+  * account for every conversion, transition rows must normalize),
+  * the apriori bound, and the plan shapes that keep the pair join an
+  * equi-join rather than an item×item product.
+  */
+class SequenceSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_attribution_last_touch: every purchase is attributed exactly once") {
+    val rows = q("q_attribution_last_touch").collect()
+    val totalPurchases = Tables(spark, sf(), "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum == totalPurchases)
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(
+      Set("click", "view", "signup", "unattributed")),
+      s"unexpected channels: $channels")
+  }
+
+  test("q_attribution_last_touch: shuffle budget is one pass of the event table") {
+    val n = Tables(spark, sf(), "events").count()
+    val recs = shuffledRecords {
+      q("q_attribution_last_touch").collect()
+    }
+    // one window shuffle on user_id (n rows) + the purchase rows into
+    // the channel aggregate + map-side-combined partials (≤ a few
+    // hundred) — anything near 2n would mean the table shuffled twice
+    assert(recs < n + n / 2 + 1000,
+      s"expected ~$n shuffled records, got $recs")
+  }
+
+  test("q_markov_transitions: rows per prev normalize to 1; chain length conserved") {
+    val rows = q("q_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (prev, rs) =>
+      val mass = rs.map(_.getAs[Double]("p_transition")).sum
+      assert(math.abs(mass - 1.0) < 0.01, s"$prev mass=$mass")
+    }
+    // transitions = events - first event of each active user
+    val ev = Tables(spark, sf(), "events")
+    import org.apache.spark.sql.functions.col
+    val expected = ev.count() -
+      ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("q_cooccur_rules: apriori bound and measure ranges hold") {
+    val rows = q("q_cooccur_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nAb = r.getAs[Long]("n_ab")
+      val nA = r.getAs[Long]("n_a")
+      val nB = r.getAs[Long]("n_b")
+      assert(nAb >= 3 && nAb <= math.min(nA, nB),
+        s"apriori bound violated: $r")
+      val cAb = r.getAs[Double]("conf_a_to_b")
+      val cBa = r.getAs[Double]("conf_b_to_a")
+      assert(cAb > 0 && cAb <= 1 && cBa > 0 && cBa <= 1)
+      assert(r.getAs[Double]("lift") > 0)
+      assert(r.getAs[Long]("item_a") < r.getAs[Long]("item_b"))
+    }
+  }
+
+  test("q_cooccur_rules: pair generation is an equi-join on the basket key") {
+    val p = withoutAqe(q("q_cooccur_rules")
+      .queryExecution.executedPlan.toString)
+    // the only nested-loop join allowed is the one-row totals cross
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnlj <= 1, s"item×item product leaked into the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+}
