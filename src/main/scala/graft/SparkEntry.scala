@@ -28,7 +28,7 @@ object SparkEntry {
       StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
       ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs ++
       AnalyticsQueries.defs ++ StatsQueries.defs ++
-      SequenceQueries.defs
+      SequenceQueries.defs ++ OpsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -40,5 +40,6 @@ object SparkEntry {
       SourceQueries.oracles ++ JoinExtQueries.oracles ++
       ClusterQueries.oracles ++ GeoQueries.oracles ++
       QualityQueries.oracles ++ AnalyticsQueries.oracles ++
-      StatsQueries.oracles ++ SequenceQueries.oracles
+      StatsQueries.oracles ++ SequenceQueries.oracles ++
+      OpsQueries.oracles
 }

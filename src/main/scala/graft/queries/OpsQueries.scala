@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Pipeline-operations utilities: snapshot diffing (the "what
+  * changed between two table versions" audit behind any CDC or
+  * backfill), weighted reservoir sampling, and KMV sketch set
+  * algebra (union / intersection cardinality across segments from
+  * two k-sized sketches — never from the raw sets).
+  *
+  * Scale designs:
+  *  - the snapshot diff is ONE full-outer equi-join on the key plus
+  *    a hash aggregate — the canonical minimal-shuffle shape for
+  *    version comparison (both sides shuffle once on the key; at
+  *    100 TB bucket both versions on the key and even that shuffle
+  *    disappears);
+  *  - the weighted sample is Efraimidis–Spirakis A-ES: one scan
+  *    computes a deterministic md5-uniform priority per row,
+  *    top-k via sort+limit (TakeOrderedAndProject — each partition
+  *    forwards only k rows, there is no global sort and no pass
+  *    that depends on total weight);
+  *  - KMV set algebra never touches raw distinct sets beyond the
+  *    first per-segment sketch build (distinct shuffle of (segment,
+  *    8-byte hash), WindowGroupLimit-pruned to k per segment);
+  *    union/intersection estimates are derived from the ≤ 2k merged
+  *    sketch rows — the whole point of mergeable sketches at scale.
+  */
+object OpsQueries {
+
+  private val two60 = 1152921504606846976.0 // 2^60
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 — the same
+    * engine-portable idiom as the KMV/LSH/sampling families.
+    */
+  private def h60(c: org.apache.spark.sql.Column) =
+    expr(s"cast(conv(substring(md5(cast(${c.toString} as string)),1,15)" +
+      ",16,10) as bigint)")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Snapshot diff: two deterministic "versions" of orders (V1
+    // drops keys ≡3 mod 10; V2 drops keys ≡7 mod 10 and reprices
+    // keys ≡0 mod 5) compared by key with a single full-outer join.
+    // Output is the per-class audit (added/removed/changed/
+    // unchanged): row counts and the exact DECIMAL price delta.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val v1 = o.where(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price1"))
+      val v2 = o.where(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0,
+            col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("price2"))
+      v1.join(v2, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("price1").isNull, "added")
+            .when(col("price2").isNull, "removed")
+            .when(col("price1") =!= col("price2"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          (coalesce(col("price2"), lit(0.0)) -
+            coalesce(col("price1"), lit(0.0)))
+            .cast("decimal(18,4)").as("delta"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("delta")).cast("decimal(18,4)").as("price_delta"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("change_type"))
+    },
+
+    // Weighted sample without replacement (Efraimidis–Spirakis
+    // A-ES), weight = document length: priority = ln(u)/w with u a
+    // deterministic md5-uniform in (0,1] — the k largest priorities
+    // are exactly a weighted draw. One scan, top-k via
+    // TakeOrderedAndProject; DECIMAL(28,10) quantization of the
+    // priority makes the order (and the oracle) engine-stable, with
+    // doc_id as the total-order tie-break.
+    "q_sample_weighted" -> { (s, dir) =>
+      val k = 100
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          (log((h60(col("doc_id")) + 1) / two60) / col("n_chars"))
+            .cast("decimal(28,10)").as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(k)
+    },
+
+    // KMV sketch set algebra, k = 64: per-segment k-minimum-values
+    // sketches of the purchase-users and click-users sets, then
+    // union cardinality from the merged sketch's k-th minimum and
+    // intersection via the Jaccard fraction WITHIN the merged
+    // sketch (ρ = |both| / |merged ≤ k|) — the standard mergeable
+    // estimator (Bar-Yossef et al.; Beyer et al. SIGMOD'07). Every
+    // number is deterministic arithmetic over md5 hashes, so the
+    // oracle reproduces the estimates bit-for-bit.
+    "q_kmv_set_ops" -> { (s, dir) =>
+      val k = 64
+      val hashes = Tables(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("seg"),
+          h60(col("user_id")).as("h"))
+        .distinct()
+      val perSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
+      val sketch = hashes
+        .withColumn("rn", row_number().over(perSeg))
+        .where(col("rn") <= k).select(col("seg"), col("h"))
+      def est(mc: org.apache.spark.sql.Column,
+          hk: org.apache.spark.sql.Column) =
+        when(mc < k, mc.cast("double"))
+          .otherwise(lit((k - 1) * two60) / hk.cast("double"))
+      val perSegEst = sketch.groupBy(col("seg"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+        .select(col("seg"), round(est(col("m"), col("hk")), 4)
+          .as("e"))
+      val merged = sketch
+        .groupBy(col("h"))
+        .agg(max(when(col("seg") === "purchase", 1).otherwise(0))
+            .as("in_a"),
+          max(when(col("seg") === "click", 1).otherwise(0))
+            .as("in_b"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("h"))))
+        .where(col("rn") <= k)
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("m"),
+          sum(col("in_a") * col("in_b")).as("n_both"))
+        .select(round(est(col("m"), col("hk")), 4).as("est_union"),
+          col("n_both"), col("m"))
+      val ea = perSegEst.where(col("seg") === "purchase")
+        .select(col("e").as("est_purchase_users"))
+      val eb = perSegEst.where(col("seg") === "click")
+        .select(col("e").as("est_click_users"))
+      merged.crossJoin(broadcast(ea)).crossJoin(broadcast(eb))
+        .select(col("est_purchase_users"), col("est_click_users"),
+          col("est_union"),
+          round(col("n_both") / col("m") * col("est_union"), 4)
+            .as("est_intersection"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT o_orderkey AS k, o_totalprice AS price1 FROM orders
+           WHERE o_orderkey % 10 <> 3),
+         v2 AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price2
+           FROM orders WHERE o_orderkey % 10 <> 7),
+         d AS (
+           SELECT coalesce(v1.k, v2.k) AS k,
+             CASE WHEN price1 IS NULL THEN 'added'
+                  WHEN price2 IS NULL THEN 'removed'
+                  WHEN price1 <> price2 THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             CAST(coalesce(price2, 0) - coalesce(price1, 0)
+               AS DECIMAL(18,4)) AS delta
+           FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+         SELECT change_type, count(*) AS n,
+           CAST(sum(delta) AS DECIMAL(18,4)) AS price_delta,
+           min(k) AS min_key, max(k) AS max_key
+         FROM d GROUP BY change_type ORDER BY change_type""",
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT + 1) / 1152921504606846976.0)
+                / n_chars AS DECIMAL(28,10)) AS priority
+         FROM documents
+         ORDER BY priority DESC, doc_id LIMIT 100""",
+
+    "q_kmv_set_ops" ->
+      """WITH hashes AS (
+           SELECT DISTINCT event_type AS seg,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         sketch AS (
+           SELECT seg, h FROM (
+             SELECT seg, h,
+               row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+             FROM hashes) WHERE rn <= 64),
+         perseg AS (
+           SELECT seg,
+             round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+               ELSE 63.0 * 1152921504606846976.0 / max(h)::DOUBLE END, 4)
+               AS e
+           FROM sketch GROUP BY seg),
+         merged AS (
+           SELECT h,
+             max(CASE WHEN seg = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN seg = 'click' THEN 1 ELSE 0 END) AS in_b
+           FROM sketch GROUP BY h),
+         topu AS (
+           SELECT * FROM (
+             SELECT h, in_a, in_b,
+               row_number() OVER (ORDER BY h) AS rn
+             FROM merged) WHERE rn <= 64),
+         uagg AS (
+           SELECT round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+               ELSE 63.0 * 1152921504606846976.0 / max(h)::DOUBLE END, 4)
+               AS est_union,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             count(*) AS m
+           FROM topu)
+         SELECT
+           (SELECT e FROM perseg WHERE seg = 'purchase')
+             AS est_purchase_users,
+           (SELECT e FROM perseg WHERE seg = 'click')
+             AS est_click_users,
+           est_union,
+           round(n_both / m * est_union, 4) AS est_intersection
+         FROM uagg""")
+}

@@ -239,6 +239,32 @@ object QualityQueries {
         .orderBy(col("event_type"))
     },
 
+    // l-diversity audit — the companion to k-anonymity: a QI group
+    // can be large (k-anonymous) yet still leak if every row shares
+    // one sensitive value. Here the sensitive attribute is user_id
+    // and l = 3: per QI group count DISTINCT sensitive values, then
+    // roll up per type. Same two-hash-aggregate shape as
+    // q_k_anonymity — group count bounded by the QI domain, both
+    // aggs take map-side partials.
+    "q_l_diversity" -> { (s, dir) =>
+      val l = 3
+      val groups = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast("long").as("value_bucket"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .agg(count(lit(1)).as("gsize"),
+          countDistinct(col("user_id")).as("n_sensitive"))
+      groups.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_sensitive") < l, 1L).otherwise(0L))
+            .as("n_low_diversity"),
+          sum(when(col("n_sensitive") < l, col("gsize"))
+            .otherwise(0L)).cast("long").as("n_rows_at_risk"),
+          round(min(col("n_sensitive")).cast("double"), 1)
+            .as("min_diversity"))
+        .orderBy(col("event_type"))
+    },
+
     // Declarative data-quality expectations (the dbt-test /
     // Great-Expectations shape): each rule is one aggregate over its
     // table — referential integrity as a broadcast left join with a
@@ -415,6 +441,22 @@ object QualityQueries {
              AS BIGINT) AS n_rows_at_risk,
            round(CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)
                AS DOUBLE) / sum(gsize), 4) AS risk_frac
+         FROM g GROUP BY event_type ORDER BY event_type""",
+
+    "q_l_diversity" ->
+      """WITH g AS (
+           SELECT event_type,
+             CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+             epoch_us(ts) // 604800000000 AS wk,
+             count(*) AS gsize,
+             count(DISTINCT user_id) AS n_sensitive
+           FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, count(*) AS n_groups,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low_diversity,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN gsize ELSE 0 END)
+             AS BIGINT) AS n_rows_at_risk,
+           round(CAST(min(n_sensitive) AS DOUBLE), 1) AS min_diversity
          FROM g GROUP BY event_type ORDER BY event_type""",
 
     "q_dq_expectations" ->

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Gates for the pipeline-ops family (OpsQueries + q_l_diversity):
+  * diff-class conservation, weighted-sample bias direction, KMV
+  * set-algebra error bounds against exact ground truth, and the
+  * plan shapes (single full-outer join for the diff, top-k without a
+  * global sort for the sample).
+  */
+class OpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_snapshot_diff: classes partition both snapshots; deltas only from changes") {
+    val rows = q("q_snapshot_diff").collect()
+      .map(r => r.getAs[String]("change_type") -> r).toMap
+    val o = Tables(spark, sf(), "orders")
+    val v1 = o.where(col("o_orderkey") % 10 =!= 3).count()
+    val v2 = o.where(col("o_orderkey") % 10 =!= 7).count()
+    def n(c: String) = rows.get(c).map(_.getAs[Long]("n")).getOrElse(0L)
+    // |v1| = removed + changed + unchanged; |v2| = added + changed + unchanged
+    assert(n("removed") + n("changed") + n("unchanged") == v1)
+    assert(n("added") + n("changed") + n("unchanged") == v2)
+    // unchanged rows contribute zero delta; changed rows reprice UP
+    assert(rows("unchanged").getAs[java.math.BigDecimal]("price_delta")
+      .signum == 0)
+    assert(rows("changed").getAs[java.math.BigDecimal]("price_delta")
+      .signum > 0)
+  }
+
+  test("q_snapshot_diff: exactly one join, and it is a full outer equi-join") {
+    val p = withoutAqe(q("q_snapshot_diff")
+      .queryExecution.executedPlan.toString)
+    val joins = p.sliding("Join".length).count(_ == "Join")
+    assert(p.contains("FullOuter"), s"expected full outer join:\n$p")
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$p")
+  }
+
+  test("q_sample_weighted: plans as TakeOrderedAndProject and biases toward long docs") {
+    val df = q("q_sample_weighted")
+    val p = withoutAqe(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k must not global-sort:\n$p")
+    val sampleMean = df.agg(avg(col("n_chars"))).head.getDouble(0)
+    val popMean = Tables(spark, sf(), "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    // weight = n_chars ⇒ the sample mean length must exceed the
+    // population mean (size-biased sampling), by a clear margin
+    assert(sampleMean > popMean * 1.05,
+      s"no size bias: sample=$sampleMean pop=$popMean")
+  }
+
+  test("q_kmv_set_ops: estimates within 3 KMV standard errors of exact") {
+    val r = q("q_kmv_set_ops").head
+    val ev = Tables(spark, sf(), "events")
+    def users(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id")).distinct()
+    val a = users("purchase").count().toDouble
+    val b = users("click").count().toDouble
+    val inter = users("purchase").intersect(users("click"))
+      .count().toDouble
+    val union = a + b - inter
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 0.127 at k=64; allow 3σ
+    val tol = 3.0 / math.sqrt(62)
+    def ok(est: Double, exact: Double) =
+      math.abs(est - exact) <= tol * exact + 1e-9
+    assert(ok(r.getAs[Double]("est_purchase_users"), a), s"$r vs a=$a")
+    assert(ok(r.getAs[Double]("est_click_users"), b), s"$r vs b=$b")
+    assert(ok(r.getAs[Double]("est_union"), union), s"$r vs u=$union")
+    // intersection compounds two estimators — allow a wider band
+    assert(math.abs(r.getAs[Double]("est_intersection") - inter)
+      <= 2 * tol * union + 1e-9, s"$r vs i=$inter")
+  }
+
+  test("q_l_diversity: at-risk rows bounded by group rows; min diversity ≥ 1") {
+    q("q_l_diversity").collect().foreach { r =>
+      assert(r.getAs[Long]("n_low_diversity") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Double]("min_diversity") >= 1.0)
+    }
+  }
+}
