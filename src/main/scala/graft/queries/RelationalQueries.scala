@@ -41,6 +41,31 @@ object RelationalQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // 2-D skyline (Pareto frontier): parts no other part dominates
+    // (cheaper-or-equal AND bigger-or-equal, strict in one). The
+    // sort-based formulation: a part survives iff its size beats
+    // the best size among ALL strictly-cheaper price points (M1,
+    // a cumulative max over the per-price aggregate — one row per
+    // DISTINCT price, so the serial window is bounded by the price
+    // domain, not the row count) and no same-price part is strictly
+    // bigger (M2, a per-price max). The DuckDB oracle uses the
+    // textbook NOT EXISTS anti-join — a deliberately different
+    // formulation proving the same frontier, like the funnel pair.
+    "q_skyline" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val perPrice = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("m2"))
+      val m1 = perPrice.withColumn("m1",
+        max(col("m2")).over(Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      p.join(m1, Seq("p_retailprice"))
+        .where((col("m1").isNull || col("p_size") > col("m1")) &&
+          col("p_size") === col("m2"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+    },
+
     // ---- scans / projection / filter pushdown --------------------
     // Per-row double arithmetic is IEEE-identical across engines, so
     // `revenue` needs no rounding. Filter + 4-column projection both
@@ -610,6 +635,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // textbook anti-join skyline — independent formulation of the
+    // engine's sort-based frontier
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice
+                  OR q.p_size > p.p_size))
+         ORDER BY p.p_retailprice, p.p_partkey""",
+
     "q_null_semantics" ->
       """WITH e AS (
            SELECT user_id,

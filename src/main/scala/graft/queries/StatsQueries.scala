@@ -121,6 +121,39 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // Per-user exponentially-weighted trend feature: the EWMA of the
+    // last 10 event values at each user's final event, weights
+    // (1−α)^age with α = 0.3, normalized over the observed window.
+    // One window shuffle on user_id does both the bounded 10-row
+    // frame collect AND the last-row selection; the weighted fold is
+    // an index-aware transform over the ≤10-element array (bounded
+    // state — this is the whale-safe alternative to collecting a
+    // user's full history). Weighted sums run over ≤10 doubles in
+    // frame order in both engines, then round(4) pins the quotient.
+    "q_ewma" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = seq.rowsBetween(-9, 0)
+      val ev = Tables(s, dir, "events")
+        .withColumn("vals", collect_list(col("value")).over(frame))
+        .withColumn("rn", row_number().over(seq))
+        .withColumn("n_user",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .where(col("rn") === col("n_user"))
+      val n = size(col("vals"))
+      val w = transform(sequence(lit(1), n),
+        i => pow(lit(0.7), (n - i).cast("double")))
+      val num = aggregate(
+        zip_with(col("vals"), w, (v, wt) => v * wt),
+        lit(0.0), (acc, x) => acc + x)
+      val den = aggregate(w, lit(0.0), (acc, x) => acc + x)
+      ev.select(col("user_id"), col("n_user").as("n_events"),
+          round(element_at(col("vals"), -1), 4).as("last_value"),
+          round(num / den, 4).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
     // Hot-key skew audit: the top-10 user_ids by event count, each
     // with its share of all rows and its ratio versus a uniform key
     // distribution — the measurement that decides whether a
@@ -206,6 +239,25 @@ object StatsQueries {
              AS BIGINT) AS n_clip_hi
          FROM events e JOIN qs q USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "q_ewma" ->
+      """WITH seq AS (
+           SELECT user_id,
+             array_agg(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_user
+           FROM events)
+         SELECT user_id, n_user AS n_events,
+           round(vals[len(vals)], 4) AS last_value,
+           round(
+             list_sum(list_transform(generate_series(1, len(vals)),
+               i -> vals[i] * pow(0.7, len(vals) - i))) /
+             list_sum(list_transform(generate_series(1, len(vals)),
+               i -> pow(0.7, len(vals) - i))), 4) AS ewma
+         FROM seq WHERE rn = n_user ORDER BY user_id""",
 
     "q_skew_audit" ->
       """WITH c AS (

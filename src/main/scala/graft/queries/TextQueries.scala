@@ -38,6 +38,43 @@ object TextQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Word-trigram language model with add-α smoothing: trigram
+    // counts, their (w1 w2) context totals DERIVED from the trigram
+    // counts themselves (so numerator and denominator can never
+    // disagree about tokenization edges), and the smoothed
+    // conditional p(w3 | w1 w2) = (c+α)/(ctx+α·V). Shape: one
+    // explode of per-doc trigram arrays into a hash aggregate
+    // (map-side combined — the n-gram zipf head collapses early),
+    // a second tiny aggregate per context, the vocabulary size as a
+    // one-row broadcast, and a TakeOrderedAndProject top-30. This is
+    // the counting backbone of KN/Stupid-Backoff LMs used for
+    // perplexity-based quality filtering at corpus scale.
+    "q_text_ngram_lm" -> { (s, dir) =>
+      val alpha = 0.5
+      val toks = split(col("text"), " ")
+      val tri = docs(s, dir).where(size(toks) >= 3)
+        .select(explode(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+          .as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      val ctx = tri
+        .withColumn("context",
+          concat_ws(" ", slice(split(col("trigram"), " "), 1, 2)))
+        .groupBy(col("context")).agg(sum(col("n")).as("n_ctx"))
+      val vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      tri.withColumn("context",
+          concat_ws(" ", slice(split(col("trigram"), " "), 1, 2)))
+        .join(ctx, "context")
+        .crossJoin(broadcast(vocab))
+        .select(col("trigram"), col("n"), col("n_ctx"),
+          round((col("n") + alpha) / (col("n_ctx") + col("v") * alpha),
+            6).as("p_smoothed"))
+        .orderBy(col("n").desc, col("trigram")).limit(30)
+    },
+
     // The end-to-end corpus-curation flow an LLM-data pipeline runs:
     // planted-dup corpus → exact dedup (keep first) → quality gate →
     // language-ID → per-language corpus stats. One declarative plan:
@@ -555,6 +592,34 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_ngram_lm" ->
+      """WITH t AS (
+           SELECT string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         tri AS (
+           SELECT unnest(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  AS trigram
+           FROM t),
+         tc AS (SELECT trigram, count(*) AS n FROM tri GROUP BY trigram),
+         ctx AS (
+           SELECT array_to_string((string_split(trigram, ' '))[1:2], ' ')
+                    AS context,
+             sum(n) AS n_ctx
+           FROM tc GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT w) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS w
+             FROM documents))
+         SELECT tc.trigram, tc.n, CAST(ctx.n_ctx AS BIGINT) AS n_ctx,
+           round((tc.n + 0.5) / (ctx.n_ctx + 0.5 * v.v), 6)
+             AS p_smoothed
+         FROM tc
+         JOIN ctx ON array_to_string(
+           (string_split(tc.trigram, ' '))[1:2], ' ') = ctx.context, v
+         ORDER BY tc.n DESC, tc.trigram LIMIT 30""",
+
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled FROM documents
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for q_skyline, q_text_ngram_lm, and q_ewma — the
+  * invariants an oracle row-hash doesn't state: the skyline IS the
+  * brute-force Pareto frontier, smoothed probabilities are proper,
+  * and the EWMA is a convex combination of its window.
+  */
+class FrontierSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_skyline: equals the brute-force Pareto frontier") {
+    val parts = Tables(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.map(_._1).toSet
+    val got = q("q_skyline").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expected,
+      s"frontier mismatch: missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("q_skyline: paying more must buy strictly more size (staircase)") {
+    val rows = q("q_skyline").collect()
+      .map(r => (r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size")))
+    rows.zip(rows.tail).foreach { case ((p1, s1), (p2, s2)) =>
+      assert(p1 <= p2 && (p1 == p2 || s2 > s1),
+        s"not a frontier staircase: ($p1,$s1) then ($p2,$s2)")
+    }
+  }
+
+  test("q_text_ngram_lm: probabilities proper, context totals bound counts") {
+    val rows = q("q_text_ngram_lm").collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val ctx = r.getAs[Long]("n_ctx")
+      val p = r.getAs[Double]("p_smoothed")
+      assert(ctx >= n, s"context total below trigram count: $r")
+      assert(p > 0 && p < 1, s"improper probability: $r")
+    }
+    // top-30 is count-descending
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_ewma: convex combination of the user's window, bounded by extremes") {
+    val ev = Tables(spark, sf(), "events")
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    val rows = q("q_ewma").collect()
+    assert(rows.length == bounds.size, "one row per user")
+    rows.foreach { r =>
+      val (lo, hi, n) = bounds(r.getAs[Long]("user_id"))
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-4 && e <= hi + 1e-4,
+        s"ewma outside value range: $r vs [$lo,$hi]")
+      assert(r.getAs[Long]("n_events") == n)
+    }
+  }
+}
