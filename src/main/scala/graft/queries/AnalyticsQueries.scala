@@ -171,6 +171,34 @@ object AnalyticsQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Gap-based sessionization: a 6-hour silence starts a new
+    // session; session ids are the running count of session starts
+    // (lag + cumulative sum in ONE user-key window), then per-session
+    // stats. The follow-up groupBy(user, session) reuses the
+    // window's hash partitioning on user_id (a prefix of the group
+    // key), so the whole query is a SINGLE shuffle — the plan gate
+    // in AnalyticsSpec pins that. Durations are exact integer
+    // microsecond arithmetic, no doubles anywhere.
+    "q_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = expr("unix_micros(ts)")
+      val gapUs = 21600L * 1000000L
+      val isNew = when(
+        us - lag(us, 1).over(seq) > gapUs || lag(us, 1).over(seq).isNull,
+        1L).otherwise(0L)
+      Tables(s, dir, "events")
+        .withColumn("session_seq",
+          sum(isNew).over(seq.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(us) - min(us)) / lit(1000L)).cast("long")
+            .as("duration_ms"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
     // Ordered funnel signup → click → purchase per user: the stage
     // counter advances on the EARLIEST event of the next step
     // strictly after the previous step's time (greedy earliest is
@@ -350,6 +378,30 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH seq AS (
+           SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 21600000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s2 AS (
+           SELECT user_id, event_type, us,
+             sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+           FROM seq)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           (max(us) - min(us)) // 1000 AS duration_ms,
+           count(DISTINCT event_type) AS n_types
+         FROM s2 GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+
     "q_equidepth_bins" ->
       """WITH h AS (
            SELECT event_type, event_id, value,

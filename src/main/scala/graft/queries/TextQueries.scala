@@ -75,6 +75,30 @@ object TextQueries {
         .orderBy(col("n").desc, col("trigram")).limit(30)
     },
 
+    // One BPE vocabulary-induction round: the most frequent adjacent
+    // character pairs across the corpus — the argmax of round 1 of
+    // byte-pair-encoding training. The zipf trick that makes BPE
+    // training tractable at corpus scale: pair counting runs over
+    // the DISTINCT-WORD DICTIONARY weighted by word frequency
+    // (dictionary ≪ corpus; the corpus-sized explode happens once,
+    // collapses map-side into word counts, and every later stage is
+    // dictionary-sized). Top-20 via TakeOrderedAndProject.
+    "q_bpe_merge_round" -> { (s, dir) =>
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+      val chars = split(col("word"), "")
+      words
+        .select(col("n_w"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => concat(element_at(chars, i), element_at(chars, i + 1))))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n_w")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    },
+
     // The end-to-end corpus-curation flow an LLM-data pipeline runs:
     // planted-dup corpus → exact dedup (keep first) → quality gate →
     // language-ID → per-language corpus stats. One declarative plan:
@@ -592,6 +616,21 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merge_round" ->
+      """WITH w AS (
+           SELECT word, count(*) AS n_w FROM (
+             SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           WHERE len(word) >= 2 GROUP BY word),
+         p AS (
+           SELECT n_w, unnest(list_transform(
+               generate_series(1, len(word) - 1),
+               i -> string_split(word, '')[i]
+                    || string_split(word, '')[i+1])) AS pair
+           FROM w)
+         SELECT pair, CAST(sum(n_w) AS BIGINT) AS n
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
     "q_text_ngram_lm" ->
       """WITH t AS (
            SELECT string_split(text, ' ') AS w FROM documents

@@ -51,6 +51,47 @@ class FrontierSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_sessionize: ONE data shuffle — the session groupBy reuses the window's user partitioning") {
+    val p = withoutAqe(q("q_sessionize")
+      .queryExecution.executedPlan.toString)
+    // exactly one hash exchange (window + groupBy share the user_id
+    // partitioning); the only other exchange is the presentation
+    // sort's range partitioning
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    val allEx = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(hashEx == 1 && allEx <= 2,
+      s"expected 1 hash shuffle (+1 output sort), got $hashEx/$allEx:\n$p")
+  }
+
+  test("q_sessionize: sessions partition every event; durations under the gap bound") {
+    val rows = q("q_sessionize").collect()
+    val total = Tables(spark, sf(), "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val durMs = r.getAs[Long]("duration_ms")
+      assert(r.getAs[Long]("session_seq") >= 1)
+      assert(n >= 1 && r.getAs[Long]("n_types") <= math.min(n, 5))
+      // n events chained by gaps ≤ 6 h bound the session span
+      assert(durMs <= (n - 1) * 21600000L,
+        s"session longer than its max chained span: $r")
+      if (n == 1) assert(durMs == 0)
+    }
+  }
+
+  test("q_bpe_merge_round: pairs are adjacent 2-grams with descending mass") {
+    val rows = q("q_bpe_merge_round").collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // the corpus is lowercase words — the argmax pair must be
+    // alphabetic and its count must dominate the 20th
+    assert(rows.head.getAs[String]("pair").forall(_.isLetter))
+    assert(ns.head >= ns.last)
+  }
+
   test("q_ewma: convex combination of the user's window, bounded by extremes") {
     val ev = Tables(spark, sf(), "events")
     val bounds = ev.groupBy(col("user_id"))
