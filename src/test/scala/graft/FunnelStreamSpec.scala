@@ -20,7 +20,14 @@ class FunnelStreamSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"))
       .as[FunnelEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order feed contract
+      // in-order feed contract at FULL µs precision (getTime is
+      // ms-truncated — same fix as AnomalyStreamSpec)
+      .sortBy(e => (micros(e.ts), e.event_id))
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   test("streaming stage advances land on the batch fold's final stages") {
     val batch = graft.queries.AnalyticsQueries
