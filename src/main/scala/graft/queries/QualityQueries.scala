@@ -239,6 +239,46 @@ object QualityQueries {
         .orderBy(col("event_type"))
     },
 
+    // CUSUM change-point detection over the daily event stream: the
+    // day where the cumulative deviation of daily volume from its
+    // per-type mean peaks. The textbook statistic is
+    // Σ(daily_mean − overall_mean) — divisions whose engine-specific
+    // decimal rounding would poison parity. Multiply through by
+    // n_days instead: dev_k = daily_sum_k·n_days − total_sum is the
+    // SAME argmax in EXACT decimal arithmetic (no division
+    // anywhere). One daily aggregate (map-side combined), a per-type
+    // one-row broadcast of totals, a cumulative window over the
+    // per-type DAY table (bounded by the calendar, not row count),
+    // then argmax-by-|cusum| with a deterministic day tie-break.
+    "q_changepoint_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("dsum"),
+          count(lit(1)).as("n"))
+      // per-type totals as FULL-PARTITION windows over the tiny
+      // daily table (not a self-join back to a second aggregate —
+      // that shape scans events twice; this is one scan + one
+      // type-key shuffle)
+      val perType = Window.partitionBy(col("event_type"))
+      val byDay = perType.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cusum = daily
+        .withColumn("total", sum(col("dsum")).over(perType))
+        .withColumn("n_days", count(lit(1)).over(perType))
+        .withColumn("cusum",
+          sum(col("dsum") * col("n_days") - col("total")).over(byDay)
+            .cast("decimal(28,6)"))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      cusum.withColumn("rk", row_number().over(pick))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("day").as("changepoint_day"),
+          col("n_days"),
+          abs(col("cusum")).cast("decimal(28,6)").as("max_abs_cusum"))
+        .orderBy(col("event_type"))
+    },
+
     // l-diversity audit — the companion to k-anonymity: a QI group
     // can be large (k-anonymous) yet still leak if every row shares
     // one sensitive value. Here the sensitive attribute is user_id
@@ -442,6 +482,32 @@ object QualityQueries {
            round(CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)
                AS DOUBLE) / sum(gsize), 4) AS risk_frac
          FROM g GROUP BY event_type ORDER BY event_type""",
+
+    "q_changepoint_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS dsum,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type, sum(dsum) AS total,
+             count(*) AS n_days
+           FROM daily GROUP BY event_type),
+         c AS (
+           SELECT d.event_type, d.day, t.n_days,
+             CAST(sum(d.dsum * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,6)) AS cusum
+           FROM daily d JOIN totals t USING (event_type)),
+         r AS (
+           SELECT event_type, day, n_days, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day) AS rk
+           FROM c)
+         SELECT event_type, day AS changepoint_day, n_days,
+           CAST(abs(cusum) AS DECIMAL(28,6)) AS max_abs_cusum
+         FROM r WHERE rk = 1 ORDER BY event_type""",
 
     "q_l_diversity" ->
       """WITH g AS (

@@ -92,6 +92,29 @@ class FrontierSpec extends SparkSpec {
     assert(ns.head >= ns.last)
   }
 
+  test("q_changepoint_cusum: one scan of events; changepoint inside the data range") {
+    val df = q("q_changepoint_cusum")
+    val p = withoutAqe(df.queryExecution.executedPlan.toString)
+    val scans = p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1,
+      s"totals must come from windows, not a re-scan: got $scans scans\n$p")
+    val ev = Tables(spark, sf(), "events")
+    val (lo, hi) = {
+      val r = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head
+      (r.getDate(0), r.getDate(1))
+    }
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("changepoint_day")
+      assert(!day.before(lo) && !day.after(hi), s"day outside range: $r")
+      assert(r.getAs[java.math.BigDecimal]("max_abs_cusum")
+        .signum >= 0)
+      assert(r.getAs[Long]("n_days") >= 1)
+    }
+  }
+
   test("q_ewma: convex combination of the user's window, bounded by extremes") {
     val ev = Tables(spark, sf(), "events")
     val bounds = ev.groupBy(col("user_id"))
