@@ -95,25 +95,26 @@ object SequenceQueries {
       val baskets = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("basket"),
           col("l_partkey").as("item")).distinct()
-      val itemN = baskets.groupBy(col("item"))
-        .agg(count(lit(1)).as("n_item"))
+      // item supports as a FULL-PARTITION window, carried through
+      // the pair join as payload columns — a first cut built three
+      // separate broadcast legs (itemN, n_a, n_b) whose renamed
+      // subtrees Catalyst could NOT dedupe, re-running the
+      // scan+distinct per leg; measured 4.1 s → this shape at sf0.1
+      val withN = baskets.withColumn("n_item",
+          count(lit(1)).over(Window.partitionBy(col("item"))))
         .where(col("n_item") >= minSup)
-      val frequent = baskets.join(broadcast(itemN.select(col("item"))),
-        Seq("item"), "left_semi")
-      val a = frequent.select(col("basket"), col("item").as("item_a"))
-      val b = frequent.select(col("basket"), col("item").as("item_b"))
+      val a = withN.select(col("basket"), col("item").as("item_a"),
+        col("n_item").as("n_a"))
+      val b = withN.select(col("basket"), col("item").as("item_b"),
+        col("n_item").as("n_b"))
       val pairs = a.join(b, Seq("basket"))
         .where(col("item_a") < col("item_b"))
-        .groupBy(col("item_a"), col("item_b"))
+        .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
         .agg(count(lit(1)).as("n_ab"))
         .where(col("n_ab") >= minSup)
       val nBaskets = baskets.select(col("basket")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       pairs
-        .join(broadcast(itemN.select(col("item").as("item_a"),
-          col("n_item").as("n_a"))), Seq("item_a"))
-        .join(broadcast(itemN.select(col("item").as("item_b"),
-          col("n_item").as("n_b"))), Seq("item_b"))
         .crossJoin(broadcast(nBaskets))
         .select(col("item_a"), col("item_b"), col("n_ab"),
           col("n_a"), col("n_b"),
