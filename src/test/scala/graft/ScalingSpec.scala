@@ -208,6 +208,43 @@ class ScalingSpec extends SparkSpec {
       f"quantile-sketch shuffle grew with the row count: ×$g%.1f")
   }
 
+  test("decade 1 (real): sessionize + attribution shuffles are linear (one window pass)") {
+    val (ss, sb, sg) = decade("q_sessionize")
+    val (as_, ab, ag) = decade("q_attribution_last_touch")
+    info(f"sessionize ×$sg%.1f ($ss → $sb), attribution ×$ag%.1f (${as_} → $ab) across ×10 events")
+    // both are one user-key window over the event table; the only
+    // super-row growth allowed is the session/channel group tails
+    assert(sg < 13, f"sessionize shuffle superlinear: ×$sg%.1f")
+    assert(ag < 13, f"attribution shuffle superlinear: ×$ag%.1f")
+  }
+
+  test("decade 1 (real): basket pair mining tracks Σbasket², not |items|²") {
+    val (s, b, g) = decade("q_cooccur_rules")
+    info(f"cooccur shuffle ×$g%.1f across ×10 lineitems ($s → $b rows)")
+    // basket-size distribution is SF-invariant, so pair volume per
+    // basket is constant and the wire grows with basket count —
+    // linear. An item×item formulation would grow ×100.
+    assert(g < 13, f"pair mining superlinear: ×$g%.1f")
+  }
+
+  test("decade 1 (real): KMV set-algebra shuffle tracks the key DOMAIN, not the event count") {
+    val (s, b, g) = decade("q_kmv_set_ops")
+    def domain(d: String) = Tables(spark, sf(d), "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("user_id")).distinct().count()
+    val dg = domain("0.1").toDouble / domain("0.01")
+    info(f"kmv set-ops shuffle ×$g%.1f vs key-domain ×$dg%.1f " +
+      f"across ×10 events ($s → $b rows)")
+    // the pipeline shuffles DISTINCT (segment, user-hash) pairs and
+    // then ≤k rows per segment: the wire is bounded by the key
+    // domain (here the generator grows users with SF, so the domain
+    // itself expands — the shuffle must stay at or below it, never
+    // track raw events). On a corpus where users saturate, this
+    // growth pins to ~1 while events keep growing.
+    assert(g <= dg * 1.2 + 0.5,
+      f"sketch shuffle ×$g%.1f outgrew its key domain ×$dg%.1f")
+  }
+
   test("decade 1 (real): interval join shuffles chunks linearly while pairs explode") {
     val (s, b, g) = decade("q_interval_join")
     val out01 = SparkEntry.queries("q_interval_join")(spark, sf("0.01")).count()
