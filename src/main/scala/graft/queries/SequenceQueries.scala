@@ -63,6 +63,49 @@ object SequenceQueries {
         .orderBy(col("channel"))
     },
 
+    // Linear multi-touch attribution — the last-touch model's
+    // companion: each purchase's value is split EQUALLY across all
+    // touch events since the user's previous purchase. Segments are
+    // a running count of PRECEDING purchases (one window), touch
+    // tallies per (user, segment, channel) and purchase totals per
+    // (user, segment) are two hash aggregates joined back on the
+    // segment key; per-credit doubles are DECIMAL-quantized before
+    // the channel sum. Purchases whose segment has no touches
+    // surface as 'unattributed' via the purchase-side anti check —
+    // credited revenue must sum to total purchase revenue
+    // (conservation gate in SequenceSpec).
+    "q_attribution_linear" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val seg = sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L))
+        .over(userSeq.rowsBetween(Window.unboundedPreceding, -1))
+      val tagged = ev.withColumn("seg", coalesce(seg, lit(0L)))
+      val touches = tagged
+        .where(col("event_type").isin(touchTypes: _*))
+        .groupBy(col("user_id"), col("seg"),
+          col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_ch"))
+      val segTotals = touches.groupBy(col("user_id"), col("seg"))
+        .agg(sum(col("n_ch")).as("n_tot"))
+      val purchases = tagged
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("seg"), col("value"))
+      purchases
+        .join(segTotals, Seq("user_id", "seg"), "left_outer")
+        .join(touches, Seq("user_id", "seg"), "left_outer")
+        .select(
+          coalesce(col("channel"), lit("unattributed")).as("channel"),
+          when(col("n_ch").isNotNull,
+            (col("value") * col("n_ch") / col("n_tot"))
+              .cast("decimal(18,6)"))
+            .otherwise(col("value").cast("decimal(18,6)"))
+            .as("credit"))
+        .groupBy(col("channel"))
+        .agg(sum(col("credit")).cast("decimal(18,6)")
+          .as("credited_revenue"))
+        .orderBy(col("channel"))
+    },
+
     // First-order Markov transition matrix of event types: lag(1)
     // per user sequence, then (prev → next) counts and the
     // row-normalized transition probability. The second window
@@ -141,6 +184,37 @@ object SequenceQueries {
            count(*) AS n_conversions,
            sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6) AS revenue
          FROM seq WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY channel""",
+
+    "q_attribution_linear" ->
+      """WITH tagged AS (
+           SELECT user_id, event_type, value,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS seg
+           FROM events),
+         touches AS (
+           SELECT user_id, seg, event_type AS channel,
+             count(*) AS n_ch
+           FROM tagged
+           WHERE event_type IN ('click', 'view', 'signup')
+           GROUP BY 1, 2, 3),
+         seg_totals AS (
+           SELECT user_id, seg, sum(n_ch) AS n_tot
+           FROM touches GROUP BY 1, 2),
+         purchases AS (
+           SELECT user_id, seg, value FROM tagged
+           WHERE event_type = 'purchase')
+         SELECT coalesce(t.channel, 'unattributed') AS channel,
+           CAST(sum(CASE WHEN t.n_ch IS NOT NULL
+             THEN CAST(p.value * t.n_ch / s.n_tot AS DECIMAL(18,6))
+             ELSE CAST(p.value AS DECIMAL(18,6)) END)
+             AS DECIMAL(18,6)) AS credited_revenue
+         FROM purchases p
+         LEFT JOIN seg_totals s USING (user_id, seg)
+         LEFT JOIN touches t USING (user_id, seg)
          GROUP BY 1 ORDER BY channel""",
 
     "q_markov_transitions" ->

@@ -34,6 +34,22 @@ class SequenceSpec extends SparkSpec {
       s"expected ~$n shuffled records, got $recs")
   }
 
+  test("q_attribution_linear: credited revenue conserves total purchase revenue") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val credited = q("q_attribution_linear").collect()
+      .map(r => BigDecimal(
+        r.getAs[java.math.BigDecimal]("credited_revenue"))).sum
+    val total = Tables(spark, sf(), "events")
+      .where(col("event_type") === "purchase")
+      .select(sum(col("value").cast("decimal(18,6)"))).head
+      .getDecimal(0)
+    // per-credit quantization loses ≤ 5e-7 per (purchase, channel)
+    // row — allow that envelope, nothing more
+    val slack = BigDecimal("0.01")
+    assert((credited - BigDecimal(total)).abs <= slack,
+      s"credit leak: credited=$credited total=$total")
+  }
+
   test("q_markov_transitions: rows per prev normalize to 1; chain length conserved") {
     val rows = q("q_markov_transitions").collect()
     assert(rows.nonEmpty)
