@@ -125,6 +125,56 @@ object SequenceQueries {
         .orderBy(col("prev"), col("next"))
     },
 
+    // RFM segmentation: recency / frequency / monetary quintile
+    // scores per purchasing user, the classic customer-value grid.
+    // One hash aggregate builds the per-user RFM row (recency
+    // against a one-row broadcast corpus max — no second scan);
+    // scores are assigned MAP-SIDE against broadcast quintile edges
+    // (exact distributed percentile), NOT with global ntile windows
+    // — ntile single-partitions the whole user table, the exact
+    // plan shape earlier rounds eliminated from rrf/k-means.
+    // score = 1 + #edges exceeded; ties share a score (an
+    // edge-assignment, not an equal-count split — the scalable
+    // semantics). Output is the 5³-bounded segment grid.
+    "q_rfm_segmentation" -> { (s, dir) =>
+      val purchases = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+      val perUser = purchases.groupBy(col("user_id"))
+        .agg(max(expr("unix_micros(ts)")).as("last_us"),
+          count(lit(1)).cast("double").as("frequency"),
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("monetary"))
+      val maxTs = purchases
+        .agg(max(expr("unix_micros(ts)")).as("corpus_max_us"))
+      val rfm = perUser.crossJoin(broadcast(maxTs))
+        .withColumn("recency_days",
+          ((col("corpus_max_us") - col("last_us")) /
+            lit(86400000000L)).cast("long").cast("double"))
+        .withColumn("monetary_d", col("monetary").cast("double"))
+      val edges = rfm.agg(
+        expr("percentile(recency_days, array(0.2,0.4,0.6,0.8))")
+          .as("r_edges"),
+        expr("percentile(frequency, array(0.2,0.4,0.6,0.8))")
+          .as("f_edges"),
+        expr("percentile(monetary_d, array(0.2,0.4,0.6,0.8))")
+          .as("m_edges"))
+      def score(v: org.apache.spark.sql.Column, e: String) =
+        (lit(1) + aggregate(col(e), lit(0),
+          (acc, edge) => acc + when(v > edge, 1).otherwise(0)))
+          .cast("long")
+      rfm.crossJoin(broadcast(edges))
+        .select(
+          score(col("recency_days"), "r_edges").as("r_score"),
+          score(col("frequency"), "f_edges").as("f_score"),
+          score(col("monetary_d"), "m_edges").as("m_score"),
+          col("monetary"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary")).cast("decimal(18,6)")
+            .as("segment_revenue"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
     // Association rules over order baskets (basket = order, item =
     // part): apriori-pruned pair mining with support, directional
     // confidence, and lift. Pipeline: distinct (basket, item) →
@@ -230,6 +280,44 @@ object SequenceQueries {
            round(n / (sum(n) OVER (PARTITION BY prev)), 4)
              AS p_transition
          FROM c ORDER BY prev, next""",
+
+    "q_rfm_segmentation" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) AS us, value FROM events
+           WHERE event_type = 'purchase'),
+         per AS (
+           SELECT user_id, max(us) AS last_us,
+             CAST(count(*) AS DOUBLE) AS frequency,
+             sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6)
+               AS monetary
+           FROM p GROUP BY user_id),
+         mx AS (SELECT max(us) AS corpus_max_us FROM p),
+         rfm AS (
+           SELECT user_id, frequency, monetary,
+             monetary::DOUBLE AS monetary_d,
+             CAST((mx.corpus_max_us - per.last_us) // 86400000000
+               AS DOUBLE) AS recency_days
+           FROM per, mx),
+         e AS (
+           SELECT
+             quantile_cont(recency_days, [0.2,0.4,0.6,0.8]) AS r_edges,
+             quantile_cont(frequency, [0.2,0.4,0.6,0.8]) AS f_edges,
+             quantile_cont(monetary_d, [0.2,0.4,0.6,0.8]) AS m_edges
+           FROM rfm),
+         scored AS (
+           SELECT
+             1 + len(list_filter(e.r_edges,
+               x -> rfm.recency_days > x)) AS r_score,
+             1 + len(list_filter(e.f_edges,
+               x -> rfm.frequency > x)) AS f_score,
+             1 + len(list_filter(e.m_edges,
+               x -> rfm.monetary_d > x)) AS m_score,
+             rfm.monetary
+           FROM rfm, e)
+         SELECT r_score, f_score, m_score, count(*) AS n_users,
+           CAST(sum(monetary) AS DECIMAL(18,6)) AS segment_revenue
+         FROM scored GROUP BY 1, 2, 3
+         ORDER BY r_score, f_score, m_score""",
 
     "q_cooccur_rules" ->
       """WITH baskets AS (

@@ -154,6 +154,48 @@ object StatsQueries {
         .orderBy(col("user_id"))
     },
 
+    // Theil–Sen robust trend per event_type: the median of pairwise
+    // slopes (value per hour) over a FIXED deterministic k=48
+    // md5-rank sample per group — the estimator is 29%-breakdown
+    // robust and the sample bound makes the O(k²) pair stage
+    // constant per group no matter how many events the type has
+    // (the same fixed-k discipline as the quantile sketch; the
+    // sample window is WindowGroupLimit-pruned map-side). Every
+    // slope is per-row IEEE arithmetic and the sample is
+    // hash-pinned, so the DuckDB oracle replays the estimate
+    // exactly.
+    "q_theil_sen" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 48
+      val h = expr("cast(conv(substring(md5(cast(event_id as string))" +
+        ",1,15),16,10) as bigint)")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("event_id"))
+      val sample = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"), col("value"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k)
+        .select(col("event_type"), col("event_id"), col("us"),
+          col("value"))
+      val a = sample.select(col("event_type"),
+        col("event_id").as("id_a"), col("us").as("us_a"),
+        col("value").as("v_a"))
+      val b = sample.select(col("event_type"),
+        col("event_id").as("id_b"), col("us").as("us_b"),
+        col("value").as("v_b"))
+      a.join(b, Seq("event_type"))
+        .where(col("id_a") < col("id_b") && col("us_a") =!= col("us_b"))
+        .select(col("event_type"),
+          ((col("v_b") - col("v_a")) /
+            ((col("us_b") - col("us_a")) / lit(3.6e9))).as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6)
+            .as("median_slope_per_hour"))
+        .orderBy(col("event_type"))
+    },
+
     // Hot-key skew audit: the top-10 user_ids by event count, each
     // with its share of all rows and its ratio versus a uniform key
     // distribution — the measurement that decides whether a
@@ -239,6 +281,28 @@ object StatsQueries {
              AS BIGINT) AS n_clip_hi
          FROM events e JOIN qs q USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "q_theil_sen" ->
+      """WITH s AS (
+           SELECT event_type, event_id, epoch_us(ts) AS us, value
+           FROM (
+             SELECT *, ('0x' || substring(md5(CAST(event_id AS VARCHAR))
+                 , 1, 15))::BIGINT AS h,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY ('0x' || substring(md5(CAST(event_id AS VARCHAR))
+                   , 1, 15))::BIGINT, event_id) AS rn
+             FROM events) WHERE rn <= 48),
+         pairs AS (
+           SELECT a.event_type,
+             (b.value - a.value) / ((b.us - a.us) / 3600000000.0)
+               AS slope
+           FROM s a JOIN s b
+             ON a.event_type = b.event_type
+             AND a.event_id < b.event_id AND a.us <> b.us)
+         SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6)
+             AS median_slope_per_hour
+         FROM pairs GROUP BY event_type ORDER BY event_type""",
 
     "q_ewma" ->
       """WITH seq AS (

@@ -65,6 +65,31 @@ class SequenceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("q_rfm_segmentation: grid conserves users and revenue; no global window") {
+    import org.apache.spark.sql.functions.{col, countDistinct, sum}
+    val rows = q("q_rfm_segmentation").collect()
+    val purchasers = Tables(spark, sf(), "events")
+      .where(col("event_type") === "purchase")
+    val nUsers = purchasers.select(countDistinct(col("user_id")))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val revenue = rows.map(r => BigDecimal(
+      r.getAs[java.math.BigDecimal]("segment_revenue"))).sum
+    val total = BigDecimal(purchasers
+      .select(sum(col("value").cast("decimal(18,6)"))).head
+      .getDecimal(0))
+    assert(revenue == total, s"revenue leak: $revenue != $total")
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+    }
+    // scores assign map-side against broadcast edges — no Window at all
+    val p = withoutAqe(q("q_rfm_segmentation")
+      .queryExecution.executedPlan.toString)
+    assert(!p.contains("Window"), s"global ntile leaked back in:\n$p")
+  }
+
   test("q_cooccur_rules: apriori bound and measure ranges hold") {
     val rows = q("q_cooccur_rules").collect()
     assert(rows.nonEmpty)

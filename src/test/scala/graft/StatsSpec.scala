@@ -68,6 +68,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_theil_sen: pair count bounded by the fixed sample; WindowGroupLimit prunes map-side") {
+    val df = q("q_theil_sen")
+    val p = withoutAqe(df.queryExecution.executedPlan.toString)
+    assert(p.contains("WindowGroupLimit"),
+      s"sample rank must prune map-side:\n$p")
+    df.collect().foreach { r =>
+      // ≤ C(48,2) pairs per type, regardless of the type's row count
+      assert(r.getAs[Long]("n_pairs") <= 48L * 47 / 2,
+        s"pair stage outgrew the sample bound: $r")
+      assert(!r.getAs[Double]("median_slope_per_hour").isNaN)
+    }
+  }
+
   test("q_skew_audit: top-k plans as TakeOrderedAndProject, shares sum ≤ 1") {
     val df = q("q_skew_audit")
     val p = withoutAqe(df.queryExecution.executedPlan.toString)
