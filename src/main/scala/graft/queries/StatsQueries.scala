@@ -214,6 +214,110 @@ object StatsQueries {
           round(col("n") * col("n_keys") / col("total_rows"), 4)
             .as("x_uniform"))
         .orderBy(col("n").desc, col("user_id")).limit(10)
+    },
+
+    // Benford first-significant-digit audit on order totals — the
+    // classic fraud/data-fabrication screen. One hash aggregate over
+    // the digit domain (9 rows by construction), a one-row broadcast
+    // total, and the chi-square statistic against the Benford
+    // expectation log10(1+1/d). The closing window that sums the
+    // per-digit chi-square terms runs over the 9-row digit domain —
+    // bounded no matter the fact-table size. Digit extraction is
+    // per-row IEEE arithmetic (pow/log10 on the same doubles), so
+    // the oracle replays it exactly.
+    "q_benford_audit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 0)
+        .select(floor(col("o_totalprice") /
+          pow(lit(10.0), floor(log10(col("o_totalprice")))))
+          .cast("int").as("digit"))
+      val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val total = counts.agg(sum(col("n_obs")).as("n_total"))
+      val benford = log10(lit(1.0) + lit(1.0) / col("digit"))
+      val expected = col("n_total") * benford
+      val chi = pow(col("n_obs") - expected, 2) / expected
+      counts.crossJoin(broadcast(total))
+        .withColumn("chi2_term", chi)
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs") / col("n_total"), 6).as("obs_share"),
+          round(benford, 6).as("benford_share"),
+          round(col("chi2_term"), 4).as("chi2_term"),
+          round(sum(col("chi2_term")).over(
+            Window.partitionBy(lit(1))), 4).as("chi2_total"))
+        .orderBy(col("digit"))
+    },
+
+    // Gini concentration of customer revenue per market segment —
+    // the inequality audit behind "what share of revenue do the top
+    // customers hold". Uses the rank formulation
+    // G = 2·Σ r·x / (n·Σ x) − (n+1)/n with r = row_number ordered by
+    // (revenue, custkey); Σ r·x is invariant to tie ordering (equal
+    // x across a tied rank block), so the statistic is deterministic.
+    // Per-customer revenue and the rank-weighted sum are exact
+    // DECIMAL, divided once in double at the end. The per-segment
+    // window sorts only the aggregated per-customer rows (|customers|
+    // ≪ |orders|); at 100× the same segment-partitioned sort holds
+    // because the window input is the aggregate, never the fact table.
+    "q_gini_concentration" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("rev"), col("c_custkey"))
+      rev.withColumn("r", row_number().over(w))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("decimal(18,6)").as("total_revenue"),
+          sum((col("r").cast("decimal(10,0)") * col("rev"))
+            .cast("decimal(28,6)")).cast("decimal(28,6)").as("s_rx"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          col("total_revenue"),
+          round(lit(2.0) * col("s_rx").cast("double") /
+            (col("n_customers") * col("total_revenue").cast("double")) -
+            (col("n_customers") + lit(1.0)) / col("n_customers"), 6)
+            .as("gini"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // CUPED variance-reduced A/B readout: per-user pre-period sum is
+    // the covariate X, post-period sum the metric Y; θ = cov(X,Y)/
+    // var(X) fitted on ALL users (the standard pooled fit), then the
+    // adjusted metric Y − θ(X − X̄) is compared per variant with the
+    // achieved variance reduction. Shape: one per-user hash
+    // aggregate, a one-row broadcast (X̄, θ), one per-variant
+    // aggregate — three linear passes, nothing wider than the user
+    // key ever shuffles. Per-user sums are exact DECIMAL before the
+    // double-valued moment pass (round-4 contract, as q_ab_ttest).
+    "q_ab_cuped" -> { (s, dir) =>
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val u = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < cutoff, col("value")).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as("xd"),
+          sum(when(col("ts") >= cutoff, col("value")).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).cast("decimal(18,6)").as("yd"))
+        .select(variantOf(col("user_id")).as("variant"),
+          col("xd").cast("double").as("x"),
+          col("yd").cast("double").as("y"))
+      val g = u.agg(avg(col("x")).as("xbar"),
+        (covar_samp(col("x"), col("y")) / var_samp(col("x")))
+          .as("theta"))
+      u.crossJoin(broadcast(g))
+        .withColumn("y_adj",
+          col("y") - col("theta") * (col("x") - col("xbar")))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("y")), 4).as("mean_y"),
+          round(avg(col("y_adj")), 4).as("mean_y_cuped"),
+          round(lit(1.0) - var_samp(col("y_adj")) / var_samp(col("y")),
+            4).as("var_reduction"))
+        .orderBy(col("variant"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -330,5 +434,75 @@ object StatsQueries {
          SELECT c.user_id, c.n,
            round(c.n / t.total_rows, 6) AS share,
            round(c.n * t.n_keys / t.total_rows, 4) AS x_uniform
-         FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10""")
+         FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 10""",
+
+    "q_benford_audit" ->
+      """WITH d AS (
+           SELECT CAST(floor(o_totalprice /
+             pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         t AS (SELECT sum(n_obs) AS n_total FROM c),
+         x AS (
+           SELECT digit, n_obs,
+             n_obs / n_total AS obs_share,
+             log10(1.0 + 1.0 / digit) AS benford_share,
+             pow(n_obs - n_total * log10(1.0 + 1.0 / digit), 2) /
+               (n_total * log10(1.0 + 1.0 / digit)) AS chi2_term
+           FROM c, t)
+         SELECT digit, n_obs,
+           round(obs_share, 6) AS obs_share,
+           round(benford_share, 6) AS benford_share,
+           round(chi2_term, 4) AS chi2_term,
+           round(sum(chi2_term) OVER (), 4) AS chi2_total
+         FROM x ORDER BY digit""",
+
+    "q_gini_concentration" ->
+      """WITH rev AS (
+           SELECT c_mktsegment, c_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT c_mktsegment, rev,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY rev, c_custkey) AS r
+           FROM rev),
+         g AS (
+           SELECT c_mktsegment, count(*) AS n_customers,
+             CAST(sum(rev) AS DECIMAL(18,6)) AS total_revenue,
+             CAST(sum(CAST(CAST(r AS DECIMAL(10,0)) * rev
+               AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS s_rx
+           FROM rk GROUP BY 1)
+         SELECT c_mktsegment, n_customers, total_revenue,
+           round(2.0 * s_rx::DOUBLE /
+             (n_customers * total_revenue::DOUBLE) -
+             (n_customers + 1.0) / n_customers, 6) AS gini
+         FROM g ORDER BY c_mktsegment""",
+
+    "q_ab_cuped" ->
+      """WITH u AS (
+           SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CAST(sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN value ELSE 0.0 END AS DECIMAL(18,6)))
+               AS DECIMAL(18,6))::DOUBLE AS x,
+             CAST(sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN value ELSE 0.0 END AS DECIMAL(18,6)))
+               AS DECIMAL(18,6))::DOUBLE AS y
+           FROM events GROUP BY user_id),
+         g AS (SELECT avg(x) AS xbar,
+             covar_samp(x, y) / var_samp(x) AS theta FROM u),
+         a AS (
+           SELECT variant, y, y - g.theta * (x - g.xbar) AS y_adj
+           FROM u, g)
+         SELECT variant, count(*) AS n_users,
+           round(avg(y), 4) AS mean_y,
+           round(avg(y_adj), 4) AS mean_y_cuped,
+           round(1.0 - var_samp(y_adj) / var_samp(y), 4)
+             AS var_reduction
+         FROM a GROUP BY variant ORDER BY variant""")
 }

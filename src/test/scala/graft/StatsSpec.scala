@@ -93,4 +93,56 @@ class StatsSpec extends SparkSpec {
     val ns = rows.map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q_benford_audit: digit domain, shares sum to 1, chi2 total consistent") {
+    val rows = q("q_benford_audit").collect()
+    val digits = rows.map(_.getAs[Int]("digit")).sorted
+    assert(digits.forall(d => d >= 1 && d <= 9), digits.mkString(","))
+    assert(digits.distinct.length == digits.length)
+    assert(math.abs(rows.map(_.getAs[Double]("obs_share")).sum - 1.0)
+      < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("benford_share")).sum
+      - 1.0) < 1e-4)
+    // every row carries the same total; it equals the term sum
+    val totals = rows.map(_.getAs[Double]("chi2_total")).distinct
+    assert(totals.length == 1)
+    val termSum = rows.map(_.getAs[Double]("chi2_term")).sum
+    assert(math.abs(totals.head - termSum) < 1e-2,
+      s"chi2_total=${totals.head} vs term sum $termSum")
+  }
+
+  test("q_gini_concentration: gini in [0,1); customer counts conserved") {
+    val rows = q("q_gini_concentration").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    val n = rows.map(_.getAs[Long]("n_customers")).sum
+    val expected = Tables(spark, sf(), "orders")
+      .join(Tables(spark, sf(), "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_custkey").distinct.count()
+    assert(n == expected, s"customers with orders: $n != $expected")
+  }
+
+  test("q_ab_cuped: adjustment preserves the pooled mean; broadcast-only plan") {
+    val df = q("q_ab_cuped")
+    val p = withoutAqe(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("SortMergeJoin"),
+      s"theta row must broadcast, never shuffle the user table:\n$p")
+    val rows = df.collect()
+    assert(rows.length == 2) // control + treatment
+    // Σ(x−x̄)=0 over ALL users ⇒ the user-weighted pooled mean of the
+    // adjusted metric equals the raw pooled mean (rounding at 4dp).
+    val nTot = rows.map(_.getAs[Long]("n_users")).sum.toDouble
+    val pooledRaw = rows.map(r =>
+      r.getAs[Long]("n_users") * r.getAs[Double]("mean_y")).sum / nTot
+    val pooledAdj = rows.map(r =>
+      r.getAs[Long]("n_users") * r.getAs[Double]("mean_y_cuped"))
+      .sum / nTot
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-3,
+      s"CUPED shifted the pooled mean: $pooledRaw vs $pooledAdj")
+  }
 }
