@@ -318,6 +318,93 @@ object StatsQueries {
           round(lit(1.0) - var_samp(col("y_adj")) / var_samp(col("y")),
             4).as("var_reduction"))
         .orderBy(col("variant"))
+    },
+
+    // Mann–Whitney U (rank-sum) per event_type, control vs treatment
+    // arms — the non-parametric complement to q_ab_ttest. Ranks are
+    // computed on the DISTINCT-(type,value) block domain: one hash
+    // aggregate to (cnt, cnt_treatment) per block, then a cumulative
+    // count over blocks gives every block its midrank
+    // cum − (cnt−1)/2 without ever ranking a fact row — the window
+    // input is the aggregate (the gini/skyline discipline), so the
+    // per-type sort is over distinct values only. Midranks are
+    // multiples of ½ below 2⁵², so the rank-sum is EXACT double
+    // arithmetic (association-free) and the tie-corrected normal
+    // z follows in one more aggregate.
+    "q_mannwhitney" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .withColumn("variant", variantOf(col("user_id")))
+      val blocks = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+            .as("cnt_t"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = blocks
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("avg_rank",
+          col("cum") - (col("cnt") - lit(1.0)) / lit(2.0))
+      val g = ranked.groupBy(col("event_type")).agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cnt_t")).as("n_t"),
+        sum(col("cnt_t") * col("avg_rank")).as("r_t"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("tie_sum"))
+      val nC = col("n") - col("n_t")
+      val u = col("r_t") - col("n_t") * (col("n_t") + lit(1)) / lit(2.0)
+      val mu = nC * col("n_t") / lit(2.0)
+      val sig2 = nC * col("n_t") / lit(12.0) *
+        ((col("n") + lit(1)) -
+          col("tie_sum") / (col("n") * (col("n") - lit(1.0))))
+      g.select(col("event_type"), nC.as("n_c"), col("n_t"),
+          u.as("u_stat"), round((u - mu) / sqrt(sig2), 4).as("z_stat"))
+        .orderBy(col("event_type"))
+    },
+
+    // Benjamini–Hochberg FDR control over the per-event-type Welch
+    // tests — the multiple-comparisons step every experiment platform
+    // runs after q_ab_ttest. p-values come from a portable logistic
+    // normal-CDF approximation (Bowling 2009: Φ(x) ≈ 1/(1+e^(−1.5976x
+    // (1+0.04417x²)))) — pure per-row IEEE math both engines replay
+    // bit-for-bit. The BH step sorts the m test rows (|event_type|,
+    // bounded by the type domain, never the fact table), finds
+    // k = max{i : p_i ≤ i·q/m}, and flags i ≤ k at q = 0.10.
+    "q_fdr_bh" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = 0.10
+      val ev = Tables(s, dir, "events")
+        .withColumn("variant", variantOf(col("user_id")))
+      val vc = when(col("variant") === "control", col("value"))
+      val vt = when(col("variant") === "treatment", col("value"))
+      val g = ev.groupBy(col("event_type")).agg(
+        count(vc).as("n_c"), count(vt).as("n_t"),
+        avg(vc).as("m_c"), avg(vt).as("m_t"),
+        var_samp(vc).as("s2_c"), var_samp(vt).as("s2_t"))
+      val t = (col("m_t") - col("m_c")) /
+        sqrt(col("s2_c") / col("n_c") + col("s2_t") / col("n_t"))
+      val tests = g.select(col("event_type"), t.as("t_stat"))
+        .withColumn("p_value", lit(2.0) /
+          (lit(1.0) + exp(lit(1.5976) * abs(col("t_stat")) *
+            (lit(1.0) + lit(0.04417) * col("t_stat") * col("t_stat")))))
+      val wOrd = Window.partitionBy(lit(1))
+        .orderBy(col("p_value"), col("event_type"))
+      val wAll = Window.partitionBy(lit(1))
+      val ranked = tests
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("crit", col("i") * lit(q) / col("m"))
+      ranked
+        .withColumn("k", max(when(col("p_value") <= col("crit"),
+          col("i"))).over(wAll))
+        .select(col("event_type"), round(col("t_stat"), 4).as("t_stat"),
+          round(col("p_value"), 6).as("p_value"),
+          col("i").cast("long").as("p_rank"),
+          round(col("crit"), 6).as("bh_crit"),
+          (col("i") <= coalesce(col("k"), lit(0L)))
+            .as("significant"))
+        .orderBy(col("p_rank"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -504,5 +591,79 @@ object StatsQueries {
            round(avg(y_adj), 4) AS mean_y_cuped,
            round(1.0 - var_samp(y_adj) / var_samp(y), 4)
              AS var_reduction
-         FROM a GROUP BY variant ORDER BY variant""")
+         FROM a GROUP BY variant ORDER BY variant""",
+
+    "q_mannwhitney" ->
+      """WITH ev AS (
+           SELECT event_type, value,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         b AS (
+           SELECT event_type, value, count(*) AS cnt,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cnt_t
+           FROM ev GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, cnt, cnt_t,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM b),
+         g AS (
+           SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_t) AS BIGINT) AS n_t,
+             sum(cnt_t * (cum - (cnt - 1.0) / 2.0)) AS r_t,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+           FROM r GROUP BY 1)
+         SELECT event_type,
+           CAST(n - n_t AS BIGINT) AS n_c, n_t,
+           r_t - n_t * (n_t + 1) / 2.0 AS u_stat,
+           round((r_t - n_t * (n_t + 1) / 2.0 - (n - n_t) * n_t / 2.0) /
+             sqrt((n - n_t) * n_t / 12.0 *
+               ((n + 1) - tie_sum / (n * (n - 1.0)))), 4) AS z_stat
+         FROM g ORDER BY event_type""",
+
+    "q_fdr_bh" ->
+      """WITH ev AS (
+           SELECT event_type, value,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         g AS (
+           SELECT event_type,
+             count(CASE WHEN variant = 'control' THEN value END) AS n_c,
+             count(CASE WHEN variant = 'treatment' THEN value END) AS n_t,
+             avg(CASE WHEN variant = 'control' THEN value END) AS m_c,
+             avg(CASE WHEN variant = 'treatment' THEN value END) AS m_t,
+             var_samp(CASE WHEN variant = 'control' THEN value END) AS s2_c,
+             var_samp(CASE WHEN variant = 'treatment' THEN value END) AS s2_t
+           FROM ev GROUP BY event_type),
+         t AS (
+           SELECT event_type,
+             (m_t - m_c) / sqrt(s2_c / n_c + s2_t / n_t) AS t_stat
+           FROM g),
+         p AS (
+           SELECT event_type, t_stat,
+             2.0 / (1.0 + exp(1.5976 * abs(t_stat) *
+               (1.0 + 0.04417 * t_stat * t_stat))) AS p_value
+           FROM t),
+         r AS (
+           SELECT event_type, t_stat, p_value,
+             row_number() OVER (ORDER BY p_value, event_type) AS i,
+             count(*) OVER () AS m
+           FROM p),
+         k AS (
+           SELECT *, CAST(i AS DOUBLE) * 0.10 / m AS crit FROM r),
+         f AS (
+           SELECT *, max(CASE WHEN p_value <= crit THEN i END)
+             OVER () AS kmax
+           FROM k)
+         SELECT event_type, round(t_stat, 4) AS t_stat,
+           round(p_value, 6) AS p_value,
+           i AS p_rank, round(crit, 6) AS bh_crit,
+           i <= coalesce(kmax, 0) AS significant
+         FROM f ORDER BY p_rank""")
 }

@@ -145,4 +145,39 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(pooledRaw - pooledAdj) < 1e-3,
       s"CUPED shifted the pooled mean: $pooledRaw vs $pooledAdj")
   }
+
+  test("q_mannwhitney: U bounded by n_c·n_t; ranks ride the block aggregate") {
+    val df = q("q_mannwhitney")
+    // the midrank window must consume the (type,value) aggregate, not
+    // fact rows: a HashAggregate sits below the Window in the plan
+    val p = withoutAqe(df.queryExecution.executedPlan.toString)
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) >= 0,
+      s"expected aggregate below the midrank window:\n$p")
+    df.collect().foreach { r =>
+      val nC = r.getAs[Long]("n_c"); val nT = r.getAs[Long]("n_t")
+      val u = r.getAs[Double]("u_stat")
+      assert(u >= 0.0 && u <= nC.toDouble * nT,
+        s"U out of [0, n_c*n_t]: $r")
+      assert(!r.getAs[Double]("z_stat").isNaN)
+    }
+  }
+
+  test("q_fdr_bh: significant set is a prefix of the p-value order") {
+    val rows = q("q_fdr_bh").collect().sortBy(_.getAs[Long]("p_rank"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p > 0.0 && p <= 1.0, s"p out of range: $r")
+    }
+    // p ascending with rank, crit strictly increasing
+    val ps = rows.map(_.getAs[Double]("p_value"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    val crits = rows.map(_.getAs[Double]("bh_crit"))
+    assert(crits.zip(crits.tail).forall { case (a, b) => a < b })
+    // BH rejects a prefix: once not significant, never significant
+    val sig = rows.map(_.getAs[Boolean]("significant"))
+    assert(!sig.zip(sig.tail).exists { case (a, b) => !a && b },
+      s"significance not a prefix: ${sig.mkString(",")}")
+  }
 }
