@@ -28,7 +28,7 @@ object SparkEntry {
       StreamQueries.defs ++ SourceQueries.defs ++ JoinExtQueries.defs ++
       ClusterQueries.defs ++ GeoQueries.defs ++ QualityQueries.defs ++
       AnalyticsQueries.defs ++ StatsQueries.defs ++
-      SequenceQueries.defs ++ OpsQueries.defs
+      SequenceQueries.defs ++ OpsQueries.defs ++ GraphQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -41,5 +41,5 @@ object SparkEntry {
       ClusterQueries.oracles ++ GeoQueries.oracles ++
       QualityQueries.oracles ++ AnalyticsQueries.oracles ++
       StatsQueries.oracles ++ SequenceQueries.oracles ++
-      OpsQueries.oracles
+      OpsQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relationship structures hiding in the star
+  * schema: the co-supply graph (suppliers linked when they serve the
+  * same order) and the nation-level trade graph (supplier nation →
+  * customer nation, weighted by line items).
+  *
+  * Scale designs:
+  *  - triangle counting uses the DEGREE-ORDERED orientation: each
+  *    undirected edge is directed from its (degree, id)-smaller
+  *    endpoint, which bounds every out-neighborhood by O(√m) on any
+  *    graph, so the wedge join (the only superlinear step) does
+  *    Σ outdeg² work — the standard bound that keeps triangle
+  *    counting feasible on power-law graphs where a naive
+  *    orientation would square the hub degree;
+  *  - edge building is bounded by Σ(order size)² like the basket
+  *    queries, never |suppliers|²;
+  *  - PageRank iterates as THREE relational passes (the plan is the
+  *    product: edges join a broadcast rank vector, re-aggregate by
+  *    destination). On a 100× web-scale graph the broadcast flips to
+  *    a shuffle join on src and the same plan holds; per-iteration
+  *    contribution sums are DECIMAL-quantized (the repo-wide idiom
+  *    for cross-engine double reductions), so three iterations stay
+  *    bit-identical with the oracle.
+  */
+object GraphQueries {
+
+  /** Undirected distinct co-supply edges (a < b) from orders shared
+    * by two suppliers; work bounded by Σ per-order supplier pairs.
+    */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val a = li.select(col("ok"), col("sk").as("sa"))
+    val b = li.select(col("ok"), col("sk").as("sb"))
+    a.join(b, Seq("ok")).where(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Triangle census of the co-supply graph: nodes, edges, wedges
+    // (paths of length 2), triangles, and the global clustering
+    // coefficient 3·Δ/wedges. The wedge join runs on the
+    // degree-oriented edge list (out-endpoint = smaller (deg, id)),
+    // and the closing-edge check is a semi-join back to the oriented
+    // edges — both equi-joins on node ids, no cartesian anywhere.
+    "q_graph_triangles" -> { (s, dir) =>
+      val e = coSupplyEdges(s, dir).cache()
+      val deg = e.select(col("sa").as("v")).unionAll(
+          e.select(col("sb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // orient each edge from the (deg, id)-smaller endpoint
+      val da = deg.select(col("v").as("sa"), col("deg").as("dega"))
+      val db = deg.select(col("v").as("sb"), col("deg").as("degb"))
+      val oriented = e.join(da, "sa").join(db, "sb")
+        .select(
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("sa") < col("sb")),
+            col("sa")).otherwise(col("sb")).as("src"),
+          when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("sa") < col("sb")),
+            col("sb")).otherwise(col("sa")).as("dst"))
+      // wedges u→v, u→w (v < w by id) close iff v→w or w→v oriented;
+      // oriented closing edges always run low→high in (deg,id) order,
+      // so checking (v,w) AND (w,v) is a plain equi-join union
+      val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
+      val e2 = oriented.select(col("src").as("u2"), col("dst").as("w"))
+      val wedges = e1.join(e2, col("u") === col("u2") &&
+          col("v") < col("w"))
+        .select(col("v"), col("w"))
+      val closing = oriented.select(col("src").as("v"),
+          col("dst").as("w"))
+        .unionAll(oriented.select(col("dst").as("v"),
+          col("src").as("w")))
+      val triCount = wedges.join(closing, Seq("v", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("deg")) / 2).cast("long").as("n_edges"),
+        sum((col("deg") * (col("deg") - 1) / 2).cast("long"))
+          .as("n_wedges"))
+      stats.crossJoin(broadcast(triCount))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
+    },
+
+    // Three damped PageRank iterations over the nation trade graph
+    // (supplier nation → customer nation, weight = line items).
+    // Rank vector starts uniform (1/25); each pass is
+    // edges ⋈ broadcast(rank) → re-aggregate by destination with
+    // DECIMAL-quantized contribution sums; dangling mass follows the
+    // simplified (non-redistributing) convention. 0.006 = (1−d)/25.
+    "q_graph_pagerank" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val supp = Tables(s, dir, "supplier")
+      val nation = Tables(s, dir, "nation")
+      val edges0 = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("src"),
+          col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      import org.apache.spark.sql.expressions.Window
+      val edges = edges0.withColumn("outw",
+        sum(col("w")).over(Window.partitionBy(col("src")))).cache()
+      val nodes = nation.select(col("n_nationkey").as("node"),
+        col("n_name"))
+      var pr = nodes.select(col("node"), col("n_name"),
+        lit(0.04).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(broadcast(pr.select(col("node"), col("pr"))),
+            col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum((col("pr") * col("w") / col("outw"))
+            .cast("decimal(28,14)")).cast("decimal(28,14)")
+            .as("contrib"))
+        pr = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("n_name"),
+            (lit(0.006) + lit(0.85) *
+              coalesce(col("contrib").cast("double"), lit(0.0)))
+              .as("pr"))
+      }
+      pr.select(col("n_name"), round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("n_name"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q_graph_triangles" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.sk AS sa, b.sk AS sb
+           FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+         deg AS (
+           SELECT v, count(*) AS deg FROM (
+             SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
+           GROUP BY v),
+         o AS (
+           SELECT
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.sa < e.sb)
+                  THEN e.sa ELSE e.sb END AS src,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.sa < e.sb)
+                  THEN e.sb ELSE e.sa END AS dst
+           FROM e JOIN deg da ON e.sa = da.v
+                  JOIN deg db ON e.sb = db.v),
+         wedge AS (
+           SELECT p1.dst AS v, p2.dst AS w
+           FROM o p1 JOIN o p2
+             ON p1.src = p2.src AND p1.dst < p2.dst),
+         closing AS (
+           SELECT src AS v, dst AS w FROM o
+           UNION ALL SELECT dst AS v, src AS w FROM o),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM wedge JOIN closing USING (v, w)),
+         stats AS (
+           SELECT count(*) AS n_nodes,
+             CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+           FROM deg)
+         SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           round(3.0::DOUBLE * n_triangles / n_wedges, 6)
+             AS clustering_coeff
+         FROM stats, tri""",
+
+    "q_graph_pagerank" ->
+      """WITH e0 AS (
+           SELECT s_nationkey AS src, c_nationkey AS dst,
+             count(*) AS w
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         e AS (
+           SELECT src, dst, w,
+             sum(w) OVER (PARTITION BY src) AS outw
+           FROM e0),
+         n AS (SELECT n_nationkey AS node, n_name FROM nation),
+         p0 AS (SELECT node, 0.04::DOUBLE AS pr FROM n),
+         c1 AS (
+           SELECT dst, CAST(sum(CAST(p.pr * e.w / e.outw
+             AS DECIMAL(28,14))) AS DECIMAL(28,14)) AS contrib
+           FROM e JOIN p0 p ON e.src = p.node GROUP BY dst),
+         p1 AS (
+           SELECT n.node,
+             0.006 + 0.85 * coalesce(c1.contrib::DOUBLE, 0.0) AS pr
+           FROM n LEFT JOIN c1 ON n.node = c1.dst),
+         c2 AS (
+           SELECT dst, CAST(sum(CAST(p.pr * e.w / e.outw
+             AS DECIMAL(28,14))) AS DECIMAL(28,14)) AS contrib
+           FROM e JOIN p1 p ON e.src = p.node GROUP BY dst),
+         p2 AS (
+           SELECT n.node,
+             0.006 + 0.85 * coalesce(c2.contrib::DOUBLE, 0.0) AS pr
+           FROM n LEFT JOIN c2 ON n.node = c2.dst),
+         c3 AS (
+           SELECT dst, CAST(sum(CAST(p.pr * e.w / e.outw
+             AS DECIMAL(28,14))) AS DECIMAL(28,14)) AS contrib
+           FROM e JOIN p2 p ON e.src = p.node GROUP BY dst),
+         p3 AS (
+           SELECT n.node,
+             0.006 + 0.85 * coalesce(c3.contrib::DOUBLE, 0.0) AS pr
+           FROM n LEFT JOIN c3 ON n.node = c3.dst)
+         SELECT n.n_name, round(p3.pr, 6) AS pagerank
+         FROM n JOIN p3 ON n.node = p3.node
+         ORDER BY n.n_name""")
+}

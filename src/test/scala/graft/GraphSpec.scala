@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Gates for the graph family (GraphQueries): the triangle census is
+  * cross-checked against an independent brute-force count on the
+  * small SF, and PageRank against its conservation law (total mass
+  * bounded by 1, every node holds at least the teleport floor).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_graph_triangles: matches a brute-force adjacency count") {
+    val row = q("q_graph_triangles").collect().head
+    // independent recount: collect the (small-SF) co-supply edges and
+    // intersect adjacency sets per edge
+    val li = Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val a = li.select(col("ok"), col("sk").as("sa"))
+    val b = li.select(col("ok"), col("sk").as("sb"))
+    val edges = a.join(b, Seq("ok")).where(col("sa") < col("sb"))
+      .select("sa", "sb").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val bruteTri = edges.map { case (x, y) =>
+      (adj(x) & adj(y)).size
+    }.sum / 3 // each triangle counted once per edge
+    assert(row.getAs[Long]("n_triangles") == bruteTri,
+      s"triangle count ${row.getAs[Long]("n_triangles")} != brute $bruteTri")
+    assert(row.getAs[Long]("n_edges") == edges.length)
+    val cc = row.getAs[Double]("clustering_coeff")
+    assert(cc >= 0.0 && cc <= 1.0, s"clustering coeff out of range: $cc")
+  }
+
+  test("q_graph_pagerank: teleport floor and bounded total mass") {
+    val rows = q("q_graph_pagerank").collect()
+    assert(rows.length == 25) // one per nation
+    val prs = rows.map(_.getAs[Double]("pagerank"))
+    // every node keeps at least the (1−d)/n teleport share
+    assert(prs.forall(_ >= 0.006 - 1e-9), prs.min.toString)
+    // dangling mass is dropped (simplified convention), never
+    // created: teleport floor ≤ total ≤ 1
+    assert(prs.sum <= 1.0 + 1e-6, s"mass ${prs.sum} > 1")
+    assert(prs.sum >= 25 * 0.006 - 1e-6,
+      s"mass ${prs.sum} below the teleport floor")
+  }
+}
