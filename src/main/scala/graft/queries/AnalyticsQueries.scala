@@ -375,6 +375,98 @@ object AnalyticsQueries {
             .as("avg_value"))
         .orderBy(col("event_type"))
     },
+
+    // Autocorrelation function of the daily value series per
+    // event_type, lags 1–7 — the seasonality probe run before any
+    // forecasting model. The fact table collapses to one DECIMAL-
+    // exact daily sum per (type, day) FIRST; everything after (mean,
+    // lag join on day+k, centered products) runs on the ≤|days|-row
+    // aggregate, so the lag self-join is date-domain-sized no matter
+    // how many raw events exist. ACF_k = Σ dx_t·dx_{t+k} / Σ dx_t².
+    "q_acf" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").cast("double").as("x"))
+      val mean = daily.groupBy(col("event_type"))
+        .agg(avg(col("x")).as("xbar"))
+      val dd = daily.join(broadcast(mean), "event_type")
+        .select(col("event_type"), col("d"),
+          (col("x") - col("xbar")).as("dx"))
+      val denom = dd.groupBy(col("event_type"))
+        .agg(sum(col("dx") * col("dx")).as("ss"))
+      val a = dd.withColumn("lag", explode(sequence(lit(1), lit(7))))
+      val b = dd.select(col("event_type").as("et2"),
+        col("d").as("d2"), col("dx").as("dx2"))
+      a.join(b, col("event_type") === col("et2") &&
+          col("d2") === date_add(col("d"), col("lag")))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dx") * col("dx2")).as("num"))
+        .join(broadcast(denom), "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round(col("num") / col("ss"), 4).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
+    // Kaplan–Meier time-to-second-order survival per market segment,
+    // with single-order customers right-censored at the corpus
+    // horizon — the churn-analysis primitive. Per-customer first/two
+    // order dates come from a row_number window over the customer key
+    // (orders per customer are bounded); the KM table then lives on
+    // the (segment, distinct day) domain. The survival product is
+    // exp(Σ ln(1−d/n)) with each ln term DECIMAL-quantized before the
+    // running window sum — the repo-wide idiom that makes a
+    // cumulative double reduction bit-identical across engines. The
+    // d = n_risk boundary (everyone at risk exits) is pinned to
+    // exactly 0 rather than ln(0).
+    "q_survival_km" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey").as("cust"), col("c_mktsegment"),
+          to_date(col("o_orderdate")).as("od"),
+          col("o_orderkey"))
+      val wOrd = Window.partitionBy(col("cust"))
+        .orderBy(col("od"), col("o_orderkey"))
+      val firstTwo = o.withColumn("rn", row_number().over(wOrd))
+        .where(col("rn") <= 2)
+        .groupBy(col("cust"))
+        .agg(first(col("c_mktsegment")).as("seg"),
+          min(when(col("rn") === 1, col("od"))).as("d1"),
+          min(when(col("rn") === 2, col("od"))).as("d2"))
+      val horizon = o.agg(max(col("od")).as("hz"))
+      val subj = firstTwo.crossJoin(broadcast(horizon))
+        .select(col("seg"),
+          when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+            .otherwise(datediff(col("hz"), col("d1"))).cast("long")
+            .as("t"),
+          when(col("d2").isNotNull, 1L).otherwise(0L).as("ev"))
+      val byT = subj.groupBy(col("seg"), col("t"))
+        .agg(sum(col("ev")).as("d"),
+          sum(lit(1) - col("ev")).as("cns"))
+      val wSeg = Window.partitionBy(col("seg")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("seg"))
+      val km = byT
+        .withColumn("n_total", sum(col("d") + col("cns")).over(wTot))
+        .withColumn("cum_incl", sum(col("d") + col("cns")).over(wSeg))
+        .withColumn("n_risk",
+          col("n_total") - col("cum_incl") + col("d") + col("cns"))
+        .withColumn("lnterm",
+          when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d") / col("n_risk"))
+              .cast("decimal(18,12)")))
+        .withColumn("cumln", sum(col("lnterm")).over(wSeg))
+      km.where(col("d") > 0)
+        .select(col("seg").as("c_mktsegment"), col("t").as("t_days"),
+          col("n_risk"), col("d").as("n_events"),
+          when(col("d") === col("n_risk"), lit(0.0))
+            .otherwise(round(exp(col("cumln").cast("double")), 6))
+            .as("survival"))
+        .orderBy(col("c_mktsegment"), col("t_days"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -566,5 +658,95 @@ object AnalyticsQueries {
          FROM events
          GROUP BY event_type
          ORDER BY event_type""",
+
+    "q_acf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             (CAST(sum(CAST(value AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)))::DOUBLE AS x
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, avg(x) AS xbar
+           FROM daily GROUP BY 1),
+         dd AS (
+           SELECT daily.event_type, d, x - xbar AS dx
+           FROM daily JOIN m ON daily.event_type = m.event_type),
+         denom AS (
+           SELECT event_type, sum(dx * dx) AS ss
+           FROM dd GROUP BY 1),
+         lags AS (
+           SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag),
+         num AS (
+           SELECT a.event_type, l.lag,
+             count(*) AS n_pairs, sum(a.dx * b.dx) AS num
+           FROM dd a CROSS JOIN lags l
+             JOIN dd b ON a.event_type = b.event_type
+               AND b.d = a.d + l.lag
+           GROUP BY 1, 2)
+         SELECT num.event_type, CAST(lag AS INT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(num / ss, 4) AS acf
+         FROM num JOIN denom ON num.event_type = denom.event_type
+         ORDER BY num.event_type, lag""",
+
+    "q_survival_km" ->
+      """WITH o AS (
+           SELECT c_custkey AS cust, c_mktsegment,
+             CAST(o_orderdate AS DATE) AS od, o_orderkey
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         rk AS (
+           SELECT cust, c_mktsegment, od,
+             row_number() OVER (PARTITION BY cust
+               ORDER BY od, o_orderkey) AS rn
+           FROM o),
+         ft AS (
+           SELECT cust, min(c_mktsegment) AS seg,
+             min(CASE WHEN rn = 1 THEN od END) AS d1,
+             min(CASE WHEN rn = 2 THEN od END) AS d2
+           FROM rk WHERE rn <= 2 GROUP BY cust),
+         hz AS (SELECT max(od) AS hz FROM o),
+         subj AS (
+           SELECT seg,
+             CAST(CASE WHEN d2 IS NOT NULL
+               THEN datediff('day', d1, d2)
+               ELSE datediff('day', d1, hz) END AS BIGINT) AS t,
+             CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM ft, hz),
+         byt AS (
+           SELECT seg, t,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS cns
+           FROM subj GROUP BY 1, 2),
+         km AS (
+           SELECT seg, t, d, cns,
+             CAST(sum(d + cns) OVER (PARTITION BY seg) AS BIGINT)
+               AS n_total,
+             CAST(sum(d + cns) OVER (PARTITION BY seg ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_incl
+           FROM byt),
+         km2 AS (
+           SELECT seg, t, d,
+             n_total - cum_incl + d + cns AS n_risk
+           FROM km),
+         km3 AS (
+           SELECT seg, t, d, n_risk,
+             CASE WHEN d < n_risk
+               THEN CAST(ln(1.0 - d / n_risk) AS DECIMAL(18,12))
+             END AS lnterm
+           FROM km2),
+         km4 AS (
+           SELECT seg, t, d, n_risk,
+             sum(lnterm) OVER (PARTITION BY seg ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumln
+           FROM km3)
+         SELECT seg AS c_mktsegment, t AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           CASE WHEN d = n_risk THEN 0.0
+             ELSE round(exp(CAST(cumln AS DOUBLE)), 6) END
+             AS survival
+         FROM km4 WHERE d > 0
+         ORDER BY c_mktsegment, t_days""",
   )
 }

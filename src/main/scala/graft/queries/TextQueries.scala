@@ -625,6 +625,67 @@ object TextQueries {
           array_join(col("col"), " ").as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_id"))
     },
+
+    // Boilerplate detection by shingle document-frequency — the
+    // web-corpus curation step that strips navigation chrome and
+    // templated passages before training. A 5-gram occurring in ≥ 5
+    // distinct docs is template material, and each doc reports the
+    // fraction of its 5-gram positions covered by such shingles.
+    // Shape: native shingling (one pass, no interpreted lambdas) →
+    // per-(doc, shingle) position counts → the shingle's doc
+    // frequency as a count-window OVER THE AGGREGATE (one row per
+    // doc-shingle, so the window input is |distinct pairs|, never
+    // positions) → per-doc rollup. Three shuffles, all on aggregates.
+    "q_text_boilerplate" -> { (s, dir) =>
+      import graft.plans.Sketches
+      val pos = docs(s, dir)
+        .select(col("doc_id"),
+          Sketches.wordShingles(col("text"), 5).as("shs"))
+        .where(size(col("shs")) > 0)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+      val g = pos.groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("sh"))))
+      g.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_shingles"),
+          sum(when(col("df") >= 5, col("c")).otherwise(0L))
+            .as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          round(col("n_boiler") / col("n_shingles"), 6)
+            .as("boiler_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Keyness: which words characterize source `src0` against the
+    // rest of the corpus — Dunning's log-likelihood ratio (the
+    // standard corpus-linguistics keyword statistic, robust at low
+    // counts where χ² misbehaves). One word-count aggregate carries
+    // both arms as conditional sums (the q_ab_ttest discipline), the
+    // corpus totals are a one-row broadcast, and the top-20 is
+    // TakeOrderedAndProject on the rounded score. Per-word ln() is
+    // scalar IEEE math; the round-4 contract pins the quotient.
+    "q_text_keyness" -> { (s, dir) =>
+      val w = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " "))
+          .as("word"))
+      val counts = w.groupBy(col("word")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("b"))
+      val tot = counts.agg(sum(col("a")).as("ta"),
+        sum(col("b")).as("tb"))
+      val ea = col("ta") * (col("a") + col("b")) / (col("ta") + col("tb"))
+      val eb = col("tb") * (col("a") + col("b")) / (col("ta") + col("tb"))
+      val termA = when(col("a") > 0,
+        col("a") * log(col("a") / ea)).otherwise(lit(0.0))
+      val termB = when(col("b") > 0,
+        col("b") * log(col("b") / eb)).otherwise(lit(0.0))
+      counts.crossJoin(broadcast(tot))
+        .select(col("word"), col("a").as("n_target"),
+          col("b").as("n_rest"),
+          round(lit(2.0) * (termA + termB), 4).as("llr"))
+        .orderBy(col("llr").desc, col("word")).limit(20)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1377,5 +1438,59 @@ object TextQueries {
                                       chunk_id * 48 + 64), ' ')
              AS chunk_text
          FROM c ORDER BY doc_id, chunk_id""",
+
+    "q_text_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pos AS (
+           SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4]
+                     for i in range(1, len(t) - 3)]) AS sh
+           FROM toks WHERE len(t) >= 5),
+         g AS (
+           SELECT doc_id, sh, count(*) AS c FROM pos GROUP BY 1, 2),
+         d AS (
+           SELECT doc_id, c,
+             count(*) OVER (PARTITION BY sh) AS df
+           FROM g),
+         agg AS (
+           SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN df >= 5 THEN c ELSE 0 END) AS BIGINT)
+               AS n_boiler
+           FROM d GROUP BY doc_id)
+         SELECT doc_id, n_shingles, n_boiler,
+           round(n_boiler / n_shingles, 6) AS boiler_ratio
+         FROM agg ORDER BY doc_id""",
+
+    "q_text_keyness" ->
+      """WITH w AS (
+           SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         counts AS (
+           SELECT word,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b
+           FROM w GROUP BY word),
+         tot AS (
+           SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(b) AS BIGINT) AS tb
+           FROM counts),
+         x AS (
+           SELECT word, a, b,
+             2.0 * (
+               (CASE WHEN a > 0
+                 THEN a * ln(a / (ta * (a + b) / (ta + tb)))
+                 ELSE 0.0 END) +
+               (CASE WHEN b > 0
+                 THEN b * ln(b / (tb * (a + b) / (ta + tb)))
+                 ELSE 0.0 END)) AS llr
+           FROM counts, tot)
+         SELECT word, a AS n_target, b AS n_rest,
+           round(llr, 4) AS llr
+         FROM x ORDER BY llr DESC, word LIMIT 20""",
   )
 }

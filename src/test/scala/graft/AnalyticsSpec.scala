@@ -119,4 +119,36 @@ class AnalyticsSpec extends SparkSpec {
       assert(est >= exact, s"CMS undercounted: $r")
     }
   }
+
+  test("q_acf: correlations bounded, every type carries lags 1–7") {
+    val rows = q("q_acf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val acf = r.getAs[Double]("acf")
+      // |Σ dx_t dx_{t+k}| ≤ Σ dx² by Cauchy–Schwarz on the sub-series
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9,
+        s"acf out of [-1,1]: $r")
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (et, rs) =>
+        assert(rs.map(_.getAs[Int]("lag")).sorted.sameElements(1 to 7),
+          s"$et missing lags")
+    }
+  }
+
+  test("q_survival_km: survival and risk-set monotone within segment") {
+    val rows = q("q_survival_km").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach {
+      case (seg, rs) =>
+        val byT = rs.sortBy(_.getAs[Long]("t_days"))
+        val surv = byT.map(_.getAs[Double]("survival"))
+        assert(surv.forall(sv => sv >= 0.0 && sv <= 1.0), seg)
+        assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+          s"$seg survival not non-increasing: ${surv.mkString(",")}")
+        val risk = byT.map(_.getAs[Long]("n_risk"))
+        assert(risk.zip(risk.tail).forall { case (a, b) => b < a },
+          s"$seg risk set must strictly shrink over event times")
+    }
+  }
 }

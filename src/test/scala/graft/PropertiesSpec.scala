@@ -292,4 +292,36 @@ class PropertiesSpec extends SparkSpec {
       .count()
     assert(bad == 0, s"$bad docs break the chunk-count closed form")
   }
+
+  test("boilerplate ratio bounded; shingle totals match the token count") {
+    val rows = graft.queries.TextQueries
+      .defs("q_text_boilerplate")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"ratio out of range: $r")
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_shingles"))
+      // positions = tokens − 4 for every doc with ≥5 tokens
+      val n = toks(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_shingles") == n - 4,
+        s"position count mismatch for $r (tokens=$n)")
+    }
+  }
+
+  test("keyness: LLR non-negative and zero iff proportional counts") {
+    val rows = graft.queries.TextQueries
+      .defs("q_text_keyness")(spark, sf()).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      // Dunning LLR is a deviance — never negative (up to rounding)
+      assert(r.getAs[Double]("llr") >= -1e-6, s"negative LLR: $r")
+      assert(r.getAs[Long]("n_target") + r.getAs[Long]("n_rest") > 0)
+    }
+    val llrs = rows.map(_.getAs[Double]("llr"))
+    assert(llrs.zip(llrs.tail).forall { case (a, b) => a >= b },
+      "top-20 not LLR-descending")
+  }
 }
