@@ -214,6 +214,28 @@ object JoinExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // Skew-replicated salted JOIN — the join-side counterpart of
+    // q_salted_agg: the fact side carries a deterministic 8-way salt,
+    // the part dim is replicated per salt, and the join key becomes
+    // (partkey, salt) so a hot part's lineitems spread over 8
+    // reducers. Row-identical to the plain join (the oracle IS the
+    // plain join); SkewSpec measures the max-partition cut on a
+    // planted-skew fixture with broadcast disabled. Use when the
+    // skew is known up front (vs AQE's runtime split, SkewSpec's
+    // other half); cost is salts× the dim shuffle volume.
+    "q_join_skew_salted" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.Skew.saltedJoin(li, part, "l_partkey",
+          struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+
     // HLL approximate distinct with an ORACLE-CHECKABLE contract:
     // sketch internals differ across engines, so the HLL estimate
     // itself can't be hash-compared — instead the query emits the
@@ -562,6 +584,13 @@ object JoinExtQueries {
            AS sum_v,
          count(*) AS cnt
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_join_skew_salted" ->
+      """SELECT p_brand, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+             AS DECIMAL(18,6)) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
 
     "q_set_except_all" ->
       """SELECT o_orderstatus AS status FROM orders

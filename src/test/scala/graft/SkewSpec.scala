@@ -50,4 +50,43 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltedJoin: identical rows to the plain join, hot key spread over salts") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // planted skew: 90% of fact rows hit key 7
+      val fact = spark.range(20000)
+        .select(col("id"),
+          when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100)
+            .as("k"),
+          (col("id") % 97).as("v"))
+      val dim = spark.range(100)
+        .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+      val plain = fact.join(dim, "k")
+      val salted = graft.operators.Skew.saltedJoin(fact, dim, "k",
+        col("id"), salts = 8)
+      // row-identical result
+      assert(salted.select("k", "id", "v", "name")
+        .exceptAll(plain.select("k", "id", "v", "name")).isEmpty &&
+        plain.select("k", "id", "v", "name")
+          .exceptAll(salted.select("k", "id", "v", "name")).isEmpty,
+        "salted join changed the result")
+      // measured spread: the hot key's rows land in ≥4 of the 8 salt
+      // buckets' partitions, so no task sees more than ~half of them
+      def maxPart(df: org.apache.spark.sql.DataFrame): Int =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+      val mPlain = maxPart(plain)
+      val mSalted = maxPart(salted)
+      assert(mSalted <= mPlain / 2,
+        s"salting did not spread the hot key: plain max-task=$mPlain " +
+          s"salted max-task=$mSalted")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
