@@ -467,6 +467,66 @@ object AnalyticsQueries {
             .as("survival"))
         .orderBy(col("c_mktsegment"), col("t_days"))
     },
+
+    // Time-to-convert distribution between funnel stages — the
+    // latency companion of q_funnel_steps: per user, first signup,
+    // first click strictly after it, first purchase strictly after
+    // that; medians/p90s of the two transition durations. Built as
+    // the BOUNDED funnel shape (min-aggregate per stage, each stage
+    // joining the previous stage's per-user row) — per-user state is
+    // one timestamp per stage no matter how many events a whale user
+    // has, the same discipline as userStagesBounded.
+    "q_funnel_time_to_convert" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("u"),
+          col("event_type").as("et"))
+      val t1 = ev.filter(col("et") === "signup")
+        .groupBy(col("user_id")).agg(min(col("u")).as("t1"))
+      val t2 = ev.filter(col("et") === "click")
+        .join(t1, "user_id").where(col("u") > col("t1"))
+        .groupBy(col("user_id"))
+        .agg(min(col("u")).as("t2"), min(col("t1")).as("t1"))
+      val t3 = ev.filter(col("et") === "purchase")
+        .join(t2.select(col("user_id"), col("t2")), "user_id")
+        .where(col("u") > col("t2"))
+        .groupBy(col("user_id"))
+        .agg(min(col("u")).as("t3"), min(col("t2")).as("t2"))
+      val d = t2.select(lit("signup_to_click").as("transition"),
+          ((col("t2") - col("t1")) / lit(3.6e9)).as("hrs"))
+        .unionByName(t3.select(
+          lit("click_to_purchase").as("transition"),
+          ((col("t3") - col("t2")) / lit(3.6e9)).as("hrs")))
+      d.groupBy(col("transition"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(hrs, 0.5)"), 4).as("median_hours"),
+          round(expr("percentile(hrs, 0.9)"), 4).as("p90_hours"))
+        .orderBy(col("transition"))
+    },
+
+    // Quantile-normalization reference distribution — the
+    // batch-effect correction used to force feature distributions
+    // from different segments onto a common scale: each event_type
+    // contributes its exact 20-grid quantiles, and the reference is
+    // their cross-type mean at each grid point. One percentile-array
+    // aggregate per type (map-side partials over the fact table),
+    // then a 20×|types|-row reshape — the mapping table an engine
+    // would broadcast back to normalize the raw column at scale.
+    "q_quantile_normalize" -> { (s, dir) =>
+      val ps = (1 to 20).map(_ / 20.0)
+      val q = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr(s"percentile(value, array(${ps.mkString(",")}))")
+          .as("qs"))
+      q.select(col("event_type"), posexplode(col("qs")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("long").as("bin"),
+          col("col").as("qv"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_types"),
+          round(avg(col("qv")), 4).as("ref_value"),
+          round(max(col("qv")) - min(col("qv")), 4).as("spread"))
+        .orderBy(col("bin"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -748,5 +808,53 @@ object AnalyticsQueries {
              AS survival
          FROM km4 WHERE d > 0
          ORDER BY c_mktsegment, t_days""",
+
+    "q_funnel_time_to_convert" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS u, event_type AS et
+           FROM events),
+         t1 AS (
+           SELECT user_id, min(u) AS t1 FROM ev
+           WHERE et = 'signup' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(e.u) AS t2, min(t1.t1) AS t1
+           FROM ev e JOIN t1 ON e.user_id = t1.user_id
+             AND e.u > t1.t1
+           WHERE e.et = 'click' GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(e.u) AS t3, min(t2.t2) AS t2
+           FROM ev e JOIN t2 ON e.user_id = t2.user_id
+             AND e.u > t2.t2
+           WHERE e.et = 'purchase' GROUP BY 1),
+         d AS (
+           SELECT 'signup_to_click' AS transition,
+             (t2 - t1) / 3600000000.0 AS hrs
+           FROM t2
+           UNION ALL
+           SELECT 'click_to_purchase' AS transition,
+             (t3 - t2) / 3600000000.0 AS hrs
+           FROM t3)
+         SELECT transition, count(*) AS n_users,
+           round(quantile_cont(hrs, 0.5), 4) AS median_hours,
+           round(quantile_cont(hrs, 0.9), 4) AS p90_hours
+         FROM d GROUP BY transition ORDER BY transition""",
+
+    "q_quantile_normalize" ->
+      """WITH q AS (
+           SELECT event_type,
+             quantile_cont(value, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3,
+               0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
+               0.8, 0.85, 0.9, 0.95, 1.0]) AS qs
+           FROM events GROUP BY event_type),
+         bins AS (
+           SELECT unnest(generate_series(1, 20)) AS bin),
+         x AS (
+           SELECT event_type, bin, qs[bin] AS qv
+           FROM q, bins)
+         SELECT bin,
+           count(*) AS n_types,
+           round(avg(qv), 4) AS ref_value,
+           round(max(qv) - min(qv), 4) AS spread
+         FROM x GROUP BY bin ORDER BY bin""",
   )
 }

@@ -419,6 +419,23 @@ object RelationalQueries {
         ORDER BY ALL""")
     },
 
+    // SQL PIVOT — Spark's native relational pivot clause (one
+    // conditional-aggregate pass under the hood, same plan class as
+    // the DataFrame q_pivot). The oracle states the equivalent
+    // conditional aggregation: DuckDB's own PIVOT syntax differs,
+    // and the CASE form is the engine-neutral ground truth anyway.
+    "q_sql_pivot" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus,
+            CAST(l_quantity AS DECIMAL(18,6)) AS qty
+          FROM lineitem)
+        PIVOT (CAST(sum(qty) AS DECIMAL(18,6))
+               FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
+        ORDER BY l_returnflag""")
+    },
+
     // QUALIFY (injectParser sugar, graft.plans.QualifySyntax): the
     // post-window filter Spark SQL lacks; rewritten at parse time
     // into a wrapped subquery + filter + star-EXCEPT. The oracle runs
@@ -874,6 +891,18 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY rf, ls""",
+
+    "q_sql_pivot" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_quantity AS DECIMAL(18,6)) END)
+             AS DECIMAL(18,6)) AS qty_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_quantity AS DECIMAL(18,6)) END)
+             AS DECIMAL(18,6)) AS qty_filled
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
 
     // the Spark query's exact text (both engines native)
     "q_sql_group_by_all" ->

@@ -217,6 +217,51 @@ object SequenceQueries {
           round(col("n_ab") * col("n_baskets") /
             (col("n_a") * col("n_b")), 4).as("lift"))
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+    },
+
+    // Item-item collaborative filtering: cosine similarity over the
+    // order-basket incidence (sim = n_ab/√(n_a·n_b)), top-3 neighbors
+    // per item — the "customers also bought" primitive. Same
+    // windowed-support pair join as q_cooccur_rules (supports ride
+    // the join as payload, Σ basket² work bound); the neighbor rank
+    // is a row_number over each item's aggregated pair list, pruned
+    // map-side by WindowGroupLimit. Cosine is a per-row quotient of
+    // integers — IEEE-identical across engines, so ordering and the
+    // top-3 cut replay exactly.
+    "q_recsys_item_cosine" -> { (s, dir) =>
+      val minSup = 3
+      val baskets = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")).distinct()
+      val withN = baskets.withColumn("n_item",
+          count(lit(1)).over(Window.partitionBy(col("item"))))
+        .where(col("n_item") >= minSup)
+      val a = withN.select(col("basket"), col("item").as("item_a"),
+        col("n_item").as("n_a"))
+      val b = withN.select(col("basket"), col("item").as("item_b"),
+        col("n_item").as("n_b"))
+      val pairs = a.join(b, Seq("basket"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 2)
+      // expand to both directions so every item ranks its neighbors
+      val directed = pairs.select(col("item_a").as("item"),
+          col("item_b").as("neighbor"), col("n_ab"),
+          col("n_a").as("n_i"), col("n_b").as("n_j"))
+        .unionByName(pairs.select(col("item_b").as("item"),
+          col("item_a").as("neighbor"), col("n_ab"),
+          col("n_b").as("n_i"), col("n_a").as("n_j")))
+        .withColumn("cosine",
+          col("n_ab") / sqrt(col("n_i") * col("n_j")))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("neighbor"))
+      directed.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("item"), col("neighbor"), col("n_ab"),
+          round(col("cosine"), 4).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("item"), col("rank"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -345,5 +390,40 @@ object SequenceQueries {
          FROM pairs p
          JOIN itemn na ON p.item_a = na.item
          JOIN itemn nb ON p.item_b = nb.item, t
-         ORDER BY p.n_ab DESC, p.item_a, p.item_b""")
+         ORDER BY p.n_ab DESC, p.item_a, p.item_b""",
+
+    "q_recsys_item_cosine" ->
+      """WITH baskets AS (
+           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+         itemn AS (
+           SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
+         b2 AS (
+           SELECT basket, b.item, n_item
+           FROM baskets b JOIN itemn USING (item)
+           WHERE n_item >= 3),
+         pairs AS (
+           SELECT a.item AS item_a, b.item AS item_b,
+             a.n_item AS n_a, b.n_item AS n_b, count(*) AS n_ab
+           FROM b2 a JOIN b2 b ON a.basket = b.basket
+             AND a.item < b.item
+           GROUP BY 1, 2, 3, 4
+           HAVING count(*) >= 2),
+         directed AS (
+           SELECT item_a AS item, item_b AS neighbor, n_ab,
+             n_ab / sqrt(n_a * n_b) AS cosine
+           FROM pairs
+           UNION ALL
+           SELECT item_b AS item, item_a AS neighbor, n_ab,
+             n_ab / sqrt(n_b * n_a) AS cosine
+           FROM pairs),
+         rk AS (
+           SELECT item, neighbor, n_ab, cosine,
+             row_number() OVER (PARTITION BY item
+               ORDER BY cosine DESC, neighbor) AS rank
+           FROM directed)
+         SELECT item, neighbor, n_ab,
+           round(cosine, 4) AS cosine, rank
+         FROM rk WHERE rank <= 3
+         ORDER BY item, rank""")
 }

@@ -686,6 +686,40 @@ object TextQueries {
           round(lit(2.0) * (termA + termB), 4).as("llr"))
         .orderBy(col("llr").desc, col("word")).limit(20)
     },
+
+    // TF-IDF top-3 characteristic terms per document — the classic
+    // retrieval/feature weight (BM25's simpler sibling, kept for its
+    // role as a per-doc keyword extractor rather than a query
+    // scorer). One (doc, word) aggregate feeds everything: doc length
+    // as a doc-window sum, document frequency as a word-window count
+    // (both windows run over the aggregate, never positions), corpus
+    // size as a one-row broadcast. tf·idf = (c/len)·ln(N/df) is a
+    // per-row quotient of integers — IEEE-identical across engines —
+    // so the per-doc row_number cut (WindowGroupLimit-pruned)
+    // replays exactly.
+    "q_text_tfidf" -> { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " "))
+          .as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("doc_len",
+          sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("word"))))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = g.crossJoin(broadcast(n))
+        .withColumn("tfidf", (col("c") / col("doc_len")) *
+          log(col("n_docs") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("word"), col("c").as("tf_count"),
+          col("df"), round(col("tfidf"), 6).as("tfidf"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1492,5 +1526,32 @@ object TextQueries {
          SELECT word, a AS n_target, b AS n_rest,
            round(llr, 4) AS llr
          FROM x ORDER BY llr DESC, word LIMIT 20""",
+
+    "q_text_tfidf" ->
+      """WITH g AS (
+           SELECT doc_id, word, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           GROUP BY 1, 2),
+         gw AS (
+           SELECT doc_id, word, c,
+             CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS doc_len,
+             count(*) OVER (PARTITION BY word) AS df
+           FROM g),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, word, c, doc_len, df,
+             (c / doc_len) * ln(n_docs / df) AS tfidf
+           FROM gw, n),
+         rk AS (
+           SELECT doc_id, word, c, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, word) AS rank
+           FROM scored)
+         SELECT doc_id, word, c AS tf_count, df,
+           round(tfidf, 6) AS tfidf, rank
+         FROM rk WHERE rank <= 3
+         ORDER BY doc_id, rank""",
   )
 }

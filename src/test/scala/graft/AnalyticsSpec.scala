@@ -136,6 +136,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel_time_to_convert: durations positive, cohort sizes shrink down-funnel") {
+    val rows = q("q_funnel_time_to_convert").collect()
+      .map(r => r.getAs[String]("transition") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("median_hours"),
+          r.getAs[Double]("p90_hours"))).toMap
+    assert(rows.keySet ==
+      Set("signup_to_click", "click_to_purchase"))
+    rows.values.foreach { case (n, med, p90) =>
+      assert(n > 0)
+      assert(med > 0 && p90 >= med,
+        s"quantile order violated: median=$med p90=$p90")
+    }
+    // strictly-after semantics: each stage's cohort is a subset
+    assert(rows("click_to_purchase")._1 <= rows("signup_to_click")._1,
+      "purchase cohort outgrew click cohort")
+  }
+
+  test("q_quantile_normalize: reference curve monotone over bins") {
+    val rows = q("q_quantile_normalize").collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") > 0)
+      assert(r.getAs[Double]("spread") >= 0)
+    }
+    val ref = rows.map(_.getAs[Double]("ref_value"))
+    assert(ref.zip(ref.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"mean-of-quantiles must be non-decreasing: ${ref.mkString(",")}")
+  }
+
   test("q_survival_km: survival and risk-set monotone within segment") {
     val rows = q("q_survival_km").collect()
     assert(rows.nonEmpty)
