@@ -468,6 +468,38 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"), col("t_days"))
     },
 
+    // Incremental maintenance THROUGH a join: the materialized view
+    // is brand-level quantities over lineitem ⋈ part, and the
+    // refresh path recomputes only the newest ship-week's delta —
+    // delta-join + partial-merge (ΔF ⋈ D, then merge with the stored
+    // partial), the standard IVM identity for a view with a
+    // foreign-key join. The merged result must equal the full
+    // recompute, which IS the oracle. Both legs aggregate before
+    // nothing: each is a scan-side-filtered join + hash aggregate;
+    // at scale the stored leg is a read of yesterday's materialized
+    // partials, not a rescan (q_agg_incremental's contract, extended
+    // over a join).
+    "q_incremental_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          expr("unix_micros(l_shipdate) div 604800000000").as("wk"))
+      val part = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val cut = li.agg(max(col("wk")).as("cutwk"))
+      val tagged = li.crossJoin(broadcast(cut))
+      def leg(df: DataFrame) = df
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("sq"))
+      leg(tagged.filter(col("wk") < col("cutwk")))       // stored view
+        .unionByName(leg(tagged.filter(col("wk") >= col("cutwk"))))
+        .groupBy(col("p_brand"))                          // merge
+        .agg(sum(col("n")).as("n_items"),
+          sum(col("sq")).cast("decimal(18,6)").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+
     // Time-to-convert distribution between funnel stages — the
     // latency companion of q_funnel_steps: per user, first signup,
     // first click strictly after it, first purchase strictly after
@@ -808,6 +840,14 @@ object AnalyticsQueries {
              AS survival
          FROM km4 WHERE d > 0
          ORDER BY c_mktsegment, t_days""",
+
+    // the full recompute IS the oracle — the IVM identity under test
+    "q_incremental_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+             AS DECIMAL(18,6)) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
 
     "q_funnel_time_to_convert" ->
       """WITH ev AS (

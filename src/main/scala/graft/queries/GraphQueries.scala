@@ -91,6 +91,26 @@ object GraphQueries {
             .as("clustering_coeff"))
     },
 
+    // Log2-binned degree distribution of the co-supply graph — the
+    // first question asked of any production graph (is it power-law?
+    // where do the hubs start?) and the input to choosing the
+    // triangle orientation / join salting. Exact log2 via bin-string
+    // length (length(bin(d))−1): pure integer semantics, no
+    // floating-point floor(ln/ln2) edge at powers of two, identical
+    // in both engines.
+    "q_graph_degree_dist" -> { (s, dir) =>
+      val e = coSupplyEdges(s, dir)
+      val deg = e.select(col("sa").as("v")).unionAll(
+          e.select(col("sb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      deg.withColumn("bucket",
+          (length(bin(col("deg"))) - 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy(col("bucket"))
+    },
+
     // Three damped PageRank iterations over the nation trade graph
     // (supplier nation → customer nation, weight = line items).
     // Rank vector starts uniform (1/25); each pass is
@@ -176,6 +196,22 @@ object GraphQueries {
            round(3.0::DOUBLE * n_triangles / n_wedges, 6)
              AS clustering_coeff
          FROM stats, tri""",
+
+    "q_graph_degree_dist" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.sk AS sa, b.sk AS sb
+           FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+         deg AS (
+           SELECT v, count(*) AS deg FROM (
+             SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
+           GROUP BY v)
+         SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+           count(*) AS n_nodes,
+           min(deg) AS min_deg, max(deg) AS max_deg
+         FROM deg GROUP BY 1 ORDER BY bucket""",
 
     "q_graph_pagerank" ->
       """WITH e0 AS (

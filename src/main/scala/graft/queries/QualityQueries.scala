@@ -33,6 +33,30 @@ object QualityQueries {
     Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
       "l_quantity")
 
+  /** Shared ER fixture: the distinct part-name dictionary plus one
+    * planted near-variant per name (last char → '#'). Variant ids
+    * sit in a disjoint range derived IN-PLAN from the data (next
+    * multiple of 10⁶ above max id, one-row broadcast): a fixed
+    * constant collides with real ids once p_partkey grows past it
+    * (sf ≳ 2.5), silently corrupting the a.id < b.id pair dedup.
+    * Integer arithmetic keeps Spark and DuckDB bit-equal. The
+    * one-row broadcast attaches as a nested-loop join by
+    * construction (a constant key would be folded right back);
+    * QualitySpec pins that the PAIR join stays hash-on-block.
+    */
+  private def erCorpus(s: SparkSession, dir: String): DataFrame = {
+    val dict = Tables(s, dir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+    val off = dict.agg(
+      ((floor(max(col("id")) / 1000000L) + 1L) * 1000000L)
+        .cast("long").as("off"))
+    val variants = dict.crossJoin(broadcast(off))
+      .select((col("id") + col("off")).as("id"),
+        concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+          lit("#")).as("p_name"))
+    dict.select(col("id"), col("p_name")).unionByName(variants)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // One-pass table profile: row count, null count, exact distinct
@@ -109,25 +133,7 @@ object QualityQueries {
     // the same way the dedup family stacks band keys; QualitySpec
     // pins the no-cartesian plan.
     "q_entity_resolution" -> { (s, dir) =>
-      val dict = Tables(s, dir, "part")
-        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
-      // Variant ids sit in a disjoint range derived IN-PLAN from the
-      // data (next multiple of 10^6 above max id, one-row broadcast):
-      // a fixed constant collides with real ids once p_partkey grows
-      // past it (sf ≳ 2.5), silently corrupting the a.id < b.id pair
-      // dedup. Integer arithmetic keeps Spark and DuckDB bit-equal.
-      val off = dict.agg(
-        ((floor(max(col("id")) / 1000000L) + 1L) * 1000000L)
-          .cast("long").as("off"))
-      // the one-row broadcast attaches as a nested-loop join by
-      // construction (a constant key would be folded right back);
-      // QualitySpec pins that the PAIR join stays hash-on-block
-      val variants = dict.crossJoin(broadcast(off))
-        .select((col("id") + col("off")).as("id"),
-          concat(expr("substring(p_name, 1, length(p_name) - 1)"),
-            lit("#")).as("p_name"))
-      val keyed = dict.select(col("id"), col("p_name"))
-        .unionByName(variants)
+      val keyed = erCorpus(s, dir)
         .withColumn("block", element_at(split(col("p_name"), " "), 1))
       val a = keyed.as("a")
       val b = keyed.as("b")
@@ -137,6 +143,41 @@ object QualityQueries {
           levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
         .filter(col("dist") <= 2)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Phonetic-blocking audit — the complementary ER pass the
+    // entity-resolution scaladoc promises: candidates block on a
+    // vowel/space-stripped consonant skeleton (first 6 chars), the
+    // engine-portable stand-in for Soundex (DuckDB has no soundex;
+    // regexp character classes behave identically in both). Output
+    // is the blocking-quality scorecard a dedup pipeline tunes on:
+    // block count, worst block, candidate volume (Σ block²-shaped),
+    // and verified matches — the numbers that decide whether this
+    // key needs another round of splitting before the quadratic
+    // verify stage is affordable at scale.
+    "q_er_phonetic_block" -> { (s, dir) =>
+      val keyed = erCorpus(s, dir).withColumn("block",
+        substring(regexp_replace(lower(col("p_name")),
+          "[aeiou ]", ""), 1, 6))
+      val a = keyed.as("a")
+      val b = keyed.as("b")
+      val pairs = a.join(b, col("a.block") === col("b.block")
+          && col("a.id") < col("b.id"))
+        .select(col("a.block").as("block"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      val blockStats = keyed.groupBy(col("block"))
+        .agg(count(lit(1)).as("bn"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("bn")).as("max_block"))
+      val pairStats = pairs.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("dist") <= 2, 1L).otherwise(0L)).as("n_matches"))
+      keyed.agg(count(lit(1)).as("n_names"))
+        .crossJoin(broadcast(blockStats))
+        .crossJoin(broadcast(pairStats))
+        .select(col("n_names"), col("n_blocks"), col("max_block"),
+          col("n_candidate_pairs"), col("n_matches"),
+          round(col("n_matches") / col("n_candidate_pairs"), 4)
+            .as("verify_yield"))
     },
 
     // Distribution-drift audit (PSI): the ML-data-ops gate that
@@ -336,6 +377,44 @@ object QualityQueries {
           Tables(s, dir, "customer"),
           col("c_name").isNull || length(col("c_name")) === 0))
         .orderBy(col("rule"))
+    },
+
+    // Freshness/completeness audit: for each event_type, compare the
+    // days it actually has data against the full corpus day spine
+    // (min..max over ALL types — derived in-plan, no calendar
+    // constant), report missing partition-days and staleness versus
+    // the corpus watermark. The spine is a one-row sequence() explode
+    // (|days| rows) cross-joined with the distinct type dimension —
+    // both dimension-sized; the fact table contributes only its
+    // distinct (type, day) aggregate. The anti-join that finds holes
+    // runs dimension × dimension, never against raw events.
+    "q_dq_freshness" -> { (s, dir) =>
+      val act = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .distinct()
+      val bounds = act.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val spine = bounds
+        .select(explode(expr("sequence(d0, d1)")).as("d"))
+      val types = act.select(col("event_type")).distinct()
+      val expected = types.crossJoin(spine)
+      val missing = expected.join(act, Seq("event_type", "d"),
+          "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_missing"))
+      act.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days_present"),
+          max(col("d")).as("last_day"))
+        .join(missing, Seq("event_type"), "left")
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          (datediff(col("d1"), col("d0")) + 1).cast("long")
+            .as("n_days_expected"),
+          col("n_days_present"),
+          coalesce(col("n_missing"), lit(0L)).as("n_days_missing"),
+          col("last_day"),
+          datediff(col("d1"), col("last_day")).cast("long")
+            .as("staleness_days"))
+        .orderBy(col("event_type"))
     },
   )
 
@@ -557,5 +636,75 @@ object QualityQueries {
                  THEN 1 ELSE 0 END) = 0
            FROM customer)
          ORDER BY rule""",
+
+    "q_er_phonetic_block" ->
+      """WITH dict AS (
+           SELECT p_name, min(p_partkey) AS id FROM part
+           GROUP BY p_name),
+         off AS (
+           SELECT CAST((floor(max(id) / 1000000) + 1) * 1000000
+             AS BIGINT) AS off
+           FROM dict),
+         keyed AS (
+           SELECT id, p_name FROM dict
+           UNION ALL
+           SELECT d.id + o.off AS id,
+             substring(p_name, 1, length(p_name) - 1) || '#' AS p_name
+           FROM dict d, off o),
+         kb AS (
+           SELECT id, p_name,
+             substring(regexp_replace(lower(p_name), '[aeiou ]', '',
+               'g'), 1, 6) AS block
+           FROM keyed),
+         pairs AS (
+           SELECT a.block, levenshtein(a.p_name, b.p_name) AS dist
+           FROM kb a JOIN kb b
+             ON a.block = b.block AND a.id < b.id),
+         bs AS (
+           SELECT count(*) AS n_blocks, max(bn) AS max_block FROM (
+             SELECT block, count(*) AS bn FROM kb GROUP BY block)),
+         ps AS (
+           SELECT count(*) AS n_candidate_pairs,
+             CAST(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_matches
+           FROM pairs),
+         nn AS (SELECT count(*) AS n_names FROM kb)
+         SELECT n_names, n_blocks, max_block, n_candidate_pairs,
+           n_matches,
+           round(n_matches / n_candidate_pairs, 4) AS verify_yield
+         FROM nn, bs, ps""",
+
+    "q_dq_freshness" ->
+      """WITH act AS (
+           SELECT DISTINCT event_type, CAST(ts AS DATE) AS d
+           FROM events),
+         bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM act),
+         spine AS (
+           SELECT CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS d
+           FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM act),
+         missing AS (
+           SELECT e.event_type, count(*) AS n_missing
+           FROM (SELECT event_type, d FROM types, spine) e
+           LEFT JOIN act ON e.event_type = act.event_type
+             AND e.d = act.d
+           WHERE act.event_type IS NULL
+           GROUP BY 1),
+         pres AS (
+           SELECT event_type, count(*) AS n_days_present,
+             max(d) AS last_day
+           FROM act GROUP BY 1)
+         SELECT p.event_type,
+           CAST(datediff('day', b.d0, b.d1) + 1 AS BIGINT)
+             AS n_days_expected,
+           p.n_days_present,
+           CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_days_missing,
+           p.last_day,
+           CAST(datediff('day', p.last_day, b.d1) AS BIGINT)
+             AS staleness_days
+         FROM pres p LEFT JOIN missing m
+           ON p.event_type = m.event_type, bounds b
+         ORDER BY p.event_type""",
   )
 }

@@ -113,6 +113,56 @@ object VectorQueries {
         array_position(e, array_max(e)).as("argmax"))
         .orderBy(col("vec_id"))
     },
+
+    // Top principal direction of the embedding corpus by THREE power
+    // iterations on the (uncentered) Gram matrix — the whitening /
+    // drift-probe primitive a vector pipeline runs without ever
+    // materializing the d×d covariance: each pass is
+    // s = X·v (per-row sequential-fold dot, bit-deterministic) →
+    // w = Σ sᵢ·xᵢ (component explode + DECIMAL-quantized sums, the
+    // repo idiom that makes a cross-row double reduction exact) →
+    // v′ = w/‖w‖ (the norm itself a DECIMAL-quantized 64-term sum).
+    // Everything between scans is dimension-sized (64 rows), so at
+    // 100× rows the plan still moves |dim| values per pass and the
+    // scans dominate — the textbook scale shape for streaming PCA.
+    // λ (the Rayleigh estimate ‖w‖ of the top eigenvalue) rides
+    // along. The oracle replays all three iterations exactly.
+    "q_embed_power_iteration" -> { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val dim = e.agg(min(size(col("embedding"))).as("dim"))
+      var v = dim
+        .select(explode(sequence(lit(1), col("dim"))).as("pos0"),
+          col("dim"))
+        .select(col("pos0").cast("long").as("pos"),
+          (lit(1.0) / sqrt(col("dim"))).as("v"), lit(0.0).as("nrm"))
+      for (_ <- 1 to 3) {
+        val vArr = v.agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("varr"))
+        val scored = e.crossJoin(broadcast(vArr))
+          .select(col("embedding"),
+            VectorFunctions.dot(col("embedding"), col("varr")).as("s"))
+        val w = scored
+          .select(posexplode(col("embedding")), col("s"))
+          .select((col("pos") + lit(1)).cast("long").as("pos"),
+            (col("col").cast("double") * col("s")).as("xs"))
+          .groupBy(col("pos"))
+          .agg(sum(col("xs").cast("decimal(28,12)"))
+            .cast("decimal(28,12)").as("wd"))
+        val nrm = w.agg(sqrt(
+          sum((col("wd").cast("double") * col("wd").cast("double"))
+            .cast("decimal(28,12)")).cast("decimal(28,12)")
+            .cast("double")).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("pos"),
+            (col("wd").cast("double") / col("nrm")).as("v"),
+            col("nrm"))
+      }
+      v.select(col("pos").as("component"),
+          round(col("v"), 6).as("loading"),
+          round(col("nrm"), 4).as("lambda"))
+        .orderBy(col("component"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,5 +355,76 @@ object VectorQueries {
          CAST(list_position(embedding, list_aggregate(embedding, 'max'))
            AS BIGINT) AS argmax
          FROM embeddings ORDER BY vec_id""",
+
+    // replays the three power iterations exactly: same sequential
+    // dot fold, same DECIMAL(28,12) quantization of every cross-row
+    // sum, same ‖w‖ and normalization arithmetic
+    "q_embed_power_iteration" ->
+      """WITH e AS (SELECT vec_id, embedding AS x FROM embeddings),
+         dim AS (SELECT min(len(x)) AS dim FROM e),
+         v0 AS (
+           SELECT CAST(unnest(generate_series(1, dim)) AS BIGINT)
+             AS pos, 1.0 / sqrt(dim) AS v
+           FROM dim),
+         va0 AS (SELECT list(v ORDER BY pos) AS varr FROM v0),
+         s1 AS (
+           SELECT x, list_sum([x[i]::DOUBLE * varr[i]
+             for i in range(1, len(x) + 1)]) AS s
+           FROM e, va0),
+         p1 AS (
+           SELECT unnest(generate_series(1, len(x))) AS i, x, s
+           FROM s1),
+         w1 AS (
+           SELECT CAST(i AS BIGINT) AS pos,
+             CAST(sum(CAST(x[i]::DOUBLE * s AS DECIMAL(28,12)))
+               AS DECIMAL(28,12)) AS wd
+           FROM p1 GROUP BY 1),
+         n1 AS (
+           SELECT sqrt(CAST(sum(CAST(wd::DOUBLE * wd::DOUBLE
+             AS DECIMAL(28,12))) AS DECIMAL(28,12))::DOUBLE) AS nrm
+           FROM w1),
+         v1 AS (
+           SELECT pos, wd::DOUBLE / nrm AS v FROM w1, n1),
+         va1 AS (SELECT list(v ORDER BY pos) AS varr FROM v1),
+         s2 AS (
+           SELECT x, list_sum([x[i]::DOUBLE * varr[i]
+             for i in range(1, len(x) + 1)]) AS s
+           FROM e, va1),
+         p2 AS (
+           SELECT unnest(generate_series(1, len(x))) AS i, x, s
+           FROM s2),
+         w2 AS (
+           SELECT CAST(i AS BIGINT) AS pos,
+             CAST(sum(CAST(x[i]::DOUBLE * s AS DECIMAL(28,12)))
+               AS DECIMAL(28,12)) AS wd
+           FROM p2 GROUP BY 1),
+         n2 AS (
+           SELECT sqrt(CAST(sum(CAST(wd::DOUBLE * wd::DOUBLE
+             AS DECIMAL(28,12))) AS DECIMAL(28,12))::DOUBLE) AS nrm
+           FROM w2),
+         v2 AS (
+           SELECT pos, wd::DOUBLE / nrm AS v FROM w2, n2),
+         va2 AS (SELECT list(v ORDER BY pos) AS varr FROM v2),
+         s3 AS (
+           SELECT x, list_sum([x[i]::DOUBLE * varr[i]
+             for i in range(1, len(x) + 1)]) AS s
+           FROM e, va2),
+         p3 AS (
+           SELECT unnest(generate_series(1, len(x))) AS i, x, s
+           FROM s3),
+         w3 AS (
+           SELECT CAST(i AS BIGINT) AS pos,
+             CAST(sum(CAST(x[i]::DOUBLE * s AS DECIMAL(28,12)))
+               AS DECIMAL(28,12)) AS wd
+           FROM p3 GROUP BY 1),
+         n3 AS (
+           SELECT sqrt(CAST(sum(CAST(wd::DOUBLE * wd::DOUBLE
+             AS DECIMAL(28,12))) AS DECIMAL(28,12))::DOUBLE) AS nrm
+           FROM w3),
+         v3 AS (
+           SELECT pos, wd::DOUBLE / nrm AS v, nrm FROM w3, n3)
+         SELECT pos AS component, round(v, 6) AS loading,
+           round(nrm, 4) AS lambda
+         FROM v3 ORDER BY component""",
   )
 }
