@@ -230,6 +230,35 @@ object GeoQueries {
           lonBin16(col("lon")).as("lon_bin"),
           mortonKey(col("lat"), col("lon")).as("morton"))
         .orderBy(col("event_id"))
+    },
+
+    // Grid-density hotspots: bucket points into 1° cells (exact —
+    // the derived coordinates are rationals with power-of-ten
+    // denominators, so floor() is integer semantics), then score
+    // each cell against its 3×3 neighborhood mean via a 9-way offset
+    // explode over the CELL AGGREGATE — the kernel join touches
+    // |cells|·9 rows, never points, which is what makes KDE-style
+    // smoothing affordable when the fact table is 100 TB. Top-10 by
+    // density ratio is sort+limit (TakeOrderedAndProject).
+    "q_geo_grid_hotspots" -> { (s, dir) =>
+      val cells = withGeo(ev(s, dir))
+        .groupBy(floor(col("lat")).cast("long").as("cla"),
+          floor(col("lon")).cast("long").as("clo"))
+        .agg(count(lit(1)).as("n"))
+      val neighbors = cells
+        .withColumn("dx", explode(expr("array(-1, 0, 1)")))
+        .withColumn("dy", explode(expr("array(-1, 0, 1)")))
+        .groupBy((col("cla") + col("dx")).as("cla"),
+          (col("clo") + col("dy")).as("clo"))
+        .agg(sum(col("n")).as("nbhd_n"), count(lit(1)).as("nbhd_cells"))
+      cells.join(neighbors, Seq("cla", "clo"))
+        .select(col("cla").as("lat_cell"), col("clo").as("lon_cell"),
+          col("n"), col("nbhd_n"), col("nbhd_cells"),
+          round(col("n") * col("nbhd_cells") / col("nbhd_n"), 4)
+            .as("density_ratio"))
+        .orderBy(col("density_ratio").desc, col("lat_cell"),
+          col("lon_cell"))
+        .limit(10)
     }
   )
 
@@ -357,6 +386,31 @@ object GeoQueries {
              ((o | (o << 1)) & 1431655765) AS o FROM s3)
          SELECT event_id, bla AS lat_bin, blo AS lon_bin,
            (a | (o << 1)) AS morton
-         FROM s4 ORDER BY event_id"""
+         FROM s4 ORDER BY event_id""",
+
+    "q_geo_grid_hotspots" ->
+      s"""WITH $ptsCte,
+         cells AS (
+           SELECT CAST(floor(lat) AS BIGINT) AS cla,
+             CAST(floor(lon) AS BIGINT) AS clo,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+         offs AS (
+           SELECT a.dx, b.dy
+           FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                (SELECT unnest([-1, 0, 1]) AS dy) b),
+         nbhd AS (
+           SELECT cla + dx AS cla, clo + dy AS clo,
+             CAST(sum(n) AS BIGINT) AS nbhd_n,
+             count(*) AS nbhd_cells
+           FROM cells, offs
+           GROUP BY 1, 2)
+         SELECT c.cla AS lat_cell, c.clo AS lon_cell, c.n,
+           b.nbhd_n, b.nbhd_cells,
+           round(c.n * b.nbhd_cells / b.nbhd_n, 4) AS density_ratio
+         FROM cells c JOIN nbhd b
+           ON c.cla = b.cla AND c.clo = b.clo
+         ORDER BY density_ratio DESC, lat_cell, lon_cell
+         LIMIT 10"""
   )
 }

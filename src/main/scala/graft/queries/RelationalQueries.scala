@@ -436,6 +436,26 @@ object RelationalQueries {
         ORDER BY l_returnflag""")
     },
 
+    // SQL UNPIVOT — the inverse clause (Spark 3.4+ native): a wide
+    // per-flag metrics row unfolds into (metric, val) pairs. The
+    // oracle is the engine-neutral UNION ALL expansion (DuckDB's
+    // UNPIVOT sugar differs syntactically). All three metrics are
+    // rounded doubles so one value column types cleanly.
+    "q_sql_unpivot" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT l_returnflag, metric, val FROM (
+          SELECT l_returnflag,
+            CAST(count(*) AS DOUBLE) AS n_rows,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+              AS DOUBLE), 2) AS qty,
+            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+              AS DOUBLE), 2) AS revenue
+          FROM lineitem GROUP BY l_returnflag)
+        UNPIVOT (val FOR metric IN (n_rows, qty, revenue))
+        ORDER BY l_returnflag, metric""")
+    },
+
     // QUALIFY (injectParser sugar, graft.plans.QualifySyntax): the
     // post-window filter Spark SQL lacks; rewritten at parse time
     // into a wrapped subquery + filter + star-EXCEPT. The oracle runs
@@ -903,6 +923,25 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    "q_sql_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n_rows,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+               AS DOUBLE), 2) AS qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+               AS DOUBLE), 2) AS revenue
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, metric, val FROM (
+           SELECT l_returnflag, 'n_rows' AS metric, n_rows AS val
+           FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'qty' AS metric, qty AS val FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'revenue' AS metric, revenue AS val
+           FROM wide)
+         ORDER BY l_returnflag, metric""",
 
     // the Spark query's exact text (both engines native)
     "q_sql_group_by_all" ->

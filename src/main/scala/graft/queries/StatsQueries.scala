@@ -405,6 +405,53 @@ object StatsQueries {
           (col("i") <= coalesce(col("k"), lit(0L)))
             .as("significant"))
         .orderBy(col("p_rank"))
+    },
+
+    // Sample L-moments per event_type — the order-statistics-based
+    // distribution summary (L-scale, L-skewness t₃, L-kurtosis t₄)
+    // hydrology and robust-stats pipelines prefer over classical
+    // moments (finite for heavy tails, bounded |t₃|,|t₄| < 1).
+    // Estimated via probability-weighted moments: ranks from one
+    // per-type sort window, values DECIMAL-quantized so every
+    // integer-weighted sum Σ x·(r−1)…(r−k) is EXACT (and, like the
+    // gini rank trick, tie-invariant: tied blocks contribute
+    // x·Σf(r), a closed sum). Only the final b-to-λ algebra runs in
+    // doubles, pinned at round(4).
+    "q_l_moments" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("event_id"))
+      val ranked = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("x"))
+        .withColumn("r", row_number().over(w).cast("long"))
+      val g = ranked.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,6)").as("s0"),
+        sum((col("x") * (col("r") - 1)).cast("decimal(30,6)"))
+          .cast("decimal(38,6)").as("s1"),
+        sum((col("x") * ((col("r") - 1) * (col("r") - 2)))
+          .cast("decimal(30,6)")).cast("decimal(38,6)").as("s2"),
+        sum((col("x") * ((col("r") - 1) * (col("r") - 2) *
+          (col("r") - 3))).cast("decimal(30,6)"))
+          .cast("decimal(38,6)").as("s3"))
+      val n = col("n")
+      val b0 = col("s0").cast("double") / n
+      val b1 = col("s1").cast("double") / (n * (n - lit(1)))
+      val b2 = col("s2").cast("double") /
+        (n * (n - lit(1)) * (n - lit(2)))
+      val b3 = col("s3").cast("double") /
+        (n * (n - lit(1)) * (n - lit(2)) * (n - lit(3)))
+      val l1 = b0
+      val l2 = lit(2.0) * b1 - b0
+      val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+      val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+      g.select(col("event_type"), n,
+          round(l1, 4).as("l_mean"),
+          round(l2, 4).as("l_scale"),
+          round(l3 / l2, 4).as("l_skew"),
+          round(l4 / l2, 4).as("l_kurt"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -665,5 +712,40 @@ object StatsQueries {
            round(p_value, 6) AS p_value,
            i AS p_rank, round(crit, 6) AS bh_crit,
            i <= coalesce(kmax, 0) AS significant
-         FROM f ORDER BY p_rank""")
+         FROM f ORDER BY p_rank""",
+
+    "q_l_moments" ->
+      """WITH rk AS (
+           SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(value AS DECIMAL(18,6)), event_id)
+               AS BIGINT) AS r
+           FROM events),
+         g AS (
+           SELECT event_type,
+             count(*) AS n,
+             CAST(sum(x) AS DECIMAL(38,6)) AS s0,
+             CAST(sum(CAST(x * (r - 1) AS DECIMAL(30,6)))
+               AS DECIMAL(38,6)) AS s1,
+             CAST(sum(CAST(x * ((r - 1) * (r - 2)) AS DECIMAL(30,6)))
+               AS DECIMAL(38,6)) AS s2,
+             CAST(sum(CAST(x * ((r - 1) * (r - 2) * (r - 3))
+               AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS s3
+           FROM rk GROUP BY 1),
+         b AS (
+           SELECT event_type, n,
+             s0::DOUBLE / n AS b0,
+             s1::DOUBLE / (n * (n - 1)) AS b1,
+             s2::DOUBLE / (n * (n - 1) * (n - 2)) AS b2,
+             s3::DOUBLE / (n * (n - 1) * (n - 2) * (n - 3)) AS b3
+           FROM g)
+         SELECT event_type, n,
+           round(b0, 4) AS l_mean,
+           round(2.0 * b1 - b0, 4) AS l_scale,
+           round((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0), 4)
+             AS l_skew,
+           round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) /
+             (2.0 * b1 - b0), 4) AS l_kurt
+         FROM b ORDER BY event_type""")
 }

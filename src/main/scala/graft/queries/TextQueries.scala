@@ -720,6 +720,28 @@ object TextQueries {
           col("rank").cast("long").as("rank"))
         .orderBy(col("doc_id"), col("rank"))
     },
+
+    // Containment (asymmetric Jaccard): |A∩B|/|A| — catches a doc
+    // whose shingle set mostly LIVES INSIDE another (quote pages,
+    // partial scrapes, chunk-of-document dups) that symmetric
+    // Jaccard misses when the container is much larger. Same
+    // inverted-index pair machinery as the Jaccard family (the
+    // intersection IS the pair count); only the acceptance predicate
+    // changes, so the scale shape is unchanged. Runs on the
+    // planted-duplicate corpus so full containment provably exists.
+    "q_dedup_containment" -> { (s, dir) =>
+      Dedup.jaccardShinglePairs(docsWithDups(s, dir), "doc_id",
+          "text", n = 3, threshold = 0.0)
+        .withColumn("cont_a_in_b", col("common") / col("n_a"))
+        .withColumn("cont_b_in_a", col("common") / col("n_b"))
+        .where(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+          >= 0.8)
+        .select(col("id_a"), col("id_b"), col("common"),
+          col("n_a"), col("n_b"),
+          round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1553,5 +1575,36 @@ object TextQueries {
            round(tfidf, 6) AS tfidf, rank
          FROM rk WHERE rank <= 3
          ORDER BY doc_id, rank""",
+
+    "q_dedup_containment" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id < 20),
+         toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS sh
+             FROM toks)),
+         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                 GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS common
+           FROM sh a JOIN sh b ON a.sh = b.sh
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+           round(common / ca.n_sh, 4) AS cont_a_in_b,
+           round(common / cb.n_sh, 4) AS cont_b_in_a
+         FROM pairs
+         JOIN cnt ca ON id_a = ca.doc_id
+         JOIN cnt cb ON id_b = cb.doc_id
+         WHERE greatest(common / ca.n_sh, common / cb.n_sh) >= 0.8
+         ORDER BY id_a, id_b""",
   )
 }

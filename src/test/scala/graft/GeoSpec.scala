@@ -157,4 +157,19 @@ class GeoSpec extends SparkSpec {
       .collect()
     assert(agg.map(_.toString).toSeq == windowed.map(_.toString).toSeq)
   }
+
+  test("q_geo_grid_hotspots: kernel bounds and ratio ordering") {
+    val rows = SparkEntry.queries("q_geo_grid_hotspots")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val cells = r.getAs[Long]("nbhd_cells")
+      assert(cells >= 1 && cells <= 9, s"3×3 kernel bound: $r")
+      assert(r.getAs[Long]("nbhd_n") >= r.getAs[Long]("n"),
+        s"neighborhood must include the cell itself: $r")
+      assert(r.getAs[Double]("density_ratio") > 0)
+    }
+    val ratios = rows.map(_.getAs[Double]("density_ratio"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+  }
 }

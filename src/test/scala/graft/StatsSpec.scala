@@ -163,6 +163,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_l_moments: L-ratio bounds |t3|,|t4| < 1, positive L-scale") {
+    val rows = q("q_l_moments").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("l_scale") > 0, s"L-scale must be >0: $r")
+      assert(math.abs(r.getAs[Double]("l_skew")) < 1.0,
+        s"|t3| must be < 1: $r")
+      assert(math.abs(r.getAs[Double]("l_kurt")) < 1.0,
+        s"|t4| must be < 1: $r")
+      // λ4 ≥ (5·t3²−1)/4 · λ2 — the feasibility bound; loose check
+      val t3 = r.getAs[Double]("l_skew"); val t4 = r.getAs[Double]("l_kurt")
+      assert(t4 >= (5 * t3 * t3 - 1) / 4 - 1e-4,
+        s"(t3,t4) outside the feasible L-moment region: $r")
+    }
+  }
+
   test("q_fdr_bh: significant set is a prefix of the p-value order") {
     val rows = q("q_fdr_bh").collect().sortBy(_.getAs[Long]("p_rank"))
     assert(rows.nonEmpty)
