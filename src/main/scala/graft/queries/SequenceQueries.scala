@@ -244,7 +244,7 @@ object SequenceQueries {
         .where(col("item_a") < col("item_b"))
         .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
         .agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 2)
+        .where(col("n_ab") >= 3)
       // expand to both directions so every item ranks its neighbors
       val directed = pairs.select(col("item_a").as("item"),
           col("item_b").as("neighbor"), col("n_ab"),
@@ -408,7 +408,7 @@ object SequenceQueries {
            FROM b2 a JOIN b2 b ON a.basket = b.basket
              AND a.item < b.item
            GROUP BY 1, 2, 3, 4
-           HAVING count(*) >= 2),
+           HAVING count(*) >= 3),
          directed AS (
            SELECT item_a AS item, item_b AS neighbor, n_ab,
              n_ab / sqrt(n_a * n_b) AS cosine

@@ -13,15 +13,10 @@ class GraphSpec extends SparkSpec {
 
   test("q_graph_triangles: matches a brute-force adjacency count") {
     val row = q("q_graph_triangles").collect().head
-    // independent recount: collect the (small-SF) co-supply edges and
-    // intersect adjacency sets per edge
-    val li = Tables(spark, sf(), "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val a = li.select(col("ok"), col("sk").as("sa"))
-    val b = li.select(col("ok"), col("sk").as("sb"))
-    val edges = a.join(b, Seq("ok")).where(col("sa") < col("sb"))
-      .select("sa", "sb").distinct().collect()
+    // independent recount: collect the (small-SF) strong-tie edges
+    // from the shared builder and intersect adjacency sets per edge
+    val edges = graft.queries.GraphQueries
+      .coSupplyEdges(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
