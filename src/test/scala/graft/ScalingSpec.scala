@@ -259,4 +259,33 @@ class ScalingSpec extends SparkSpec {
     assert(outG > g,
       f"expected the pair output (×$outG%.1f) to outgrow the wire (×$g%.1f)")
   }
+
+  test("decade 1 (real): triangle census shuffle tracks the pair aggregate, not the wedge space") {
+    graft.CachedPlans.release() // cold both SFs: include edge building
+    val (s, b, g) = decade("q_graph_triangles")
+    graft.CachedPlans.release()
+    // the wedge space explodes combinatorially as the co-supply graph
+    // densifies (complete at sf0.01 already); the strong-tie prune
+    // caps downstream work at top-5% edges, so the wire must scale
+    // like the Σ(order-size²) pair aggregate — roughly linear in
+    // rows — and never like wedges
+    info(f"triangles shuffle ×$g%.1f across ×10 lineitems ($s → $b rows)")
+    assert(s > 0 && g < 25,
+      f"triangle shuffle superlinear — prune not holding: ×$g%.1f")
+  }
+
+  test("decade 1 (real): containment dedup stays on the df-pruned match stream") {
+    val (s, b, g) = decade("q_dedup_containment")
+    // threshold-0 disables the prefix filter, so the df prune is the
+    // only hot-key control: growth must stay within the match-stream
+    // envelope the jaccard family exhibits, never the n² pair space
+    val docs01 = Tables(spark, sf("0.01"), "documents").count()
+    val docs1 = Tables(spark, sf("0.1"), "documents").count()
+    val pairSpaceGrowth =
+      (docs1.toDouble * docs1) / (docs01.toDouble * docs01)
+    info(f"containment shuffle ×$g%.1f across ×10 docs " +
+      f"(pair space ×$pairSpaceGrowth%.0f; $s → $b rows)")
+    assert(s > 0 && g < pairSpaceGrowth / 2,
+      f"containment shuffle tracking the quadratic pair space: ×$g%.1f")
+  }
 }

@@ -203,4 +203,36 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(rows > 0 && rows < nEvents,
       s"funnel shuffle should scale with users, not events: $rows")
   }
+
+  test("triangle census shuffle rides the pruned edge aggregate, not the pair stream") {
+    graft.CachedPlans.release() // measure cold: include edge building
+    val li = Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val rawPairs = li.count() // upper bound on exploded pair stream
+    val rows = shuffledRecords {
+      SparkEntry.queries("q_graph_triangles")(spark, sf()).collect()
+    }
+    // after the strong-tie prune, everything downstream (degrees,
+    // orientation, wedges, closing join) moves top-5%-edge rows;
+    // the only row-scale shuffle is the (ok,sk) distinct + one pair
+    // aggregate — so total wire stays within a small multiple of the
+    // distinct line item stream, never the wedge space
+    info(s"triangles shuffled $rows rows ($rawPairs distinct li rows)")
+    assert(rows > 0 && rows < rawPairs * 6,
+      s"triangle census shuffle outgrew the edge-aggregate budget: $rows")
+  }
+
+  test("power iteration wire is dimension-sized between scans") {
+    val n = Tables(spark, sf(), "embeddings").count()
+    val rows = shuffledRecords {
+      SparkEntry.queries("q_embed_power_iteration")(spark, sf())
+        .collect()
+    }
+    // per iteration: component partials (dim × partitions) + the
+    // 64-row norm/normalize rounds — O(dim·partitions·iters), far
+    // below corpus×dim (the matrix never crosses an exchange)
+    info(s"power iteration shuffled $rows rows for $n×64 matrix")
+    assert(rows > 0 && rows < n * 64,
+      s"power iteration shuffled matrix-scale data: $rows")
+  }
 }
