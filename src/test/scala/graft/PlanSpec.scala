@@ -45,6 +45,17 @@ class PlanSpec extends SparkSpec {
       s"group-limit not applied map-side (Partial):\n$p")
   }
 
+  test("tfidf / recommender top-k windows prune map-side (WindowGroupLimit)") {
+    // both per-group top-3 cuts must ride the grouped-top-k physical
+    // optimization — a regression to full-group sorting turns a
+    // |pairs|-sized window into the job's bottleneck at corpus scale
+    Seq("q_text_tfidf", "q_recsys_item_cosine").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: no WindowGroupLimit:\n$p")
+    }
+  }
+
   test("q_ann_ivf: index build is a narrow map; only the probe join shuffles") {
     val p = plan("q_ann_ivf")
     // cell assignment must not introduce a per-vector shuffle or a
