@@ -314,6 +314,90 @@ object Similarity {
         w.orderBy(col("cos").desc, col("id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (PQ-ADC, Jégou et al. TPAMI'11) — the memory-tier workhorse of
+    * billion-vector search: the vector splits into `m` subvectors,
+    * each encoded as its nearest centroid in a per-subspace
+    * `codebookK`-entry codebook (deterministic Lloyd — the
+    * [[Clustering]] machinery, md5 seeds, exact-integer centroid
+    * means), so a 64-float vector compresses to `m` small codes.
+    * Queries stay UN-quantized: per query, a lookup table of
+    * query-subvector→codeword distances (m·codebookK DECIMAL terms,
+    * broadcast) turns each candidate's distance estimate into `m`
+    * table lookups + an exact DECIMAL sum — no float vector is
+    * touched at scan time.
+    *
+    * Scale: encoding is map-side (broadcast codebook + partial
+    * min_by); the ADC scan joins codes to the broadcast LUT and
+    * aggregates (q, id) partials; the rank filter is
+    * WindowGroupLimit-pruned. Codebook build materializes
+    * m·codebookK·(dim/m) doubles to the driver — the same
+    * micro-envelope as [[annIvf]]'s centroid sample. Every step is
+    * deterministic (md5 seeds, quantized means, DECIMAL ADC sums),
+    * so the DuckDB oracle replays codebooks, codes, and rankings
+    * exactly.
+    */
+  def annPq(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8,
+      codebookK: Int = 16): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val codebook = (0 until m).map { s =>
+      Clustering.centroidTable(
+        vecs.select(col(idCol),
+          slice(col(vecCol), s * subLen + 1, subLen).as("__sub")),
+        idCol, "__sub", codebookK, iters = 2)
+        .withColumn("sub_idx", lit(s))
+    }.reduce(_ unionByName _)
+    def subVecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub_idx"),
+            slice(col(vecCol), s * subLen + 1, subLen).as("sub"))): _*))
+          .as("e"))
+        .select(col(idAs), col("e.sub_idx").as("sub_idx"),
+          col("e.sub").as("sub"))
+    val codes = subVecs(vecs, "id")
+      .join(broadcast(codebook), "sub_idx")
+      .withColumn("dist", VectorFunctions.l2Sq(col("sub"), col("c")))
+      .groupBy(col("id"), col("sub_idx"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid")))
+        .as("code"))
+    val lut = subVecs(queries, "q_id")
+      .join(broadcast(codebook), "sub_idx")
+      .select(col("q_id"), col("sub_idx").as("l_sub"),
+        col("cid").as("l_cid"),
+        VectorFunctions.l2Sq(col("sub"), col("c"))
+          .cast("decimal(18,6)").as("dterm"))
+    // ADC ranks a SHORTLIST only; the final top-k comes from an
+    // exact re-rank of the shortlist's full vectors — the standard
+    // IVFPQ+re-rank pipeline and this repo's SQ8 discipline. (On
+    // distance-concentrated data raw ADC order is noise; the
+    // shortlist/re-rank split is what restores recall while the
+    // scan still touches only codes.)
+    val shortlist = math.max(8 * k, 40)
+    val w = Window.partitionBy(col("q_id"))
+    val short = codes.join(broadcast(lut),
+        col("sub_idx") === col("l_sub") && col("code") === col("l_cid"))
+      .filter(col("q_id") =!= col("id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("dterm")).cast("decimal(18,6)").as("adc"))
+      .withColumn("srank", row_number().over(
+        w.orderBy(col("adc"), col("id"))))
+      .filter(col("srank") <= shortlist)
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"))
+    short.join(v, "id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("id"),
+        VectorFunctions.cosine(col("q_vec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("cos"))
+  }
 }
 
 /** One scored (query, candidate) pair. */

@@ -101,6 +101,20 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // PQ-ADC ANN: 8×16 product codebooks (deterministic Lloyd),
+    // asymmetric lookup-table distances with exact DECIMAL ADC sums
+    // ranking a shortlist, exact cosine re-rank for the final top-5
+    // — the memory-tier compression path (64 floats → 8 codes at
+    // scan time). Fully deterministic → the oracle replays
+    // codebooks, codes, shortlist, and re-rank exactly.
+    "q_ann_pq" -> { (s, dir) =>
+      Similarity.annPq(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("rank"), col("id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Per-vector stats: norm / extremes / argmax over the embedding.
     "q_vector_stats" -> { (s, dir) =>
       val e = col("embedding")
@@ -165,9 +179,112 @@ object VectorQueries {
     },
   )
 
+  /** Replays Similarity.annPq: per subspace s (8 dims each), the
+    * deterministic-Lloyd codebook chain (md5 seeds → assign → exact
+    * quantized-mean update ×2 → final assign = code), then the
+    * query-side DECIMAL lookup table and the exact ADC sum. Built
+    * programmatically — 8 structurally identical CTE chains.
+    */
+  private val pqOracle: String = {
+    def chain(s: Int): String = {
+      val st = s * 8 + 1
+      def assignCte(name: String, cents: String) =
+        s"""${name}_$s AS (
+             SELECT id, cid, dist, vec,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT v.id, ct.cid, v.vec,
+                 list_sum([(v.vec[i] - ct.c[i]) * (v.vec[i] - ct.c[i])
+                           for i in range(1, 9)]) AS dist
+               FROM v_$s v CROSS JOIN ${cents}_$s ct))"""
+      def updateCtes(u: String, c: String, a: String) =
+        s"""${u}_$s AS (
+             SELECT cid, p,
+               CAST(sum(q) AS DOUBLE) /
+                 (1000000.0 * CAST(count(*) AS DOUBLE)) AS m
+             FROM (
+               SELECT cid, t.i AS p,
+                 CAST(floor(vec[t.i] * 1000000.0 + 0.5) AS BIGINT) AS q
+               FROM ${a}_$s, range(1, 9) AS t(i)
+               WHERE rn = 1)
+             GROUP BY cid, p),
+           ${c}_$s AS (
+             SELECT cid, list(m ORDER BY p) AS c
+             FROM ${u}_$s GROUP BY cid)"""
+      s"""v_$s AS (
+           SELECT vec_id AS id,
+             [embedding[i]::DOUBLE for i in range($st, ${st + 8})] AS vec
+           FROM embeddings),
+         s0_$s AS (
+           SELECT CAST(row_number() OVER
+               (ORDER BY md5(CAST(id AS VARCHAR)), id) AS INTEGER) AS cid,
+             vec AS c
+           FROM v_$s
+           QUALIFY row_number() OVER
+             (ORDER BY md5(CAST(id AS VARCHAR)), id) <= 16),
+         ${assignCte("a1", "s0")},
+         ${updateCtes("u1", "c1", "a1")},
+         ${assignCte("a2", "c1")},
+         ${updateCtes("u2", "c2", "a2")},
+         ${assignCte("a3", "c2")},
+         codes_$s AS (
+           SELECT id, $s AS sub_idx, cid AS code
+           FROM a3_$s WHERE rn = 1),
+         lut_$s AS (
+           SELECT q.id AS q_id, $s AS sub_idx, ct.cid,
+             CAST(list_sum([(q.vec[i] - ct.c[i]) * (q.vec[i] - ct.c[i])
+                            for i in range(1, 9)]) AS DECIMAL(18,6))
+               AS dterm
+           FROM (SELECT id, vec FROM v_$s WHERE id < 5) q
+           CROSS JOIN c2_$s ct)"""
+    }
+    val chains = (0 until 8).map(chain).mkString(",\n")
+    val codesUnion = (0 until 8)
+      .map(s => s"SELECT * FROM codes_$s").mkString(" UNION ALL ")
+    val lutUnion = (0 until 8)
+      .map(s => s"SELECT * FROM lut_$s").mkString(" UNION ALL ")
+    s"""WITH $chains,
+       codes AS ($codesUnion),
+       lut AS ($lutUnion),
+       est AS (
+         SELECT l.q_id, c.id,
+           CAST(sum(l.dterm) AS DECIMAL(18,6)) AS adc
+         FROM codes c
+         JOIN lut l ON c.sub_idx = l.sub_idx AND c.code = l.cid
+         WHERE l.q_id <> c.id
+         GROUP BY 1, 2),
+       short AS (
+         SELECT q_id, id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY adc, id) AS srank
+         FROM est
+         QUALIFY srank <= 40),
+       rerank AS (
+         SELECT s.q_id, s.id,
+           list_sum([q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                     for i in range(1, len(q.embedding) + 1)]) /
+           sqrt(
+             list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                       for i in range(1, len(q.embedding) + 1)]) *
+             list_sum([v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE
+                       for i in range(1, len(v.embedding) + 1)])) AS cos
+         FROM short s
+         JOIN embeddings v ON v.vec_id = s.id
+         JOIN embeddings q ON q.vec_id = s.q_id)
+       SELECT q_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+           ORDER BY cos DESC, id) AS INTEGER) AS rank,
+         id, round(cos, 4) AS cos_sim
+       FROM rerank
+       QUALIFY rank <= 5
+       ORDER BY q_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_knn_bruteforce" -> knnOracle,
     "q_knn_topk_agg" -> knnOracle,
+    "q_ann_pq" -> pqOracle,
 
     // Replays Similarity.annLsh exactly: the Rademacher plane family
     // is regenerated from md5 parity, bucket bits use the same

@@ -134,6 +134,30 @@ class SimilaritySpec extends SparkSpec {
       f"(${scoredPairs.toDouble / (5 * n)}%.2f of corpus)")
   }
 
+  test("PQ-ADC shortlist + exact re-rank: recall@5 vs exact cosine") {
+    val pq = Similarity.annPq(emb, qs, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("id")).toSet }
+    val vs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val recalls = pq.map { case (q, approx) =>
+      val truth = vs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(vs(q), v), id) }
+        .take(5).map(_._1).toSet
+      (approx & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ-ADC mean recall@5 = $mean%.2f over ${recalls.size} queries")
+    assert(pq.values.forall(_.size == 5))
+    assert(mean >= 0.4,
+      f"PQ recall@5 $mean%.2f below the useful-ranking floor")
+  }
+
   test("power iteration converges to the dominant Gram eigenvector") {
     val rows = SparkEntry.queries("q_embed_power_iteration")(spark, sf())
       .collect().sortBy(_.getAs[Long]("component"))
