@@ -500,6 +500,62 @@ object AnalyticsQueries {
         .orderBy(col("p_brand"))
     },
 
+    // Time-decayed popularity — "trending parts": each line item
+    // contributes pow(½, age_days/7) relative to the in-plan corpus
+    // watermark (7-day half-life), so yesterday's order outweighs
+    // last month's. Per-row decay is IEEE-identical; the per-part
+    // score sum is DECIMAL-quantized (association-free); top-10 is
+    // sort+limit (TakeOrderedAndProject). The decayed score is
+    // mergeable and cheap to refresh by multiplying stored partials
+    // by the elapsed decay — the same partial-merge contract as
+    // q_agg_incremental.
+    "q_topk_decayed" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"))
+      val wm = li.agg(max(col("d")).as("wm"))
+      li.crossJoin(broadcast(wm))
+        .select(col("l_partkey"),
+          pow(lit(0.5), datediff(col("wm"), col("d")) / lit(7.0))
+            .cast("decimal(18,6)").as("decay"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("decay")).cast("decimal(18,6)").as("score"))
+        .orderBy(col("score").desc, col("l_partkey"))
+        .limit(10)
+    },
+
+    // Windowed funnel: the q_funnel_steps ladder with a 72-hour
+    // conversion deadline per transition — "counts only if the next
+    // step happens within N hours", the form product analytics
+    // actually reports. Same bounded min-aggregate stage chain as
+    // q_funnel_time_to_convert (one timestamp of state per user per
+    // stage), the deadline just tightens each join's range predicate.
+    "q_funnel_constrained" -> { (s, dir) =>
+      val win = 72L * 3600L * 1000000L // 72 h in µs
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("u"),
+          col("event_type").as("et"))
+      val t1 = ev.filter(col("et") === "signup")
+        .groupBy(col("user_id")).agg(min(col("u")).as("t1"))
+      val t2 = ev.filter(col("et") === "click")
+        .join(t1, "user_id")
+        .where(col("u") > col("t1") && col("u") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("u")).as("t2"))
+      val t3 = ev.filter(col("et") === "purchase")
+        .join(t2, "user_id")
+        .where(col("u") > col("t2") && col("u") <= col("t2") + win)
+        .groupBy(col("user_id")).agg(min(col("u")).as("t3"))
+      t1.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+          lit("signup").as("step"), col("n"))
+        .unionByName(t2.agg(count(lit(1)).as("n"))
+          .select(lit(2).as("stage"), lit("click_72h").as("step"),
+            col("n")))
+        .unionByName(t3.agg(count(lit(1)).as("n"))
+          .select(lit(3).as("stage"), lit("purchase_72h").as("step"),
+            col("n")))
+        .orderBy(col("stage"))
+    },
+
     // Time-to-convert distribution between funnel stages — the
     // latency companion of q_funnel_steps: per user, first signup,
     // first click strictly after it, first purchase strictly after
@@ -848,6 +904,49 @@ object AnalyticsQueries {
              AS DECIMAL(18,6)) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_topk_decayed" ->
+      """WITH li AS (
+           SELECT l_partkey, CAST(l_shipdate AS DATE) AS d
+           FROM lineitem),
+         wm AS (SELECT max(d) AS wm FROM li),
+         scored AS (
+           SELECT l_partkey,
+             CAST(pow(0.5, datediff('day', d, wm) / 7.0)
+               AS DECIMAL(18,6)) AS decay
+           FROM li, wm)
+         SELECT l_partkey, count(*) AS n_items,
+           CAST(sum(decay) AS DECIMAL(18,6)) AS score
+         FROM scored GROUP BY l_partkey
+         ORDER BY score DESC, l_partkey LIMIT 10""",
+
+    "q_funnel_constrained" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS u, event_type AS et
+           FROM events),
+         t1 AS (
+           SELECT user_id, min(u) AS t1 FROM ev
+           WHERE et = 'signup' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(e.u) AS t2
+           FROM ev e JOIN t1 ON e.user_id = t1.user_id
+             AND e.u > t1.t1 AND e.u <= t1.t1 + 259200000000
+           WHERE e.et = 'click' GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(e.u) AS t3
+           FROM ev e JOIN t2 ON e.user_id = t2.user_id
+             AND e.u > t2.t2 AND e.u <= t2.t2 + 259200000000
+           WHERE e.et = 'purchase' GROUP BY 1)
+         SELECT stage, step, n FROM (
+           SELECT 1 AS stage, 'signup' AS step,
+             count(*) AS n FROM t1
+           UNION ALL
+           SELECT 2 AS stage, 'click_72h' AS step,
+             count(*) AS n FROM t2
+           UNION ALL
+           SELECT 3 AS stage, 'purchase_72h' AS step,
+             count(*) AS n FROM t3)
+         ORDER BY stage""",
 
     "q_funnel_time_to_convert" ->
       """WITH ev AS (

@@ -523,6 +523,39 @@ object RelationalQueries {
     },
 
     // ---- window functions ----------------------------------------
+    // Distribution window functions — percent_rank / cume_dist /
+    // ntile complete the ranking-function surface. Ties resolve
+    // identically in both engines (percent_rank/cume_dist are
+    // tie-aware by definition; ntile follows the deterministic
+    // (value, orderkey) total order, larger leading buckets).
+    "q_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+
+    // Modal decade-bin per event_type — explicit two-level aggregate
+    // with a pinned (count desc, bin asc) tie-break instead of the
+    // engines' mode() builtins, whose tie policies differ.
+    "q_agg_mode" -> { (s, dir) =>
+      val binned = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("bin"))
+      binned.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("bin").as("modal_bin"),
+          col("cnt").as("n_modal"))
+        .orderBy(col("event_type"))
+    },
+
     "q_window_rank" -> { (s, dir) =>
       val bucket = floor(col("o_totalprice") / 50000).cast("long")
       val ord = t(s, dir, "orders").withColumn("bucket", bucket)
@@ -984,6 +1017,30 @@ object RelationalQueries {
          QUALIFY row_number() OVER (PARTITION BY o_orderstatus
            ORDER BY o_totalprice DESC, o_orderkey) <= 3
          ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
+
+    "q_window_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey""",
+
+    "q_agg_mode" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(floor(value / 10) AS BIGINT) AS bin,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, bin, cnt,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cnt DESC, bin) AS rn
+           FROM b)
+         SELECT event_type, bin AS modal_bin, cnt AS n_modal
+         FROM r WHERE rn = 1 ORDER BY event_type""",
 
     "q_window_rank" ->
       """SELECT * FROM (

@@ -153,6 +153,21 @@ class AnalyticsSpec extends SparkSpec {
       "purchase cohort outgrew click cohort")
   }
 
+  test("q_funnel_constrained: deadline only ever shrinks the cohort") {
+    val free = q("q_funnel_time_to_convert").collect()
+      .map(r => r.getAs[String]("transition") -> r.getAs[Long]("n_users"))
+      .toMap
+    val tight = q("q_funnel_constrained").collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n"))
+      .toMap
+    assert(tight("click_72h") <= free("signup_to_click"),
+      "72h click cohort exceeds the unconstrained one")
+    assert(tight.values.forall(_ > 0))
+    // ladder is monotone
+    assert(tight("purchase_72h") <= tight("click_72h"))
+    assert(tight("click_72h") <= tight("signup"))
+  }
+
   test("q_quantile_normalize: reference curve monotone over bins") {
     val rows = q("q_quantile_normalize").collect()
       .sortBy(_.getAs[Long]("bin"))
