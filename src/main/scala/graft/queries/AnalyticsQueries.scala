@@ -500,6 +500,83 @@ object AnalyticsQueries {
         .orderBy(col("p_brand"))
     },
 
+    // Activity heatmap: (ISO weekday × hour) event counts + DECIMAL
+    // value sums — the 168-cell grid behind every "when are users
+    // active" dashboard. One hash aggregate, map-side partials;
+    // weekday via the portable ISO form (Spark weekday()+1 ≡ DuckDB
+    // isodow — NOT dayofweek, whose week start differs between
+    // engines).
+    "q_activity_heatmap" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy((expr("weekday(ts)") + 1).cast("long").as("isodow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as("sum_value"))
+        .orderBy(col("isodow"), col("hr"))
+    },
+
+    // New-vs-returning daily split: a user's first active day claims
+    // them as "new"; every later active day counts them "returning".
+    // Two passes over the distinct (user, day) aggregate — first-day
+    // per user, then the daily rollup — so the fact table shuffles
+    // once into the activity aggregate and everything after is
+    // user-domain-sized.
+    "q_new_vs_returning" -> { (s, dir) =>
+      val act = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val firstDay = act.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"))
+      act.join(firstDay, "user_id")
+        .groupBy(col("d"))
+        .agg(sum(when(col("d") === col("d0"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("d") =!= col("d0"), 1L).otherwise(0L))
+            .as("n_returning"))
+        .orderBy(col("d"))
+    },
+
+    // Weekly stickiness: avg daily-active over weekly-active
+    // (DAU/WAU) per epoch-week — the engagement ratio. DAU comes
+    // from the (user, day) aggregate, WAU from (user, week);
+    // integer epoch-week arithmetic (the cohort idiom — no calendar
+    // disagreement).
+    "q_stickiness" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val dau = ev.select(col("user_id"), col("d"), col("wk")).distinct()
+        .groupBy(col("wk"), col("d")).agg(count(lit(1)).as("dau"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_days"), avg(col("dau")).as("avg_dau"))
+      val wau = ev.select(col("user_id"), col("wk")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "wk")
+        .select(col("wk"), col("n_days"), col("wau"),
+          round(col("avg_dau"), 4).as("avg_dau"),
+          round(col("avg_dau") / col("wau"), 4).as("stickiness"))
+        .orderBy(col("wk"))
+    },
+
+    // Week-over-week revenue growth per event_type: DECIMAL weekly
+    // sums, a lag window over the (type, week) aggregate, percent
+    // change in double at the end. First week's growth is NULL by
+    // definition (no prior), identical in both engines.
+    "q_wow_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val weekly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      weekly.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("rev"),
+          round((col("rev") - col("prev")).cast("double") /
+            col("prev").cast("double"), 4).as("wow_growth"))
+        .orderBy(col("event_type"), col("wk"))
+    },
+
     // Time-decayed popularity — "trending parts": each line item
     // contributes pow(½, age_days/7) relative to the in-plan corpus
     // watermark (7-day half-life), so yesterday's order outweighs
@@ -904,6 +981,65 @@ object AnalyticsQueries {
              AS DECIMAL(18,6)) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_activity_heatmap" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+             AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY isodow, hr""",
+
+    "q_new_vs_returning" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           FROM events),
+         f AS (SELECT user_id, min(d) AS d0 FROM act GROUP BY 1)
+         SELECT d,
+           CAST(sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN d <> d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+         FROM act JOIN f USING (user_id)
+         GROUP BY d ORDER BY d""",
+
+    "q_stickiness" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         dau AS (
+           SELECT wk, count(*) AS n_days, avg(dau) AS avg_dau FROM (
+             SELECT wk, d, count(*) AS dau FROM (
+               SELECT DISTINCT user_id, d, wk FROM ev)
+             GROUP BY wk, d)
+           GROUP BY wk),
+         wau AS (
+           SELECT wk, count(*) AS wau FROM (
+             SELECT DISTINCT user_id, wk FROM ev)
+           GROUP BY wk)
+         SELECT dau.wk, CAST(n_days AS BIGINT) AS n_days,
+           CAST(wau AS BIGINT) AS wau,
+           round(avg_dau, 4) AS avg_dau,
+           round(avg_dau / wau, 4) AS stickiness
+         FROM dau JOIN wau ON dau.wk = wau.wk
+         ORDER BY dau.wk""",
+
+    "q_wow_growth" ->
+      """WITH weekly AS (
+           SELECT event_type,
+             epoch_us(ts) // 604800000000 AS wk,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS rev
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, wk, rev,
+             lag(rev, 1) OVER (PARTITION BY event_type
+               ORDER BY wk) AS prev
+           FROM weekly)
+         SELECT event_type, wk, rev,
+           round((rev - prev)::DOUBLE / prev::DOUBLE, 4) AS wow_growth
+         FROM lagged ORDER BY event_type, wk""",
 
     "q_topk_decayed" ->
       """WITH li AS (

@@ -153,6 +153,36 @@ class AnalyticsSpec extends SparkSpec {
       "purchase cohort outgrew click cohort")
   }
 
+  test("engagement family: conservation and ratio bounds") {
+    // heatmap: ≤ 168 cells, counts conserve the event total
+    val hm = q("q_activity_heatmap").collect()
+    assert(hm.length <= 168)
+    assert(hm.map(_.getAs[Long]("n_events")).sum ==
+      Tables(spark, sf(), "events").count())
+    // new+returning per day == distinct active users that day
+    val nvr = q("q_new_vs_returning").collect()
+    val dau = Tables(spark, sf(), "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("d"))
+      .distinct().groupBy("d").count().collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        r.getAs[Long]("count")).toMap
+    nvr.foreach { r =>
+      val tot = r.getAs[Long]("n_new") + r.getAs[Long]("n_returning")
+      assert(tot == dau(r.getAs[java.sql.Date]("d").toString),
+        s"new+returning != DAU on $r")
+    }
+    // every user is new exactly once
+    assert(nvr.map(_.getAs[Long]("n_new")).sum ==
+      Tables(spark, sf(), "events").select("user_id").distinct().count())
+    // stickiness is a ratio in (0, 1]
+    q("q_stickiness").collect().foreach { r =>
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0 && st <= 1.0 + 1e-9, s"stickiness out of range: $r")
+    }
+  }
+
   test("q_funnel_constrained: deadline only ever shrinks the cohort") {
     val free = q("q_funnel_time_to_convert").collect()
       .map(r => r.getAs[String]("transition") -> r.getAs[Long]("n_users"))
