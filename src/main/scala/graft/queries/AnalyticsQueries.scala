@@ -468,6 +468,63 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"), col("t_days"))
     },
 
+    // Pareto / ABC classification: parts ranked by revenue, running
+    // share of the total, classed A (≤80%), B (≤95%), C (rest) —
+    // the inventory-concentration workhorse. The running sum and
+    // classing run over the per-part AGGREGATE (parts domain, not
+    // line items); revenue and its cumulative sum are exact DECIMAL,
+    // the share division happens once in double per row. Class of a
+    // row = share BEFORE it crosses the boundary (standard: the part
+    // that crosses 80% still belongs to A via its predecessor share).
+    "q_pareto_abc" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(18,6)").as("rev"))
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum(col("rev")).cast("decimal(18,6)").as("tot"))
+      val classed = rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(w)
+          .cast("decimal(18,6)"))
+        .withColumn("prev_share",
+          ((col("cum") - col("rev")).cast("double") /
+            col("tot").cast("double")))
+        .withColumn("abc_class",
+          when(col("prev_share") < 0.80, "A")
+            .when(col("prev_share") < 0.95, "B").otherwise("C"))
+      classed.groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("decimal(18,6)").as("class_revenue"))
+        .orderBy(col("abc_class"))
+    },
+
+    // Tukey-fence (IQR) outlier screen per event_type — the boxplot
+    // rule, completing the robust-outlier trio next to MAD and
+    // rolling-z. Exact quartiles per group, broadcast fence row,
+    // one counting pass.
+    "q_anomaly_iqr" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val qs = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+        .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+      ev.join(broadcast(qs), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(round(col("q1"), 4)).as("q1"),
+          first(round(col("q3"), 4)).as("q3"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+            .as("n_above"))
+        .orderBy(col("event_type"))
+    },
+
     // Incremental maintenance THROUGH a join: the materialized view
     // is brand-level quantities over lineitem ⋈ part, and the
     // refresh path recomputes only the newest ship-week's delta —
@@ -981,6 +1038,52 @@ object AnalyticsQueries {
              AS DECIMAL(18,6)) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_pareto_abc" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev) AS DECIMAL(18,6)) AS tot
+                 FROM rev),
+         c AS (
+           SELECT l_partkey, rev, tot,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,6)) AS cum
+           FROM rev, tot),
+         cl AS (
+           SELECT l_partkey, rev,
+             CASE WHEN (cum - rev)::DOUBLE / tot::DOUBLE < 0.80
+                    THEN 'A'
+                  WHEN (cum - rev)::DOUBLE / tot::DOUBLE < 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class
+           FROM c)
+         SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(rev) AS DECIMAL(18,6)) AS class_revenue
+         FROM cl GROUP BY 1 ORDER BY abc_class""",
+
+    "q_anomaly_iqr" ->
+      """WITH qs AS (
+           SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1),
+         f AS (
+           SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+           FROM qs)
+         SELECT e.event_type, count(*) AS n,
+           round(min(f.q1), 4) AS q1, round(min(f.q3), 4) AS q3,
+           CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_above
+         FROM events e JOIN f ON e.event_type = f.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
 
     "q_activity_heatmap" ->
       """SELECT CAST(isodow(ts) AS BIGINT) AS isodow,

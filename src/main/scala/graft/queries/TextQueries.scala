@@ -721,6 +721,42 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // Vocabulary growth (Heaps' law): distinct-word count and token
+    // count at ten doc-id milestones — the curve that says how much
+    // NEW vocabulary another shard of corpus buys (and therefore
+    // whether tokenizer/vocab budgets are saturated). Each word
+    // contributes at its FIRST doc (min doc_id), so the cumulative
+    // vocabulary at milestone m is one conditional sum over the
+    // per-doc first-occurrence aggregate — doc-domain-sized joins
+    // against a 10-row broadcast milestone spine; the fact-scale
+    // explode happens exactly once.
+    "q_text_vocab_growth" -> { (s, dir) =>
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " "))
+          .as("word"))
+      val newPerDoc = words.groupBy(col("word"))
+        .agg(min(col("doc_id")).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("nw"))
+      val tokPerDoc = words.groupBy(col("doc_id").as("d"))
+        .agg(count(lit(1)).as("nt"))
+      val ms = docs(s, dir).agg(max(col("doc_id")).as("mx"))
+        .select(explode(sequence(lit(1), lit(10))).as("i"), col("mx"))
+        .select(col("i").cast("long").as("decile"),
+          floor(col("mx") * col("i") / 10).cast("long").as("m"))
+      val vocab = broadcast(ms).join(newPerDoc, col("d") <= col("m"))
+        .groupBy(col("decile"), col("m"))
+        .agg(sum(col("nw")).as("vocab_size"))
+      val toks = broadcast(ms).join(tokPerDoc, col("d") <= col("m"))
+        .groupBy(col("decile").as("decile2"))
+        .agg(sum(col("nt")).as("n_tokens"))
+      vocab.join(toks, col("decile") === col("decile2"))
+        .select(col("decile"), col("m").as("doc_id_cutoff"),
+          col("n_tokens"), col("vocab_size"),
+          round(log(col("vocab_size")) / log(col("n_tokens")), 4)
+            .as("heaps_beta"))
+        .orderBy(col("decile"))
+    },
+
     // Containment (asymmetric Jaccard): |A∩B|/|A| — catches a doc
     // whose shingle set mostly LIVES INSIDE another (quote pages,
     // partial scrapes, chunk-of-document dups) that symmetric
@@ -1582,6 +1618,35 @@ object TextQueries {
            round(tfidf, 6) AS tfidf, rank
          FROM rk WHERE rank <= 3
          ORDER BY doc_id, rank""",
+
+    "q_text_vocab_growth" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         npd AS (
+           SELECT d, count(*) AS nw FROM (
+             SELECT word, min(doc_id) AS d FROM words GROUP BY word)
+           GROUP BY d),
+         tpd AS (
+           SELECT doc_id AS d, count(*) AS nt FROM words GROUP BY 1),
+         mx AS (SELECT max(doc_id) AS mx FROM documents),
+         ms AS (
+           SELECT CAST(i AS BIGINT) AS decile,
+             CAST(floor(mx * i / 10) AS BIGINT) AS m
+           FROM mx, (SELECT unnest(generate_series(1, 10)) AS i)),
+         vocab AS (
+           SELECT decile, m, CAST(sum(nw) AS BIGINT) AS vocab_size
+           FROM ms JOIN npd ON npd.d <= ms.m
+           GROUP BY 1, 2),
+         toks AS (
+           SELECT decile, CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM ms JOIN tpd ON tpd.d <= ms.m
+           GROUP BY 1)
+         SELECT v.decile, v.m AS doc_id_cutoff, t.n_tokens,
+           v.vocab_size,
+           round(ln(v.vocab_size) / ln(t.n_tokens), 4) AS heaps_beta
+         FROM vocab v JOIN toks t ON v.decile = t.decile
+         ORDER BY v.decile""",
 
     "q_dedup_containment" ->
       """WITH aug AS (

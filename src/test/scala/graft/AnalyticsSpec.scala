@@ -153,6 +153,32 @@ class AnalyticsSpec extends SparkSpec {
       "purchase cohort outgrew click cohort")
   }
 
+  test("q_pareto_abc: classes conserve revenue; A is few-parts-much-revenue") {
+    val rows = q("q_pareto_abc").collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"),
+          r.getAs[java.math.BigDecimal]("class_revenue").doubleValue))
+      .toMap
+    val totalRev = rows.values.map(_._2).sum
+    val aShare = rows("A")._2 / totalRev
+    assert(aShare >= 0.75 && aShare <= 0.85,
+      s"A class should hold ~80% of revenue, got $aShare")
+    // concentration direction: per-part revenue density decreases A→C
+    val density = Seq("A", "B", "C").flatMap(c =>
+      rows.get(c).map { case (n, r) => r / n })
+    assert(density.zip(density.tail).forall { case (x, y) => x > y },
+      s"per-part revenue must fall A→C: $density")
+  }
+
+  test("q_anomaly_iqr: fences bracket the quartiles, counts bounded") {
+    q("q_anomaly_iqr").collect().foreach { r =>
+      assert(r.getAs[Double]("q1") <= r.getAs[Double]("q3"))
+      val flagged = r.getAs[Long]("n_below") + r.getAs[Long]("n_above")
+      // Tukey fences can flag at most half the data by construction
+      assert(flagged < r.getAs[Long]("n") / 2, s"implausible flags: $r")
+    }
+  }
+
   test("engagement family: conservation and ratio bounds") {
     // heatmap: ≤ 168 cells, counts conserve the event total
     val hm = q("q_activity_heatmap").collect()

@@ -311,6 +311,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("vocab growth: both curves strictly monotone, vocab ≤ tokens") {
+    val rows = graft.queries.TextQueries
+      .defs("q_text_vocab_growth")(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val vs = rows.map(_.getAs[Long]("vocab_size"))
+    val ts = rows.map(_.getAs[Long]("n_tokens"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => b >= a })
+    assert(ts.zip(ts.tail).forall { case (a, b) => b > a })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vocab_size") <= r.getAs[Long]("n_tokens"))
+      val beta = r.getAs[Double]("heaps_beta")
+      assert(beta > 0 && beta < 1, s"Heaps exponent out of (0,1): $r")
+    }
+  }
+
   test("keyness: LLR non-negative and zero iff proportional counts") {
     val rows = graft.queries.TextQueries
       .defs("q_text_keyness")(spark, sf()).collect()
