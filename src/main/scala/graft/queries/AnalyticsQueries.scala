@@ -468,6 +468,73 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"), col("t_days"))
     },
 
+    // Market-share shift: each supplier nation's revenue share in
+    // the first half of the order history vs the second (split at
+    // the in-plan median order date — epoch-day integer arithmetic),
+    // and the delta in share points. One conditional-sum aggregate
+    // over the join (both periods in one pass — the q_ab_ttest
+    // discipline), DECIMAL revenue, shares divided once in double.
+    "q_share_shift" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          expr("unix_micros(l_shipdate) div 86400000000").as("day"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"))
+      val cut = li.agg(expr("(min(day) + max(day) + 1) div 2")
+        .as("cutday"))
+      val byNation = li.crossJoin(broadcast(cut))
+        .groupBy(col("n_name"))
+        .agg(sum(when(col("day") < col("cutday"), col("rev"))
+            .otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("decimal(18,6)").as("rev_p1"),
+          sum(when(col("day") >= col("cutday"), col("rev"))
+            .otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("decimal(18,6)").as("rev_p2"))
+      val tot = byNation.agg(
+        sum(col("rev_p1")).cast("decimal(18,6)").as("t1"),
+        sum(col("rev_p2")).cast("decimal(18,6)").as("t2"))
+      byNation.crossJoin(broadcast(tot))
+        .select(col("n_name"),
+          round(col("rev_p1").cast("double") / col("t1").cast("double"),
+            6).as("share_p1"),
+          round(col("rev_p2").cast("double") / col("t2").cast("double"),
+            6).as("share_p2"),
+          round(col("rev_p2").cast("double") / col("t2").cast("double") -
+            col("rev_p1").cast("double") / col("t1").cast("double"),
+            6).as("share_delta"))
+        .orderBy(col("n_name"))
+    },
+
+    // Return-rate per brand with a 95% Wilson score interval — the
+    // statistically honest way to rank small-sample rates (a brand
+    // with 2/3 returns must not outrank one with 200/1000). Pure
+    // per-row double algebra after one conditional-sum aggregate;
+    // z = 1.96 literal, identical parenthesization both engines.
+    "q_return_rate_ci" -> { (s, dir) =>
+      val z = lit(1.96)
+      val g = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+      val p = col("n_returned") / col("n")
+      val z2n = z * z / col("n")
+      val center = (p + z2n / lit(2.0)) / (lit(1.0) + z2n)
+      val half = z * sqrt(p * (lit(1.0) - p) / col("n") +
+        z2n / (lit(4.0) * col("n"))) / (lit(1.0) + z2n)
+      g.select(col("p_brand"), col("n"), col("n_returned"),
+          round(p, 6).as("rate"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+        .orderBy(col("p_brand"))
+    },
+
     // Pareto / ABC classification: parts ranked by revenue, running
     // share of the total, classed A (≤80%), B (≤95%), C (rest) —
     // the inventory-concentration workhorse. The running sum and
@@ -1038,6 +1105,61 @@ object AnalyticsQueries {
              AS DECIMAL(18,6)) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_share_shift" ->
+      """WITH li AS (
+           SELECT n_name,
+             epoch_us(l_shipdate) // 86400000000 AS day,
+             CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6)) AS rev
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey),
+         cut AS (SELECT (min(day) + max(day) + 1) // 2 AS cutday
+                 FROM li),
+         bn AS (
+           SELECT n_name,
+             CAST(sum(CASE WHEN day < (SELECT cutday FROM cut)
+               THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+               AS DECIMAL(18,6)) AS rev_p1,
+             CAST(sum(CASE WHEN day >= (SELECT cutday FROM cut)
+               THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+               AS DECIMAL(18,6)) AS rev_p2
+           FROM li GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(rev_p1) AS DECIMAL(18,6)) AS t1,
+             CAST(sum(rev_p2) AS DECIMAL(18,6)) AS t2
+           FROM bn)
+         SELECT n_name,
+           round(rev_p1::DOUBLE / t1::DOUBLE, 6) AS share_p1,
+           round(rev_p2::DOUBLE / t2::DOUBLE, 6) AS share_p2,
+           round(rev_p2::DOUBLE / t2::DOUBLE -
+             rev_p1::DOUBLE / t1::DOUBLE, 6) AS share_delta
+         FROM bn, tot ORDER BY n_name""",
+
+    "q_return_rate_ci" ->
+      """WITH g AS (
+           SELECT p_brand, count(*) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returned
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1),
+         w AS (
+           SELECT p_brand, n, n_returned,
+             n_returned / n AS p,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n AS z2n
+           FROM g)
+         SELECT p_brand, n, n_returned,
+           round(p, 6) AS rate,
+           round((p + z2n / 2.0) / (1.0 + z2n) -
+             CAST(1.96 AS DOUBLE) *
+               sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) /
+               (1.0 + z2n), 6) AS wilson_lo,
+           round((p + z2n / 2.0) / (1.0 + z2n) +
+             CAST(1.96 AS DOUBLE) *
+               sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) /
+               (1.0 + z2n), 6) AS wilson_hi
+         FROM w ORDER BY p_brand""",
 
     "q_pareto_abc" ->
       """WITH rev AS (

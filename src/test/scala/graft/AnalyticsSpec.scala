@@ -153,6 +153,30 @@ class AnalyticsSpec extends SparkSpec {
       "purchase cohort outgrew click cohort")
   }
 
+  test("q_share_shift: each period's shares sum to 1; deltas sum to 0") {
+    val rows = q("q_share_shift").collect()
+    val s1 = rows.map(_.getAs[Double]("share_p1")).sum
+    val s2 = rows.map(_.getAs[Double]("share_p2")).sum
+    val dd = rows.map(_.getAs[Double]("share_delta")).sum
+    assert(math.abs(s1 - 1.0) < 1e-4, s"period-1 shares sum to $s1")
+    assert(math.abs(s2 - 1.0) < 1e-4, s"period-2 shares sum to $s2")
+    assert(math.abs(dd) < 1e-4, s"share deltas sum to $dd")
+  }
+
+  test("q_return_rate_ci: Wilson interval brackets the rate and stays in [0,1]") {
+    q("q_return_rate_ci").collect().foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      val lo = r.getAs[Double]("wilson_lo")
+      val hi = r.getAs[Double]("wilson_hi")
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9,
+        s"interval must bracket the rate: $r")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9,
+        s"Wilson bounds must stay in [0,1]: $r")
+      // the interval is strictly informative (non-degenerate)
+      assert(hi > lo, s"degenerate interval: $r")
+    }
+  }
+
   test("q_pareto_abc: classes conserve revenue; A is few-parts-much-revenue") {
     val rows = q("q_pareto_abc").collect()
       .map(r => r.getAs[String]("abc_class") ->
