@@ -18,14 +18,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    // read as a timestamp; read the raw int64 nanos and truncate to
-    // micros (identical to DuckDB's ns→µs handling for comparisons at
-    // ms granularity). Production data would store µs — this is a
-    // testdata quirk, confined to the loader.
+    // Some driver generations write events.ts as parquet
+    // TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp;
+    // with nanosAsLong=true it arrives as raw int64 nanos, which we
+    // truncate to micros (identical to DuckDB's ns→µs handling).
+    // Newer generations write TIMESTAMP(MICROS) directly — then the
+    // column is already a timestamp and passes through untouched.
+    // Handling both keeps the loader immune to the testdata's
+    // timestamp flavor; production data would store µs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+        df.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions
         .expr("timestamp_micros(ts div 1000)"))
     else df

@@ -816,6 +816,87 @@ object AnalyticsQueries {
           round(max(col("qv")) - min(col("qv")), 4).as("spread"))
         .orderBy(col("bin"))
     },
+
+    // Calendar gap-fill + LOCF — the canonical time-series
+    // regularization before any forecasting/joining step: aggregate
+    // to an hourly grid, expand each event_type's [min,max] hour
+    // span into a dense calendar spine (sequence+explode — the
+    // spine is CALENDAR-bounded, |types|·hours rows, independent of
+    // fact-table size), left-join the observed aggregate, and carry
+    // the last observation forward. The LOCF window is a running
+    // last(ignoreNulls) per type ordered by hour — each series
+    // partition is one type's spine, bounded by the calendar, so
+    // the window never ships fact rows. Hourly revenue sums are
+    // DECIMAL-quantized (association-free, oracle-exact).
+    "q_gap_fill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          // epoch-µs output (not raw timestamp): repo convention for
+          // driver-hash-stable time columns (cf. tp_scd2_intervals)
+          expr("unix_micros(h)").as("h_us"),
+          coalesce(last(col("rev"), ignoreNulls = true).over(w),
+            lit(0).cast("decimal(18,6)")).as("rev_filled"),
+          col("rev").isNull.as("is_gap"))
+        .orderBy(col("event_type"), col("h_us"))
+    },
+
+    // Seasonal-naive forecast backtest — the baseline every demand
+    // forecaster must beat, evaluated the way a backtest harness
+    // would: zero-fill the hourly grid (a missing hour IS zero
+    // revenue), predict each hour by the same hour one day earlier
+    // (lag 24 over the dense spine), score per type with MAE, RMSE
+    // and WAPE. Error sums are DECIMAL-quantized so the cross-row
+    // reductions are exact; only the final /n and sqrt run in
+    // doubles, pinned at round(4). Same calendar-bounded shape as
+    // q_gap_fill — the backtest cost scales with the calendar and
+    // the type domain, not the fact table.
+    "q_forecast_backtest" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"))
+      val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("rev"), lit(0).cast("decimal(18,6)"))
+            .as("rev0"))
+        .withColumn("pred", lag(col("rev0"), 24).over(wOrd))
+        .where(col("pred").isNotNull)
+      val err = (col("rev0") - col("pred")).cast("decimal(18,6)")
+      dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(err)).cast("decimal(28,6)").as("sae"),
+          sum((err * err).cast("decimal(38,12)"))
+            .cast("decimal(38,12)").as("sse"),
+          sum(abs(col("rev0"))).cast("decimal(28,6)").as("sa"))
+        .select(col("event_type"), col("n_eval"),
+          round(col("sae").cast("double") / col("n_eval"), 4)
+            .as("mae"),
+          round(sqrt(col("sse").cast("double") / col("n_eval")), 4)
+            .as("rmse"),
+          round(col("sae").cast("double") /
+            col("sa").cast("double"), 4).as("wape"))
+        .orderBy(col("event_type"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1356,5 +1437,66 @@ object AnalyticsQueries {
            round(avg(qv), 4) AS ref_value,
            round(max(qv) - min(qv), 4) AS spread
          FROM x GROUP BY bin ORDER BY bin""",
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS rev
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type,
+             unnest(generate_series(min(h), max(h),
+               INTERVAL 1 HOUR)) AS h
+           FROM hourly GROUP BY event_type)
+         SELECT s.event_type, epoch_us(s.h) AS h_us,
+           coalesce(last_value(hr.rev IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0 AS DECIMAL(18,6))) AS rev_filled,
+           hr.rev IS NULL AS is_gap
+         FROM spine s
+         LEFT JOIN hourly hr
+           ON s.event_type = hr.event_type AND s.h = hr.h
+         ORDER BY s.event_type, h_us""",
+
+    "q_forecast_backtest" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS rev
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type,
+             unnest(generate_series(min(h), max(h),
+               INTERVAL 1 HOUR)) AS h
+           FROM hourly GROUP BY event_type),
+         dense AS (
+           SELECT s.event_type, s.h,
+             coalesce(hr.rev, CAST(0 AS DECIMAL(18,6))) AS rev0
+           FROM spine s
+           LEFT JOIN hourly hr
+             ON s.event_type = hr.event_type AND s.h = hr.h),
+         lagged AS (
+           SELECT event_type, rev0,
+             lag(rev0, 24) OVER (PARTITION BY event_type
+               ORDER BY h) AS pred
+           FROM dense),
+         e AS (
+           SELECT event_type, rev0, pred,
+             CAST(rev0 - pred AS DECIMAL(18,6)) AS err
+           FROM lagged WHERE pred IS NOT NULL),
+         g AS (
+           SELECT event_type, count(*) AS n_eval,
+             CAST(sum(abs(err)) AS DECIMAL(28,6)) AS sae,
+             CAST(sum(CAST(err * err AS DECIMAL(38,12)))
+               AS DECIMAL(38,12)) AS sse,
+             CAST(sum(abs(rev0)) AS DECIMAL(28,6)) AS sa
+           FROM e GROUP BY 1)
+         SELECT event_type, n_eval,
+           round(sae::DOUBLE / n_eval, 4) AS mae,
+           round(sqrt(sse::DOUBLE / n_eval), 4) AS rmse,
+           round(sae::DOUBLE / sa::DOUBLE, 4) AS wape
+         FROM g ORDER BY event_type""",
   )
 }

@@ -179,6 +179,84 @@ object GraphQueries {
       }
       pr.select(col("n_name"), round(col("pr"), 6).as("pagerank"))
         .orderBy(col("n_name"))
+    },
+
+    // Common-neighbor / Jaccard link prediction on the co-supply
+    // graph — "which supplier pairs SHOULD be trading partners":
+    // score non-adjacent pairs by shared neighbors. The candidate
+    // generator is the same wedge join as the triangle census
+    // (Σ deg² work on the strength-pruned graph — the p95 prune is
+    // what keeps the wedge space bounded at any scale); existing
+    // edges leave via one anti join; Jaccard = cn/(deg_a+deg_b−cn)
+    // needs only the node-sized degree table, broadcast twice.
+    // Top-15 is sort+limit (TakeOrderedAndProject — each partition
+    // forwards its own top-k).
+    "q_link_prediction" -> { (s, dir) =>
+      val e = graft.CachedPlans.cache(coSupplyEdges(s, dir))
+      e.count()
+      val adj = e.select(col("sa").as("c"), col("sb").as("v"))
+        .unionAll(e.select(col("sb").as("c"), col("sa").as("v")))
+      val cand = adj.select(col("c"), col("v").as("a"))
+        .join(adj.select(col("c").as("c2"), col("v").as("b")),
+          col("c") === col("c2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cn"))
+        .join(e, col("a") === col("sa") && col("b") === col("sb"),
+          "left_anti")
+      val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      cand
+        .join(broadcast(deg.select(col("c").as("a"),
+          col("deg").as("dega"))), "a")
+        .join(broadcast(deg.select(col("c").as("b"),
+          col("deg").as("degb"))), "b")
+        .select(col("a"), col("b"), col("cn"),
+          round(col("cn") /
+            (col("dega") + col("degb") - col("cn")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(15)
+    },
+
+    // k-core decomposition (k=3), three peeling rounds unrolled —
+    // the standard dense-subgraph extraction before community or
+    // influence analytics. Each round is one degree aggregate plus
+    // two semi joins (edges whose BOTH endpoints survive); the
+    // inter-round wire is the node-sized survivor set, never the
+    // fact table, so a 100× graph peels with the same plan (the
+    // survivor semi joins broadcast until the core itself is huge).
+    // Emits per-round (n_nodes, n_edges) — the convergence trace an
+    // operator would iterate to fixpoint; three rounds pin the plan
+    // shape and the oracle replays them as chained CTEs.
+    "q_k_core" -> { (s, dir) =>
+      val k = 3
+      var edges = graft.CachedPlans.cache(coSupplyEdges(s, dir))
+      edges.count()
+      def stats(r: Int, e: org.apache.spark.sql.DataFrame) = {
+        val deg = e.select(col("sa").as("v")).unionAll(
+            e.select(col("sb").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        deg.agg(lit(r).cast("long").as("round"),
+          count(lit(1)).as("n_nodes"),
+          coalesce((sum(col("d")) / 2).cast("long"), lit(0L))
+            .as("n_edges"),
+          coalesce(min(col("d")), lit(0L)).as("min_deg"))
+      }
+      val out = scala.collection.mutable.ArrayBuffer(stats(0, edges))
+      for (r <- 1 to 3) {
+        val deg = edges.select(col("sa").as("v")).unionAll(
+            edges.select(col("sb").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val keep = deg.where(col("d") >= k).select(col("v"))
+        edges = graft.CachedPlans.cache(
+          edges.join(keep.select(col("v").as("sa")), Seq("sa"),
+              "left_semi")
+            .join(keep.select(col("v").as("sb")), Seq("sb"),
+              "left_semi")
+            .select(col("sa"), col("sb")))
+        edges.count()
+        out += stats(r, edges)
+      }
+      out.reduce(_ unionAll _).orderBy(col("round"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +364,90 @@ object GraphQueries {
            FROM n LEFT JOIN c3 ON n.node = c3.dst)
          SELECT n.n_name, round(p3.pr, 6) AS pagerank
          FROM n JOIN p3 ON n.node = p3.node
-         ORDER BY n.n_name""")
+         ORDER BY n.n_name""",
+
+    "q_link_prediction" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem),
+         e0 AS (
+           SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
+           FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+           GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
+         e AS (SELECT sa, sb FROM e0, thr WHERE w >= thr),
+         adj AS (
+           SELECT sa AS c, sb AS v FROM e
+           UNION ALL SELECT sb AS c, sa AS v FROM e),
+         cand AS (
+           SELECT a1.v AS a, a2.v AS b, count(*) AS cn
+           FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.v < a2.v
+           GROUP BY 1, 2),
+         cand2 AS (
+           SELECT c.a, c.b, c.cn FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.sa = c.a AND e.sb = c.b)),
+         deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1)
+         SELECT c2.a, c2.b, c2.cn,
+           round(c2.cn / (da.deg + db.deg - c2.cn)::DOUBLE, 6)
+             AS jaccard
+         FROM cand2 c2
+         JOIN deg da ON c2.a = da.c
+         JOIN deg db ON c2.b = db.c
+         ORDER BY cn DESC, a, b LIMIT 15""",
+
+    "q_k_core" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem),
+         e0 AS (
+           SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
+           FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+           GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
+         e AS (SELECT sa, sb FROM e0, thr WHERE w >= thr),
+         d0 AS (SELECT v, count(*) AS d FROM (
+             SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
+           GROUP BY 1),
+         r0 AS (SELECT CAST(0 AS BIGINT) AS round,
+             count(*) AS n_nodes,
+             coalesce(CAST(sum(d) / 2 AS BIGINT), 0) AS n_edges,
+             CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
+           FROM d0),
+         k1 AS (SELECT v FROM d0 WHERE d >= 3),
+         e1 AS (SELECT sa, sb FROM e
+           WHERE sa IN (SELECT v FROM k1) AND sb IN (SELECT v FROM k1)),
+         d1 AS (SELECT v, count(*) AS d FROM (
+             SELECT sa AS v FROM e1 UNION ALL SELECT sb AS v FROM e1)
+           GROUP BY 1),
+         r1 AS (SELECT CAST(1 AS BIGINT) AS round,
+             count(*) AS n_nodes,
+             coalesce(CAST(sum(d) / 2 AS BIGINT), 0) AS n_edges,
+             CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
+           FROM d1),
+         k2 AS (SELECT v FROM d1 WHERE d >= 3),
+         e2 AS (SELECT sa, sb FROM e1
+           WHERE sa IN (SELECT v FROM k2) AND sb IN (SELECT v FROM k2)),
+         d2 AS (SELECT v, count(*) AS d FROM (
+             SELECT sa AS v FROM e2 UNION ALL SELECT sb AS v FROM e2)
+           GROUP BY 1),
+         r2 AS (SELECT CAST(2 AS BIGINT) AS round,
+             count(*) AS n_nodes,
+             coalesce(CAST(sum(d) / 2 AS BIGINT), 0) AS n_edges,
+             CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
+           FROM d2),
+         k3 AS (SELECT v FROM d2 WHERE d >= 3),
+         e3 AS (SELECT sa, sb FROM e2
+           WHERE sa IN (SELECT v FROM k3) AND sb IN (SELECT v FROM k3)),
+         d3 AS (SELECT v, count(*) AS d FROM (
+             SELECT sa AS v FROM e3 UNION ALL SELECT sb AS v FROM e3)
+           GROUP BY 1),
+         r3 AS (SELECT CAST(3 AS BIGINT) AS round,
+             count(*) AS n_nodes,
+             coalesce(CAST(sum(d) / 2 AS BIGINT), 0) AS n_edges,
+             CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
+           FROM d3)
+         SELECT * FROM r0 UNION ALL SELECT * FROM r1
+         UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         ORDER BY round""")
 }

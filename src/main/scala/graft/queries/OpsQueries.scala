@@ -138,6 +138,82 @@ object OpsQueries {
           col("est_union"),
           round(col("n_both") / col("m") * col("est_union"), 4)
             .as("est_intersection"))
+    },
+
+    // Duplicate-payment screen — the classic AP audit: orders from
+    // the SAME customer whose amounts are within 5% and dates within
+    // 30 days are flagged as candidate double payments. The
+    // self-join is an equi-join on the customer key (the selective
+    // predicate); amount and date tolerance are residual filters, so
+    // the pair space is Σ(orders-per-customer)², bounded by the
+    // per-entity order cadence — never |orders|². At 100 TB the same
+    // plan holds: shuffle both sides on custkey (or bucket the table
+    // by it and shuffle nothing).
+    "q_duplicate_payments" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val a = o.select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("ok_a"),
+        col("o_totalprice").as("amt_a"),
+        to_date(col("o_orderdate")).as("d_a"))
+      val b = o.select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("ok_b"),
+        col("o_totalprice").as("amt_b"),
+        to_date(col("o_orderdate")).as("d_b"))
+      a.join(b, Seq("cust"))
+        .where(col("ok_a") < col("ok_b") &&
+          abs(col("amt_a") - col("amt_b")) <=
+            lit(0.05) * col("amt_a") &&
+          abs(datediff(col("d_a"), col("d_b"))) <= 30)
+        .select(col("cust"), col("ok_a"), col("ok_b"),
+          round(col("amt_a"), 2).as("amt_a"),
+          round(col("amt_b"), 2).as("amt_b"),
+          abs(datediff(col("d_a"), col("d_b"))).cast("long")
+            .as("day_gap"),
+          round(abs(col("amt_a") - col("amt_b")) / col("amt_a"), 4)
+            .as("pct_diff"))
+        .orderBy(col("cust"), col("ok_a"), col("ok_b"))
+    },
+
+    // Ledger reconciliation — does the order header total equal the
+    // sum of its lines at invoice arithmetic
+    // (extendedprice·(1−discount)·(1+tax))? One equi-join +
+    // aggregate keyed on the order, then a per-status rollup of
+    // match/over/under counts and the worst discrepancy. Per-line
+    // amounts are DECIMAL(18,4)-quantized before summing (exact,
+    // association-free), the header total quantized the same way,
+    // so the match verdict is bit-identical cross-engine. Linear
+    // scans, one shuffle on the order key — at scale, bucket both
+    // tables by orderkey and the shuffle disappears.
+    "q_ledger_reconcile" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("line_total"),
+          count(lit(1)).as("n_lines"))
+      val d = Tables(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderstatus"),
+          col("n_lines").isNull.as("no_lines"),
+          (col("o_totalprice").cast("decimal(18,6)") -
+            coalesce(col("line_total"),
+              lit(0).cast("decimal(18,6)"))).as("diff"))
+      d.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("no_lines"), 1L).otherwise(0L))
+            .as("n_no_lines"),
+          sum(when(!col("no_lines") &&
+            abs(col("diff")) <= lit(new java.math.BigDecimal("0.01")),
+            1L).otherwise(0L)).as("n_matched"),
+          sum(when(!col("no_lines") &&
+            col("diff") > lit(new java.math.BigDecimal("0.01")), 1L)
+            .otherwise(0L)).as("n_over"),
+          sum(when(!col("no_lines") &&
+            col("diff") < lit(new java.math.BigDecimal("-0.01")), 1L)
+            .otherwise(0L)).as("n_under"),
+          max(abs(col("diff"))).cast("decimal(18,6)").as("max_abs_diff"),
+          sum(col("diff")).cast("decimal(28,6)").as("total_diff"))
+        .orderBy(col("o_orderstatus"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -214,5 +290,53 @@ object OpsQueries {
              AS est_click_users,
            est_union,
            round(n_both / m * est_union, 4) AS est_intersection
-         FROM uagg""")
+         FROM uagg""",
+
+    "q_duplicate_payments" ->
+      """SELECT a.o_custkey AS cust,
+           a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+           round(a.o_totalprice, 2) AS amt_a,
+           round(b.o_totalprice, 2) AS amt_b,
+           CAST(abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+             CAST(a.o_orderdate AS DATE))) AS BIGINT) AS day_gap,
+           round(abs(a.o_totalprice - b.o_totalprice)
+             / a.o_totalprice, 4) AS pct_diff
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey
+          AND a.o_orderkey < b.o_orderkey
+          AND abs(a.o_totalprice - b.o_totalprice)
+                <= 0.05 * a.o_totalprice
+          AND abs(date_diff('day', CAST(b.o_orderdate AS DATE),
+                CAST(a.o_orderdate AS DATE))) <= 30
+         ORDER BY cust, ok_a, ok_b""",
+
+    "q_ledger_reconcile" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS line_total,
+             count(*) AS n_lines
+           FROM lineitem GROUP BY 1),
+         d AS (
+           SELECT o.o_orderstatus,
+             li.n_lines IS NULL AS no_lines,
+             CAST(o.o_totalprice AS DECIMAL(18,6))
+               - coalesce(li.line_total, CAST(0 AS DECIMAL(18,6)))
+               AS diff
+           FROM orders o
+           LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+         SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_lines,
+           CAST(sum(CASE WHEN NOT no_lines AND abs(diff) <= 0.01
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN NOT no_lines AND diff > 0.01
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           CAST(sum(CASE WHEN NOT no_lines AND diff < -0.01
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+           CAST(max(abs(diff)) AS DECIMAL(18,6)) AS max_abs_diff,
+           CAST(sum(diff) AS DECIMAL(28,6)) AS total_diff
+         FROM d GROUP BY 1 ORDER BY o_orderstatus""")
 }

@@ -452,6 +452,89 @@ object StatsQueries {
           round(l3 / l2, 4).as("l_skew"),
           round(l4 / l2, 4).as("l_kurt"))
         .orderBy(col("event_type"))
+    },
+
+    // Chi-square test of independence (event_type × day-of-week) +
+    // Cramér's V effect size — the categorical-association audit
+    // behind "does activity mix shift by weekday". One hash
+    // aggregate collapses the fact table to the r×c contingency
+    // cells (≤ |types|·7 rows); marginals re-aggregate the CELLS,
+    // never the facts, and join back broadcast. Per-cell (O−E)²/E
+    // is IEEE-identical in both engines; the cross-cell sum is
+    // DECIMAL(28,10)-quantized (the repo-wide association-free
+    // reduction idiom), so χ² matches bit-for-bit.
+    "q_chi_square" -> { (s, dir) =>
+      val cells = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowt = cells.groupBy(col("event_type"))
+        .agg(sum(col("o")).as("rt"))
+      val colt = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("dow")).as("c"))
+      val e = col("rt") * col("ct") / col("n").cast("double")
+      cells.join(broadcast(rowt), "event_type")
+        .join(broadcast(colt), "dow")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("r"), col("c"),
+          ((col("o") - e) * (col("o") - e) / e)
+            .cast("decimal(28,10)").as("cell"))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("cell")).cast("decimal(28,10)").as("chi2d"))
+        .select(col("n"),
+          ((col("r") - 1) * (col("c") - 1)).as("df"),
+          round(col("chi2d").cast("double"), 4).as("chi2"),
+          round(sqrt(col("chi2d").cast("double") /
+            (col("n") * least(col("r") - 1, col("c") - 1))), 4)
+            .as("cramers_v"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov per event_type (control vs
+    // treatment arms, same md5 split as q_ab_ttest): D = max over
+    // the value domain of |ECDF_c − ECDF_t|. Like Mann–Whitney, the
+    // ECDFs live on the DISTINCT-(type,value) block aggregate — one
+    // hash aggregate to per-block (cnt_c, cnt_t), a cumulative sum
+    // over blocks, then a max. Every per-block step is IEEE division
+    // of exact integer counts and max is association-free, so no
+    // quantization is needed anywhere — the statistic is bit-exact
+    // by construction. The 5% rejection uses the asymptotic
+    // c(α)√((n₁+n₂)/n₁n₂) with c(0.05)=1.358, computed on the
+    // UNROUNDED D so both engines agree at the boundary.
+    "q_ks_test" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .withColumn("variant", variantOf(col("user_id")))
+      val blocks = ev.groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("variant") === "control", 1L)
+          .otherwise(0L)).as("bc"),
+          sum(when(col("variant") === "treatment", 1L)
+            .otherwise(0L)).as("bt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = blocks
+        .withColumn("cc", sum(col("bc")).over(w))
+        .withColumn("ct", sum(col("bt")).over(w))
+        .withColumn("nc", sum(col("bc")).over(wAll))
+        .withColumn("nt", sum(col("bt")).over(wAll))
+      val d = abs(col("cc") / col("nc").cast("double") -
+        col("ct") / col("nt").cast("double"))
+      cum.groupBy(col("event_type"))
+        .agg(first(col("nc")).as("n_c"), first(col("nt")).as("n_t"),
+          max(d).as("d_raw"))
+        .select(col("event_type"), col("n_c"), col("n_t"),
+          round(col("d_raw"), 6).as("ks_stat"),
+          round(lit(1.358) * sqrt((col("n_c") + col("n_t")) /
+            (col("n_c") * col("n_t").cast("double"))), 6)
+            .as("ks_crit"),
+          (col("d_raw") > lit(1.358) *
+            sqrt((col("n_c") + col("n_t")) /
+              (col("n_c") * col("n_t").cast("double"))))
+            .as("reject_05"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -747,5 +830,67 @@ object StatsQueries {
              AS l_skew,
            round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) /
              (2.0 * b1 - b0), 4) AS l_kurt
-         FROM b ORDER BY event_type""")
+         FROM b ORDER BY event_type""",
+
+    "q_chi_square" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(extract(dow FROM ts) AS INT) AS dow,
+             count(*) AS o
+           FROM events GROUP BY 1, 2),
+         rowt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+         colt AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             count(DISTINCT event_type) AS r,
+             count(DISTINCT dow) AS c FROM cells),
+         s AS (
+           SELECT any_value(t.n) AS n, any_value(t.r) AS r,
+             any_value(t.c) AS c,
+             CAST(sum(CAST((cl.o - rw.rt * co.ct / t.n::DOUBLE)
+               * (cl.o - rw.rt * co.ct / t.n::DOUBLE)
+               / (rw.rt * co.ct / t.n::DOUBLE) AS DECIMAL(28,10)))
+               AS DECIMAL(28,10)) AS chi2d
+           FROM cells cl
+           JOIN rowt rw USING (event_type)
+           JOIN colt co USING (dow)
+           CROSS JOIN tot t)
+         SELECT n, (r - 1) * (c - 1) AS df,
+           round(chi2d::DOUBLE, 4) AS chi2,
+           round(sqrt(chi2d::DOUBLE / (n * least(r - 1, c - 1))), 4)
+             AS cramers_v
+         FROM s""",
+
+    "q_ks_test" ->
+      """WITH ev AS (
+           SELECT event_type, value,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         blocks AS (
+           SELECT event_type, value,
+             sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS bc,
+             sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS bt
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type,
+             sum(bc) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             sum(bt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+             sum(bc) OVER (PARTITION BY event_type) AS nc,
+             sum(bt) OVER (PARTITION BY event_type) AS nt
+           FROM blocks),
+         g AS (
+           SELECT event_type,
+             CAST(any_value(nc) AS BIGINT) AS n_c,
+             CAST(any_value(nt) AS BIGINT) AS n_t,
+             max(abs(cc / nc::DOUBLE - ct / nt::DOUBLE)) AS d_raw
+           FROM cum GROUP BY 1)
+         SELECT event_type, n_c, n_t,
+           round(d_raw, 6) AS ks_stat,
+           round(1.358 * sqrt((n_c + n_t) / (n_c * n_t::DOUBLE)), 6)
+             AS ks_crit,
+           d_raw > 1.358 * sqrt((n_c + n_t) / (n_c * n_t::DOUBLE))
+             AS reject_05
+         FROM g ORDER BY event_type""")
 }

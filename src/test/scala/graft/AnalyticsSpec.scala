@@ -276,4 +276,54 @@ class AnalyticsSpec extends SparkSpec {
           s"$seg risk set must strictly shrink over event times")
     }
   }
+
+  test("q_gap_fill: dense hourly spine per type, LOCF never null") {
+    val rows = q("q_gap_fill").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (et, rs) =>
+        val hs = rs.map(_.getAs[Long]("h_us")).sorted
+        // spine is dense: consecutive hours differ by exactly 1h
+        assert(hs.zip(hs.tail).forall { case (a, b) =>
+          b - a == 3600L * 1000000L },
+          s"$et spine not dense hourly")
+        rs.foreach { r =>
+          assert(r.getAs[java.math.BigDecimal]("rev_filled") != null,
+            s"LOCF must never leave null after the first obs: $r")
+        }
+        // first and last hour must be observed (span endpoints)
+        val byH = rs.sortBy(_.getAs[Long]("h_us"))
+        assert(!byH.head.getAs[Boolean]("is_gap"))
+        assert(!byH.last.getAs[Boolean]("is_gap"))
+    }
+  }
+
+  test("q_gap_fill: LOCF carries the previous observed value across gaps") {
+    val rows = q("q_gap_fill").collect()
+      .filter(_.getAs[String]("event_type") == "click")
+      .sortBy(_.getAs[Long]("h_us"))
+    var lastObserved: java.math.BigDecimal = null
+    rows.foreach { r =>
+      if (!r.getAs[Boolean]("is_gap"))
+        lastObserved = r.getAs[java.math.BigDecimal]("rev_filled")
+      else if (lastObserved != null)
+        assert(r.getAs[java.math.BigDecimal]("rev_filled")
+          .compareTo(lastObserved) == 0,
+          s"gap row must carry last observation: $r")
+    }
+  }
+
+  test("q_forecast_backtest: metrics well-formed, WAPE consistent") {
+    val rows = q("q_forecast_backtest").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eval") > 0)
+      val mae = r.getAs[Double]("mae")
+      val rmse = r.getAs[Double]("rmse")
+      assert(mae >= 0 && rmse >= 0)
+      assert(rmse >= mae - 1e-9,
+        s"RMSE must dominate MAE: $r")
+      assert(r.getAs[Double]("wape") >= 0)
+    }
+  }
 }

@@ -42,4 +42,43 @@ class GraphSpec extends SparkSpec {
     assert(prs.sum >= 25 * 0.006 - 1e-6,
       s"mass ${prs.sum} below the teleport floor")
   }
+
+  test("q_link_prediction: predictions are non-edges with valid scores") {
+    val rows = q("q_link_prediction").collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val edges = graft.queries.GraphQueries.coSupplyEdges(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val a = r.getAs[Long]("a"); val b = r.getAs[Long]("b")
+      assert(a < b, s"pair not canonical: $r")
+      assert(!edges.contains((a, b)),
+        s"predicted pair is already an edge: $r")
+      assert(r.getAs[Long]("cn") >= 1)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $r")
+    }
+    // ranked by common neighbors desc
+    val cns = rows.map(_.getAs[Long]("cn"))
+    assert(cns.zip(cns.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q_k_core: monotone peeling, final core meets the degree bar") {
+    val rows = q("q_k_core").collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 4)
+    val nodes = rows.map(_.getAs[Long]("n_nodes"))
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(nodes.zip(nodes.tail).forall { case (x, y) => y <= x },
+      s"node count must shrink: ${nodes.mkString(",")}")
+    assert(edges.zip(edges.tail).forall { case (x, y) => y <= x },
+      s"edge count must shrink: ${edges.mkString(",")}")
+    val last = rows.last
+    // after peeling at k=3 the surviving min degree can still dip
+    // below k (peeling is iterative), but an EMPTY core reports 0s
+    if (last.getAs[Long]("n_nodes") == 0) {
+      assert(last.getAs[Long]("n_edges") == 0)
+      assert(last.getAs[Long]("min_deg") == 0)
+    } else {
+      assert(last.getAs[Long]("min_deg") >= 1)
+    }
+  }
 }

@@ -79,4 +79,42 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Double]("min_diversity") >= 1.0)
     }
   }
+
+  test("q_duplicate_payments: tolerance bounds hold; pairs canonical") {
+    val rows = q("q_duplicate_payments").collect()
+    assert(rows.nonEmpty, "synthetic data should flag some pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ok_a") < r.getAs[Long]("ok_b"))
+      assert(r.getAs[Long]("day_gap") <= 30)
+      assert(r.getAs[Double]("pct_diff") <= 0.05 + 1e-9)
+    }
+    // no duplicate pairs in the output
+    val keys = rows.map(r => (r.getAs[Long]("ok_a"), r.getAs[Long]("ok_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q_duplicate_payments: equi-join on custkey carries the pair space") {
+    val p = withoutAqe(q("q_duplicate_payments")
+      .queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair screen must equi-join on the customer key:\n$p")
+  }
+
+  test("q_ledger_reconcile: verdict classes partition the order count") {
+    val rows = q("q_ledger_reconcile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val parts = r.getAs[Long]("n_no_lines") +
+        r.getAs[Long]("n_matched") + r.getAs[Long]("n_over") +
+        r.getAs[Long]("n_under")
+      assert(parts == n,
+        s"match/over/under/no-lines must partition the orders: $r")
+      assert(r.getAs[java.math.BigDecimal]("max_abs_diff")
+        .compareTo(java.math.BigDecimal.ZERO) >= 0)
+    }
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables(spark, sf(), "orders").count())
+  }
 }

@@ -196,4 +196,51 @@ class StatsSpec extends SparkSpec {
     assert(!sig.zip(sig.tail).exists { case (a, b) => !a && b },
       s"significance not a prefix: ${sig.mkString(",")}")
   }
+
+  test("q_chi_square: single row, df matches dims, V in [0,1]") {
+    val rows = q("q_chi_square").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val nEvents = Tables(spark, sf(), "events").count()
+    assert(r.getAs[Long]("n") == nEvents,
+      "contingency cells must partition every event")
+    assert(r.getAs[Long]("df") > 0)
+    assert(r.getAs[Double]("chi2") >= 0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"Cramér's V out of range: $v")
+  }
+
+  test("q_chi_square: marginals re-aggregate cells — broadcast joins only") {
+    val p = withoutAqe(q("q_chi_square")
+      .queryExecution.executedPlan.toString)
+    assert(!p.contains("SortMergeJoin"),
+      s"marginal joins must broadcast (cells are r×c-bounded):\n$p")
+  }
+
+  test("q_ks_test: D in [0,1], crit positive, reject consistent") {
+    val rows = q("q_ks_test").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("ks_stat")
+      val crit = r.getAs[Double]("ks_crit")
+      assert(d >= 0.0 && d <= 1.0, s"D out of range: $r")
+      assert(crit > 0.0)
+      assert(r.getAs[Long]("n_c") > 0 && r.getAs[Long]("n_t") > 0)
+      // reject computed on unrounded D; compare against the
+      // half-ulp edge of the rounded columns
+      if (math.abs(d - crit) > 1e-5)
+        assert(r.getAs[Boolean]("reject_05") == (d > crit),
+          s"reject flag disagrees with D vs crit: $r")
+    }
+  }
+
+  test("q_ks_test: identical arms would give D=0 — sanity on split arms") {
+    // The md5 split halves each type, so D should be small but the
+    // ECDFs are real: 0 <= D < 0.5 on this synthetic data.
+    val rows = q("q_ks_test").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ks_stat") < 0.5,
+        s"suspiciously large D for a random split: $r")
+    }
+  }
 }
