@@ -297,6 +297,85 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Flesch readability scored per document, audited per source —
+    // the classic surface-level difficulty screen a curation
+    // pipeline runs next to stopword/length quality gates. Words =
+    // whitespace tokens (the repo-wide tokenizer contract),
+    // syllables ≈ vowel-group runs (one regexp_count over the raw
+    // text — codegen'd, no explode), sentences = terminal-punct runs
+    // floored at 1. Per-doc scores are per-row IEEE arithmetic;
+    // per-source means go through the DECIMAL-sum/ n idiom so the
+    // cross-row reduction is exact. One scan, one aggregate.
+    "q_text_readability" -> { (s, dir) =>
+      val words = size(split(col("text"), " ")).cast("double")
+      val syll = greatest(
+        regexp_count(col("text"), lit("[aeiouy]+")), lit(1))
+        .cast("double")
+      val sent = greatest(
+        regexp_count(col("text"), lit("[.!?]+")), lit(1))
+        .cast("double")
+      val flesch = lit(206.835) - lit(1.015) * (words / sent) -
+        lit(84.6) * (syll / words)
+      val grade = lit(0.39) * (words / sent) +
+        lit(11.8) * (syll / words) - lit(15.59)
+      docs(s, dir)
+        .select(col("source"),
+          flesch.cast("decimal(18,6)").as("f"),
+          grade.cast("decimal(18,6)").as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f")).cast("decimal(28,6)").as("sf"),
+          sum(col("g")).cast("decimal(28,6)").as("sg"),
+          min(col("f")).as("minf"), max(col("f")).as("maxf"))
+        .select(col("source"), col("n_docs"),
+          round(col("sf").cast("double") / col("n_docs"), 4)
+            .as("avg_flesch"),
+          round(col("sg").cast("double") / col("n_docs"), 4)
+            .as("avg_fk_grade"),
+          round(col("minf").cast("double"), 4).as("min_flesch"),
+          round(col("maxf").cast("double"), 4).as("max_flesch"))
+        .orderBy(col("source"))
+    },
+
+    // Fixed-weight logistic quality classifier — batch model
+    // inference as an engine operator: score = σ(w·x) over cheap
+    // text features (length saturation, stopword ratio, vocabulary
+    // diversity), keep-gate at 0.5. This is the shape of every
+    // model-based curation filter (fastText-style quality, toxicity,
+    // LM-filter): per-row feature extraction + dot product + sigmoid
+    // inside whole-stage codegen, then one aggregate for the audit
+    // readout per language. exp() is per-row IEEE (the q_fdr_bh
+    // precedent); the mean score goes through the DECIMAL-sum idiom.
+    // At 100 TB the scoring pass is embarrassingly parallel and the
+    // aggregate is map-side-partial — nothing here shuffles more
+    // than the |lang| audit rows.
+    "q_quality_logistic" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val x1 = least(lit(1.0), nTok / lit(100.0))
+      val x2 = size(filter(toks, x =>
+        array_contains(array(lit("the"), lit("a")), x)))
+        .cast("double") / nTok
+      val x3 = size(array_distinct(toks)).cast("double") / nTok
+      val z = lit(-1.0) + lit(2.5) * x1 - lit(3.0) * x2 +
+        lit(2.0) * x3
+      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      docs(s, dir)
+        .select(col("lang"), score.as("score"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L))
+            .as("n_keep"),
+          sum(col("score").cast("decimal(18,8)"))
+            .cast("decimal(28,8)").as("ss"))
+        .select(col("lang"), col("n_docs"), col("n_keep"),
+          round(col("n_keep") / col("n_docs").cast("double"), 4)
+            .as("keep_rate"),
+          round(col("ss").cast("double") / col("n_docs"), 4)
+            .as("avg_score"))
+        .orderBy(col("lang"))
+    },
+
     // Language-ID heuristic: marker-word scoring + argmax.
     "q_text_langid" -> { (s, dir) =>
       docs(s, dir).select(
@@ -1686,5 +1765,60 @@ object TextQueries {
          JOIN cnt cb ON id_b = cb.doc_id
          WHERE greatest(common / ca.n_sh, common / cb.n_sh) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "q_text_readability" ->
+      """WITH f AS (
+           SELECT source,
+             CAST(206.835
+               - 1.015 * (len(string_split(text, ' '))::DOUBLE
+                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+               - 84.6 * (greatest(len(regexp_extract_all(text,
+                   '[aeiouy]+')), 1)::DOUBLE
+                 / len(string_split(text, ' ')))
+               AS DECIMAL(18,6)) AS fl,
+             CAST(0.39 * (len(string_split(text, ' '))::DOUBLE
+                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+               + 11.8 * (greatest(len(regexp_extract_all(text,
+                   '[aeiouy]+')), 1)::DOUBLE
+                 / len(string_split(text, ' ')))
+               - 15.59 AS DECIMAL(18,6)) AS gr
+           FROM documents),
+         g AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(fl) AS DECIMAL(28,6)) AS sf,
+             CAST(sum(gr) AS DECIMAL(28,6)) AS sg,
+             min(fl) AS minf, max(fl) AS maxf
+           FROM f GROUP BY 1)
+         SELECT source, n_docs,
+           round(sf::DOUBLE / n_docs, 4) AS avg_flesch,
+           round(sg::DOUBLE / n_docs, 4) AS avg_fk_grade,
+           round(minf::DOUBLE, 4) AS min_flesch,
+           round(maxf::DOUBLE, 4) AS max_flesch
+         FROM g ORDER BY source""",
+
+    "q_quality_logistic" ->
+      """WITH f AS (
+           SELECT lang,
+             1.0 / (1.0 + exp(-(
+               -1.0
+               + 2.5 * least(1.0,
+                   len(string_split(text, ' '))::DOUBLE / 100.0)
+               - 3.0 * (len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a')))::DOUBLE
+                 / len(string_split(text, ' ')))
+               + 2.0 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')))))) AS score
+           FROM documents),
+         g AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_keep,
+             CAST(sum(CAST(score AS DECIMAL(18,8)))
+               AS DECIMAL(28,8)) AS ss
+           FROM f GROUP BY 1)
+         SELECT lang, n_docs, n_keep,
+           round(n_keep / n_docs::DOUBLE, 4) AS keep_rate,
+           round(ss::DOUBLE / n_docs, 4) AS avg_score
+         FROM g ORDER BY lang""",
   )
 }

@@ -1,0 +1,43 @@
+package graft
+
+/** Semantic gates for the per-source readability audit and the
+  * fixed-weight logistic quality classifier (oracle row-hashes check
+  * values; these check the invariants the hashes don't state).
+  */
+class TextScoringSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_text_readability: bounds and aggregate consistency") {
+    val rows = q("q_text_readability").collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables(spark, sf(), "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "sources must partition the corpus")
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_flesch")
+      val lo = r.getAs[Double]("min_flesch")
+      val hi = r.getAs[Double]("max_flesch")
+      assert(lo <= hi, s"min > max: $r")
+      // the mean sits within the per-source range (± rounding ulp)
+      assert(avg >= lo - 5e-5 && avg <= hi + 5e-5,
+        s"avg outside [min,max]: $r")
+    }
+  }
+
+  test("q_quality_logistic: sigmoid bounds, keep-count consistency") {
+    val rows = q("q_quality_logistic").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val keep = r.getAs[Long]("n_keep")
+      val rate = r.getAs[Double]("keep_rate")
+      val score = r.getAs[Double]("avg_score")
+      assert(keep >= 0 && keep <= n)
+      assert(math.abs(rate - keep.toDouble / n) < 5e-5,
+        s"keep_rate inconsistent with counts: $r")
+      assert(score > 0.0 && score < 1.0,
+        s"mean sigmoid must stay strictly inside (0,1): $r")
+    }
+  }
+}
