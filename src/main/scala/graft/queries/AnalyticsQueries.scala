@@ -881,11 +881,11 @@ object AnalyticsQueries {
             .as("rev0"))
         .withColumn("pred", lag(col("rev0"), 24).over(wOrd))
         .where(col("pred").isNotNull)
-      val err = (col("rev0") - col("pred")).cast("decimal(18,6)")
+      val errFb = (col("rev0") - col("pred")).cast("decimal(18,6)")
       dense.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_eval"),
-          sum(abs(err)).cast("decimal(28,6)").as("sae"),
-          sum((err * err).cast("decimal(38,12)"))
+          sum(abs(errFb)).cast("decimal(28,6)").as("sae"),
+          sum((errFb * errFb).cast("decimal(38,12)"))
             .cast("decimal(38,12)").as("sse"),
           sum(abs(col("rev0"))).cast("decimal(28,6)").as("sa"))
         .select(col("event_type"), col("n_eval"),
@@ -896,6 +896,104 @@ object AnalyticsQueries {
           round(col("sae").cast("double") /
             col("sa").cast("double"), 4).as("wape"))
         .orderBy(col("event_type"))
+    },
+
+    // Fulfillment latency audit — order-to-ship lag distribution per
+    // order priority: the supply-chain SLA readout (join on the
+    // order key, integer day lags, exact percentiles). One shuffle
+    // join keyed on orderkey (bucket both tables at scale and it
+    // disappears), then a hash aggregate per priority; the lag sum
+    // is exact integer arithmetic, percentiles run on the bounded
+    // integer day domain.
+    "q_fulfillment_latency" -> { (s, dir) =>
+      val lag = datediff(to_date(col("l_shipdate")),
+        to_date(col("o_orderdate")))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), lag.as("lag_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("lag_days")).cast("double") / count(lit(1)),
+            4).as("avg_days"),
+          expr("percentile(lag_days, 0.5)").as("median_days"),
+          expr("percentile(lag_days, 0.9)").as("p90_days"),
+          max(col("lag_days")).cast("long").as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // XYZ demand-variability classification — the inventory-planning
+    // twin of Pareto/ABC: per-part weekly demand over the corpus
+    // week domain (zero weeks INCLUDED via the global week count —
+    // no per-part calendar spine needed: mean = Σq/W and
+    // var = Σq²/W − mean² are exact in the decimal sums), coefficient
+    // of variation, then the standard X (<0.5) / Y (<1.0) / Z bands.
+    // Two scans of lineitem (week domain + per-part sums), both
+    // map-side-partial aggregates; the readout is 3 rows.
+    "q_demand_variability" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("unix_micros(l_shipdate) div 604800000000").as("wk"),
+          col("l_quantity"))
+      val weeks = li.agg(countDistinct(col("wk")).as("n_weeks"))
+      val perWk = li.groupBy(col("l_partkey"), col("wk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("q"))
+      val perPart = perWk.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).cast("decimal(28,6)").as("sq"),
+          sum((col("q") * col("q")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)").as("sq2"))
+      val mean = col("sq").cast("double") / col("n_weeks")
+      val variance = col("sq2").cast("double") / col("n_weeks") -
+        mean * mean
+      val cv = sqrt(greatest(variance, lit(0.0))) / mean
+      perPart.crossJoin(broadcast(weeks))
+        .select(col("l_partkey"), cv.cast("decimal(18,8)").as("cvd"))
+        // classify on the QUANTIZED cv so the band edges are
+        // engine-identical (the oracle classifies the same column)
+        .withColumn("xyz_class",
+          when(col("cvd").cast("double") < 0.5, "X")
+            .when(col("cvd").cast("double") < 1.0, "Y")
+            .otherwise("Z"))
+        .groupBy(col("xyz_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("cvd")).cast("double") / count(lit(1)), 4)
+            .as("avg_cv"),
+          round(min(col("cvd")).cast("double"), 4).as("min_cv"),
+          round(max(col("cvd")).cast("double"), 4).as("max_cv"))
+        .orderBy(col("xyz_class"))
+    },
+
+    // Post-stratification reweighting — the survey-correction
+    // estimator: re-estimate the overall mean of `value` as if every
+    // event_type stratum had equal share, plus the Kish effective
+    // sample size for the implied weights w = N/(k·n_s). One hash
+    // aggregate to the k stratum rows; per-stratum means and 1/n
+    // terms are DECIMAL-quantized before the k-row sum so the
+    // cross-stratum reduction is exact. The whole estimator reads
+    // the fact table once.
+    "q_post_stratification" -> { (s, dir) =>
+      val strata = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").as("sv"))
+      strata.agg(
+          sum(col("n_s")).as("n"),
+          count(lit(1)).as("k_strata"),
+          sum(col("sv")).cast("decimal(28,6)").as("sv_all"),
+          sum((col("sv").cast("double") / col("n_s"))
+            .cast("decimal(18,8)")).cast("decimal(28,8)")
+            .as("sum_means"),
+          sum((lit(1.0) / col("n_s")).cast("decimal(18,12)"))
+            .cast("decimal(28,12)").as("sum_inv"))
+        .select(col("n"), col("k_strata"),
+          round(col("sv_all").cast("double") / col("n"), 4)
+            .as("mean_raw"),
+          round(col("sum_means").cast("double") / col("k_strata"), 4)
+            .as("mean_poststrat"),
+          round(col("k_strata") * col("k_strata") /
+            col("sum_inv").cast("double"), 2).as("kish_neff"))
     },
   )
 
@@ -1498,5 +1596,79 @@ object AnalyticsQueries {
            round(sqrt(sse::DOUBLE / n_eval), 4) AS rmse,
            round(sae::DOUBLE / sa::DOUBLE, 4) AS wape
          FROM g ORDER BY event_type""",
+
+    "q_fulfillment_latency" ->
+      """WITH d AS (
+           SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS lag_days
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey)
+         SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4)
+             AS avg_days,
+           quantile_cont(lag_days, 0.5) AS median_days,
+           quantile_cont(lag_days, 0.9) AS p90_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days
+         FROM d GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q_demand_variability" ->
+      """WITH li AS (
+           SELECT l_partkey,
+             epoch_us(l_shipdate) // 604800000000 AS wk,
+             l_quantity
+           FROM lineitem),
+         weeks AS (SELECT count(DISTINCT wk) AS n_weeks FROM li),
+         perwk AS (
+           SELECT l_partkey, wk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS q
+           FROM li GROUP BY 1, 2),
+         perpart AS (
+           SELECT l_partkey,
+             CAST(sum(q) AS DECIMAL(28,6)) AS sq,
+             CAST(sum(CAST(q * q AS DECIMAL(38,12)))
+               AS DECIMAL(38,12)) AS sq2
+           FROM perwk GROUP BY 1),
+         cvx AS (
+           SELECT l_partkey,
+             CAST(sqrt(greatest(
+               sq2::DOUBLE / w.n_weeks
+                 - (sq::DOUBLE / w.n_weeks) * (sq::DOUBLE / w.n_weeks),
+               0.0)) / (sq::DOUBLE / w.n_weeks) AS DECIMAL(18,8))
+               AS cvd
+           FROM perpart, weeks w)
+         SELECT CASE WHEN cvd::DOUBLE < 0.5 THEN 'X'
+                     WHEN cvd::DOUBLE < 1.0 THEN 'Y'
+                     ELSE 'Z' END AS xyz_class,
+           count(*) AS n_parts,
+           round(CAST(sum(cvd) AS DECIMAL(28,8))::DOUBLE / count(*), 4)
+             AS avg_cv,
+           round(min(cvd)::DOUBLE, 4) AS min_cv,
+           round(max(cvd)::DOUBLE, 4) AS max_cv
+         FROM cvx GROUP BY 1 ORDER BY xyz_class""",
+
+    "q_post_stratification" ->
+      """WITH strata AS (
+           SELECT event_type, count(*) AS n_s,
+             CAST(sum(CAST(value AS DECIMAL(18,6)))
+               AS DECIMAL(28,6)) AS sv
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             count(*) AS k_strata,
+             CAST(sum(sv) AS DECIMAL(28,6)) AS sv_all,
+             CAST(sum(CAST(sv::DOUBLE / n_s AS DECIMAL(18,8)))
+               AS DECIMAL(28,8)) AS sum_means,
+             CAST(sum(CAST(CAST(1.0 AS DOUBLE) / n_s
+               AS DECIMAL(18,12))) AS DECIMAL(28,12)) AS sum_inv
+           FROM strata)
+         SELECT n, k_strata,
+           round(sv_all::DOUBLE / n, 4) AS mean_raw,
+           round(sum_means::DOUBLE / k_strata, 4) AS mean_poststrat,
+           round(k_strata * k_strata / sum_inv::DOUBLE, 2)
+             AS kish_neff
+         FROM g""",
   )
 }

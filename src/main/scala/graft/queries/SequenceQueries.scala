@@ -262,6 +262,34 @@ object SequenceQueries {
           round(col("cosine"), 4).as("cosine"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("item"), col("rank"))
+    },
+
+    // Journey-prefix mining: each user's first three event types
+    // (time order, event_id tie-break) concatenated into a path
+    // string, then the top-20 paths by user count — the "how do
+    // users start" readout next to the Markov matrix's "where do
+    // they go next". The per-user window is WindowGroupLimit-pruned
+    // to 3 rows map-side (the top-k-per-group machinery), the path
+    // build is one ordered collect over ≤3 rows, and the final
+    // top-20 is sort+limit (TakeOrderedAndProject). Path cardinality
+    // is bounded by |types|³, so the count aggregate is map-side
+    // partial at any scale.
+    "q_session_path_topk" -> { (s, dir) =>
+      val first3 = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(userSeq))
+        .where(col("rn") <= 3)
+      val paths = first3.groupBy(col("user_id"))
+        .agg(concat_ws(">", array_sort(
+          collect_list(struct(col("rn"), col("event_type"))))
+          .getField("event_type")).as("path"),
+          count(lit(1)).as("len"))
+        .where(col("len") === 3)
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
     })
 
   val oracles: Map[String, String] = Map(
@@ -425,5 +453,22 @@ object SequenceQueries {
          SELECT item, neighbor, n_ab,
            round(cosine, 4) AS cosine, rank
          FROM rk WHERE rank <= 3
-         ORDER BY item, rank""")
+         ORDER BY item, rank""",
+
+    "q_session_path_topk" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         f3 AS (
+           SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             count(*) AS len
+           FROM seq WHERE rn <= 3 GROUP BY user_id),
+         p AS (
+           SELECT path, count(*) AS n_users
+           FROM f3 WHERE len = 3 GROUP BY 1)
+         SELECT path, n_users FROM p
+         ORDER BY n_users DESC, path LIMIT 20""")
 }

@@ -313,6 +313,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_fulfillment_latency: lag order statistics are coherent") {
+    val rows = q("q_fulfillment_latency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("median_days")
+      val p90 = r.getAs[Double]("p90_days")
+      val mx = r.getAs[Long]("max_days")
+      assert(med <= p90 + 1e-9 && p90 <= mx + 1e-9,
+        s"median ≤ p90 ≤ max violated: $r")
+      assert(r.getAs[Double]("avg_days") >= 0)
+    }
+  }
+
+  test("q_demand_variability: classes partition parts; cv bands hold") {
+    val rows = q("q_demand_variability").collect()
+    assert(rows.nonEmpty)
+    val classes = rows.map(_.getAs[String]("xyz_class"))
+    assert(classes.forall(Set("X", "Y", "Z")))
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("min_cv")
+      val hi = r.getAs[Double]("max_cv")
+      val avg = r.getAs[Double]("avg_cv")
+      assert(lo <= avg + 5e-5 && avg <= hi + 5e-5,
+        s"avg cv outside [min,max]: $r")
+      r.getAs[String]("xyz_class") match {
+        case "X" => assert(hi < 0.5 + 5e-5)
+        case "Y" => assert(lo >= 0.5 - 5e-5 && hi < 1.0 + 5e-5)
+        case "Z" => assert(lo >= 1.0 - 5e-5)
+      }
+    }
+  }
+
+  test("q_post_stratification: Kish n_eff bounded by the sample size") {
+    val r = q("q_post_stratification").collect().head
+    val n = r.getAs[Long]("n")
+    val k = r.getAs[Long]("k_strata")
+    val neff = r.getAs[Double]("kish_neff")
+    assert(k > 0 && n >= k)
+    // design-effect bound: n_eff ≤ n, with equality iff equal strata
+    assert(neff <= n + 1e-6, s"n_eff $neff exceeds n $n")
+    assert(neff > 0)
+  }
+
   test("q_forecast_backtest: metrics well-formed, WAPE consistent") {
     val rows = q("q_forecast_backtest").collect()
     assert(rows.nonEmpty)

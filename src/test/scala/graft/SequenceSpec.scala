@@ -116,4 +116,25 @@ class SequenceSpec extends SparkSpec {
     assert(bnlj <= 1, s"item×item product leaked into the plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
+
+  test("q_session_path_topk: 3-step paths ranked by user count") {
+    val rows = q("q_session_path_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val path = r.getAs[String]("path")
+      assert(path.split(">").length == 3,
+        s"path must have exactly 3 steps: $path")
+      assert(r.getAs[Long]("n_users") >= 1)
+    }
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "paths must be ranked by user count desc")
+  }
+
+  test("q_session_path_topk: per-user window is group-limit pruned") {
+    val p = q("q_session_path_topk")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=3 should prune map-side via WindowGroupLimit:\n$p")
+  }
 }
