@@ -995,6 +995,82 @@ object AnalyticsQueries {
           round(col("k_strata") * col("k_strata") /
             col("sum_inv").cast("double"), 2).as("kish_neff"))
     },
+
+    // Weighted percentiles (median / p90 of price, weighted by
+    // quantity) — the order statistic purchasing and pricing teams
+    // actually want ("half the UNITS ship below this price", not
+    // half the line items). Same discipline as Mann–Whitney/KS: the
+    // cumulative-weight window runs over the DISTINCT-(group,price)
+    // block aggregate, never the fact rows; the selected quantile is
+    // the smallest value whose cumulative weight reaches p·W
+    // (weights DECIMAL-exact, the threshold compare in doubles,
+    // identical both engines).
+    "q_percentile_weighted" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val blocks = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").as("bw"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val cum = blocks
+        .withColumn("cw", sum(col("bw")).over(w))
+        .withColumn("tw", sum(col("bw")).over(wAll))
+      def pick(p: Double) = min(when(
+        col("cw").cast("double") >= lit(p) * col("tw").cast("double"),
+        col("l_extendedprice")))
+      cum.groupBy(col("l_returnflag"))
+        .agg(first(col("tw")).cast("decimal(28,6)").as("total_qty"),
+          round(pick(0.5), 2).as("w_median_price"),
+          round(pick(0.9), 2).as("w_p90_price"),
+          count(lit(1)).as("n_price_points"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Seasonality strength — how much of the hourly series' variance
+    // the hour-of-day profile explains: 1 − Var(residual)/Var(total)
+    // per event_type, the STL-style diagnostic that decides whether
+    // a seasonal forecast model is worth fitting. Everything derives
+    // from two aggregates of the DECIMAL hourly series (per-type
+    // moments + per-(type, hour-of-day) moments): the within-profile
+    // sum of squares uses the closed form Σ s_h²/n_h with each term
+    // DECIMAL-quantized, so the 24-term reduction is exact. No pass
+    // touches fact rows after the first hourly rollup.
+    "q_seasonality_strength" -> { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val hod = hourly.groupBy(col("event_type"),
+          hour(col("h")).as("hod"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("rev")).cast("decimal(28,6)").as("s_h"))
+        .groupBy(col("event_type"))
+        .agg(sum((col("s_h").cast("double") * col("s_h")
+            .cast("double") / col("n_h")).cast("decimal(28,6)"))
+          .cast("decimal(38,6)").as("ssq_profile"))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev")).cast("decimal(28,6)").as("sx"),
+          sum((col("rev") * col("rev")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)").as("sx2"))
+      val varTotal = col("sx2").cast("double") / col("n") -
+        (col("sx").cast("double") / col("n")) *
+          (col("sx").cast("double") / col("n"))
+      val varResid = (col("sx2").cast("double") -
+        col("ssq_profile").cast("double")) / col("n")
+      tot.join(broadcast(hod), "event_type")
+        .select(col("event_type"), col("n").as("n_hours"),
+          round(varTotal, 4).as("var_total"),
+          round(greatest(varResid, lit(0.0)), 4).as("var_resid"),
+          round(greatest(lit(0.0),
+            lit(1.0) - varResid / varTotal), 4)
+            .as("seasonality_strength"))
+        .orderBy(col("event_type"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1670,5 +1746,64 @@ object AnalyticsQueries {
            round(k_strata * k_strata / sum_inv::DOUBLE, 2)
              AS kish_neff
          FROM g""",
+
+    "q_percentile_weighted" ->
+      """WITH blocks AS (
+           SELECT l_returnflag, l_extendedprice,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+               AS DECIMAL(28,6)) AS bw
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, l_extendedprice, bw,
+             sum(bw) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(bw) OVER (PARTITION BY l_returnflag) AS tw
+           FROM blocks)
+         SELECT l_returnflag,
+           CAST(any_value(tw) AS DECIMAL(28,6)) AS total_qty,
+           round(min(CASE WHEN cw::DOUBLE >= 0.5 * tw::DOUBLE
+             THEN l_extendedprice END), 2) AS w_median_price,
+           round(min(CASE WHEN cw::DOUBLE >= 0.9 * tw::DOUBLE
+             THEN l_extendedprice END), 2) AS w_p90_price,
+           count(*) AS n_price_points
+         FROM cum GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q_seasonality_strength" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS rev
+           FROM events GROUP BY 1, 2),
+         hod AS (
+           SELECT event_type,
+             CAST(sum(CAST(s_h::DOUBLE * s_h::DOUBLE / n_h
+               AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS ssq_profile
+           FROM (
+             SELECT event_type, extract(hour FROM h) AS hod,
+               count(*) AS n_h,
+               CAST(sum(rev) AS DECIMAL(28,6)) AS s_h
+             FROM hourly GROUP BY 1, 2)
+           GROUP BY 1),
+         tot AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(rev) AS DECIMAL(28,6)) AS sx,
+             CAST(sum(CAST(rev * rev AS DECIMAL(38,12)))
+               AS DECIMAL(38,12)) AS sx2
+           FROM hourly GROUP BY 1)
+         SELECT t.event_type, t.n AS n_hours,
+           round(t.sx2::DOUBLE / t.n
+             - (t.sx::DOUBLE / t.n) * (t.sx::DOUBLE / t.n), 4)
+             AS var_total,
+           round(greatest((t.sx2::DOUBLE - p.ssq_profile::DOUBLE)
+             / t.n, 0.0), 4) AS var_resid,
+           round(greatest(0.0, 1.0
+             - ((t.sx2::DOUBLE - p.ssq_profile::DOUBLE) / t.n)
+               / (t.sx2::DOUBLE / t.n
+                 - (t.sx::DOUBLE / t.n) * (t.sx::DOUBLE / t.n))), 4)
+             AS seasonality_strength
+         FROM tot t JOIN hod p USING (event_type)
+         ORDER BY t.event_type""",
   )
 }

@@ -535,6 +535,58 @@ object StatsQueries {
               (col("n_c") * col("n_t").cast("double"))))
             .as("reject_05"))
         .orderBy(col("event_type"))
+    },
+
+    // Poisson bootstrap CI for the per-type mean — THE scalable
+    // bootstrap: instead of drawing B full resamples (impossible
+    // distributed — a true multinomial needs global coordination),
+    // each row draws an independent Poisson(1) replication count per
+    // replicate b, which converges to the multinomial bootstrap and
+    // needs only ONE pass over B×n expanded rows (b is just another
+    // grouping key). Replication counts come from the md5-uniform
+    // inverse CDF (portable, deterministic); replicate means are
+    // DECIMAL-quantized before the percentile step, so the 2.5/97.5
+    // band is engine-exact. B=32 here; at 100 TB the same plan runs
+    // with B as a literal and the expansion fused into the scan.
+    "q_bootstrap_ci" -> { (s, dir) =>
+      val B = 32
+      // inverse CDF of Poisson(1) at the md5-uniform u
+      val u = expr("cast(conv(substring(md5(concat(" +
+        "cast(event_id as string), '_', cast(b as string))),1,15)" +
+        ",16,10) as bigint) / 1152921504606846976.0")
+      val w = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4).otherwise(5)
+      val boots = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .withColumn("b", explode(expr(s"sequence(1, $B)")))
+        .withColumn("w", w)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum((col("v") * col("w")).cast("decimal(28,6)"))
+          .cast("decimal(28,6)").as("sv"),
+          sum(col("w")).as("nw"))
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("nw"))
+            .cast("decimal(18,8)").as("bm"))
+      val full = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").as("sv"))
+      boots.groupBy(col("event_type"))
+        .agg(expr("percentile(cast(bm as double), 0.025)").as("lo"),
+          expr("percentile(cast(bm as double), 0.975)").as("hi"),
+          count(lit(1)).as("n_boot"))
+        .join(broadcast(full), "event_type")
+        .select(col("event_type"), col("n"), col("n_boot"),
+          round(col("sv").cast("double") / col("n"), 4)
+            .as("mean_full"),
+          round(col("lo"), 4).as("ci_lo"),
+          round(col("hi"), 4).as("ci_hi"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -892,5 +944,50 @@ object StatsQueries {
              AS ks_crit,
            d_raw > 1.358 * sqrt((n_c + n_t) / (n_c * n_t::DOUBLE))
              AS reject_05
-         FROM g ORDER BY event_type""")
+         FROM g ORDER BY event_type""",
+
+    "q_bootstrap_ci" ->
+      """WITH ex AS (
+           SELECT event_type, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             unnest(generate_series(1, 32)) AS b
+           FROM events),
+         ww AS (
+           SELECT event_type, b, v,
+             CASE
+               WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               ELSE 5 END AS w
+           FROM (
+             SELECT *,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' ||
+                 CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS u
+             FROM ex)),
+         boots AS (
+           SELECT event_type, b,
+             CAST(CAST(sum(CAST(v * w AS DECIMAL(28,6)))
+                 AS DECIMAL(28,6))::DOUBLE / sum(w)
+               AS DECIMAL(18,8)) AS bm
+           FROM ww GROUP BY 1, 2),
+         fullm AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6)))
+               AS DECIMAL(28,6)) AS sv
+           FROM events GROUP BY 1),
+         ci AS (
+           SELECT event_type,
+             quantile_cont(bm::DOUBLE, 0.025) AS lo,
+             quantile_cont(bm::DOUBLE, 0.975) AS hi,
+             count(*) AS n_boot
+           FROM boots GROUP BY 1)
+         SELECT f.event_type, f.n, c.n_boot,
+           round(f.sv::DOUBLE / f.n, 4) AS mean_full,
+           round(c.lo, 4) AS ci_lo,
+           round(c.hi, 4) AS ci_hi
+         FROM ci c JOIN fullm f USING (event_type)
+         ORDER BY f.event_type""")
 }

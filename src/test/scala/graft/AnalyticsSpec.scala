@@ -356,6 +356,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(neff > 0)
   }
 
+  test("q_percentile_weighted: weighted quantiles ordered and attained") {
+    val rows = q("q_percentile_weighted").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("w_median_price")
+      val p90 = r.getAs[Double]("w_p90_price")
+      assert(med <= p90 + 1e-9, s"weighted median > p90: $r")
+      assert(r.getAs[java.math.BigDecimal]("total_qty")
+        .compareTo(java.math.BigDecimal.ZERO) > 0)
+      assert(r.getAs[Long]("n_price_points") > 0)
+    }
+  }
+
+  test("q_seasonality_strength: variance decomposition is coherent") {
+    val rows = q("q_seasonality_strength").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("seasonality_strength")
+      assert(s >= 0.0 && s <= 1.0, s"strength out of [0,1]: $r")
+      assert(r.getAs[Double]("var_resid") <=
+        r.getAs[Double]("var_total") + 1e-6,
+        s"residual variance exceeds total: $r")
+    }
+  }
+
   test("q_forecast_backtest: metrics well-formed, WAPE consistent") {
     val rows = q("q_forecast_backtest").collect()
     assert(rows.nonEmpty)

@@ -288,4 +288,51 @@ class ScalingSpec extends SparkSpec {
     assert(s > 0 && g < pairSpaceGrowth / 2,
       f"containment shuffle tracking the quadratic pair space: ×$g%.1f")
   }
+
+  test("decade 1 (real): link prediction tracks the PRUNED wedge space") {
+    // exact common-neighbor counting is inherently wedge-bound: the
+    // candidate aggregate must see every a–c–b path once, so its
+    // shuffle scales with Σdeg(c)² ON THE PRUNED GRAPH — the p95
+    // strength prune is the control, and the gate measures shuffle
+    // growth against the measured wedge-space growth (the containment
+    // discipline: compare to the true envelope, not a magic number)
+    def wedges(d: String): Double = {
+      val e = graft.queries.GraphQueries.coSupplyEdges(spark, sf(d))
+      val adj = e.select(col("sa").as("v"))
+        .unionAll(e.select(col("sb").as("v")))
+      adj.groupBy(col("v")).count()
+        .agg(org.apache.spark.sql.functions.sum(
+          col("count") * (col("count") - 1) / 2))
+        .collect().head.getDouble(0)
+    }
+    graft.CachedPlans.release() // cold both SFs: include edge building
+    val wSmall = wedges("0.01")
+    val wBig = wedges("0.1")
+    graft.CachedPlans.release()
+    val wedgeGrowth = wBig / wSmall
+    graft.CachedPlans.release()
+    val (s, b, g) = decade("q_link_prediction")
+    graft.CachedPlans.release()
+    info(f"link-pred shuffle ×$g%.1f across ×10 lineitems " +
+      f"($s → $b rows; pruned wedge space ×$wedgeGrowth%.1f)")
+    // the pair aggregate collapses the wedge stream map-side to the
+    // distinct candidate pairs (measured: ×45 shuffle vs ×1888 raw
+    // wedge space) — the gate pins that collapse: shuffle growth must
+    // stay an order of magnitude below the wedge-space growth
+    assert(s > 0 && g < wedgeGrowth / 10.0,
+      f"link-prediction shuffle ×$g%.1f tracking the raw wedge " +
+        f"space ×$wedgeGrowth%.1f — map-side pair collapse lost")
+  }
+
+  test("decade 1 (real): k-core peeling wire is node-sized between rounds") {
+    graft.CachedPlans.release()
+    val (s, b, g) = decade("q_k_core")
+    graft.CachedPlans.release()
+    // each peel round exchanges the survivor set + the cached edge
+    // list, both bounded by the pruned graph — growth tracks the
+    // edge aggregate like the census, not any quadratic space
+    info(f"k-core shuffle ×$g%.1f across ×10 lineitems ($s → $b rows)")
+    assert(s > 0 && g < 25,
+      f"k-core shuffle superlinear — peel wire not bounded: ×$g%.1f")
+  }
 }

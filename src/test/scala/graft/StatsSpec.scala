@@ -234,6 +234,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_bootstrap_ci: band brackets the full-sample mean") {
+    val rows = q("q_bootstrap_ci").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boot") == 32L)
+      val lo = r.getAs[Double]("ci_lo")
+      val hi = r.getAs[Double]("ci_hi")
+      val m = r.getAs[Double]("mean_full")
+      assert(lo <= hi, s"CI inverted: $r")
+      // Poisson-bootstrap band should bracket the point estimate
+      assert(lo <= m + 1e-9 && m <= hi + 1e-9,
+        s"mean outside its own bootstrap CI: $r")
+    }
+  }
+
   test("q_ks_test: identical arms would give D=0 — sanity on split arms") {
     // The md5 split halves each type, so D should be small but the
     // ECDFs are real: 0 <= D < 0.5 on this synthetic data.
