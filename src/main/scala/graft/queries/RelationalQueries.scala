@@ -148,6 +148,26 @@ object RelationalQueries {
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
     },
 
+    // Named WINDOW clause (SQL surface): one window definition
+    // shared by several functions, exactly the text DuckDB runs.
+    // Both rank functions share the same WindowSpec, so Catalyst
+    // plans ONE Window node over one exchange — the named-window
+    // sugar is also the plan-dedup hint.
+    "q_sql_window" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT event_type, event_id,
+            CAST(rank() OVER w AS BIGINT) AS rnk,
+            lag(event_id) OVER w AS prev_id,
+            count(*) OVER (PARTITION BY event_type) AS n_type
+          FROM events
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY value DESC, event_id))
+        WHERE rnk <= 5
+        ORDER BY event_type, rnk""")
+    },
+
     // Unpivot (pivot's inverse): wide metric columns to long
     // (metric, v) rows — a per-row flatMap, narrow and codegen'd.
     "q_unpivot" -> { (s, dir) =>
@@ -777,6 +797,18 @@ object RelationalQueries {
            WHERE o_custkey = c.c_custkey
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q_sql_window" ->
+      """SELECT * FROM (
+           SELECT event_type, event_id,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             lag(event_id) OVER w AS prev_id,
+             count(*) OVER (PARTITION BY event_type) AS n_type
+           FROM events
+           WINDOW w AS (PARTITION BY event_type
+                        ORDER BY value DESC, event_id))
+         WHERE rnk <= 5
+         ORDER BY event_type, rnk""",
 
     "q_unpivot" ->
       """WITH b AS (

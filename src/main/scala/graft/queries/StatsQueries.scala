@@ -587,6 +587,40 @@ object StatsQueries {
           round(col("lo"), 4).as("ci_lo"),
           round(col("hi"), 4).as("ci_hi"))
         .orderBy(col("event_type"))
+    },
+
+    // Two-model uplift readout — the incrementality table an
+    // experimentation platform reports per segment: response rate
+    // (value above the in-plan global median) in treatment vs
+    // control, the uplift difference, and its Wald standard error.
+    // One conditional aggregate per segment against a one-row
+    // broadcast median — the q_ab_ttest shape with a binary
+    // response; rates are exact integer ratios, the SE per-row IEEE.
+    "q_uplift_two_model" -> { (s, dir) =>
+      val med = Tables(s, dir, "events")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val ev = Tables(s, dir, "events").crossJoin(broadcast(med))
+        .withColumn("variant", variantOf(col("user_id")))
+        .withColumn("resp",
+          when(col("value") > col("med"), 1L).otherwise(0L))
+      val g = ev.groupBy(col("event_type")).agg(
+        sum(when(col("variant") === "control", 1L).otherwise(0L))
+          .as("n_c"),
+        sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+          .as("n_t"),
+        sum(when(col("variant") === "control", col("resp"))
+          .otherwise(0L)).as("r_c"),
+        sum(when(col("variant") === "treatment", col("resp"))
+          .otherwise(0L)).as("r_t"))
+      val pc = col("r_c") / col("n_c").cast("double")
+      val pt = col("r_t") / col("n_t").cast("double")
+      g.select(col("event_type"), col("n_c"), col("n_t"),
+          round(pc, 4).as("rate_control"),
+          round(pt, 4).as("rate_treatment"),
+          round(pt - pc, 4).as("uplift"),
+          round(sqrt(pc * (lit(1.0) - pc) / col("n_c") +
+            pt * (lit(1.0) - pt) / col("n_t")), 6).as("se_uplift"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -989,5 +1023,36 @@ object StatsQueries {
            round(c.lo, 4) AS ci_lo,
            round(c.hi, 4) AS ci_hi
          FROM ci c JOIN fullm f USING (event_type)
-         ORDER BY f.event_type""")
+         ORDER BY f.event_type""",
+
+    "q_uplift_two_model" ->
+      """WITH med AS (
+           SELECT quantile_cont(value, 0.5) AS med FROM events),
+         ev AS (
+           SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CASE WHEN value > m.med THEN 1 ELSE 0 END AS resp
+           FROM events, med m),
+         g AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN variant = 'control' THEN resp ELSE 0 END)
+               AS BIGINT) AS r_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN resp ELSE 0 END)
+               AS BIGINT) AS r_t
+           FROM ev GROUP BY 1)
+         SELECT event_type, n_c, n_t,
+           round(r_c / n_c::DOUBLE, 4) AS rate_control,
+           round(r_t / n_t::DOUBLE, 4) AS rate_treatment,
+           round(r_t / n_t::DOUBLE - r_c / n_c::DOUBLE, 4) AS uplift,
+           round(sqrt((r_c / n_c::DOUBLE) * (1.0 - r_c / n_c::DOUBLE)
+               / n_c
+             + (r_t / n_t::DOUBLE) * (1.0 - r_t / n_t::DOUBLE)
+               / n_t), 6) AS se_uplift
+         FROM g ORDER BY event_type""")
 }

@@ -356,6 +356,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(neff > 0)
   }
 
+  test("q_lorenz_deciles: cumulative shares monotone, end at 1") {
+    val rows = q("q_lorenz_deciles").collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty)
+    val pop = rows.map(_.getAs[Double]("cum_pop_share"))
+    val rev = rows.map(_.getAs[Double]("cum_rev_share"))
+    assert(pop.zip(pop.tail).forall { case (a, b) => b >= a })
+    assert(rev.zip(rev.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(pop.last - 1.0) < 1e-9)
+    assert(math.abs(rev.last - 1.0) < 1e-9)
+    // Lorenz curve sits below the diagonal (rich deciles at the top)
+    rows.init.foreach { r =>
+      assert(r.getAs[Double]("cum_rev_share") <=
+        r.getAs[Double]("cum_pop_share") + 1e-4,
+        s"Lorenz curve above the diagonal: $r")
+    }
+  }
+
+  test("q_retention_halflife: single closed-form fit row") {
+    val rows = q("q_retention_halflife").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_weeks") >= 2,
+      "need at least 2 curve points to fit")
+    assert(!r.getAs[Double]("slope_ln").isNaN)
+    assert(!r.getAs[Double]("intercept_ln").isNaN)
+  }
+
   test("q_percentile_weighted: weighted quantiles ordered and attained") {
     val rows = q("q_percentile_weighted").collect()
     assert(rows.nonEmpty)

@@ -221,4 +221,15 @@ class PlanSpec extends SparkSpec {
       s"pruned build launched $pruned jobs vs $baseline unpruned — " +
         "a plan-time driver action crept back in")
   }
+
+  test("q_sql_window: functions sharing the named window share a Window node") {
+    val plan = SparkEntry.queries("q_sql_window")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    // rank + lag declare OVER w — both must land in ONE Window
+    // operator (the n_type count gets its own: different partition)
+    val windows = plan.linesIterator
+      .count(_.contains("Window [")) // tree lines print as "+- Window ["
+    assert(windows == 2,
+      s"expected 2 Window nodes (shared w + count), got $windows:\n$plan")
+  }
 }

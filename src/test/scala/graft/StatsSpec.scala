@@ -234,6 +234,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_uplift_two_model: rates bounded, uplift consistent") {
+    val rows = q("q_uplift_two_model").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pc = r.getAs[Double]("rate_control")
+      val pt = r.getAs[Double]("rate_treatment")
+      assert(pc >= 0 && pc <= 1 && pt >= 0 && pt <= 1)
+      assert(math.abs(r.getAs[Double]("uplift") - (pt - pc)) < 5e-4,
+        s"uplift inconsistent with rates: $r")
+      assert(r.getAs[Double]("se_uplift") >= 0)
+    }
+  }
+
   test("q_bootstrap_ci: band brackets the full-sample mean") {
     val rows = q("q_bootstrap_ci").collect()
     assert(rows.nonEmpty)
