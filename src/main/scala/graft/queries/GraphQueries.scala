@@ -268,6 +268,61 @@ object GraphQueries {
         out += stats(r, deg)
       }
       out.reduce(_ unionAll _).orderBy(col("round"))
+    },
+
+    // Bounded-hop shortest paths (3 Bellman–Ford relaxations from
+    // nation 0) over the trade graph, edge cost 1/weight — "how
+    // cheaply does trade reach each market in ≤3 hops". Each
+    // relaxation is one equi-join of the 25-row distance vector
+    // against the edge list + a min aggregate: min is
+    // association-free and each path cost is a FIXED-shape chain of
+    // per-row IEEE additions, so three unrolled rounds are
+    // bit-exact cross-engine with no quantization. The inter-round
+    // wire is the node-sized distance vector (broadcast); at web
+    // scale the same plan flips to a shuffle join on src — the
+    // Pregel-in-relational-clothing pattern, same as PageRank.
+    "q_graph_shortest_paths" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val supp = Tables(s, dir, "supplier")
+      val nation = Tables(s, dir, "nation")
+      // cached like PageRank's edge list: the distance vector
+      // references it once per relaxation and the unrolled lineage
+      // re-reads it ~2^rounds times without the cache
+      val edges = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("src"),
+          col("c_nationkey").as("dst"))
+        .agg((lit(1.0) / count(lit(1))).as("cost"))
+        .cache()
+      val nodes = nation.select(col("n_nationkey").as("node"),
+        col("n_name"))
+      def merged(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        when(a.isNull, b).when(b.isNull, a)
+          .otherwise(least(a, b))
+      var dist = nodes.select(col("node"),
+        when(col("node") === 0, lit(0.0)).as("dist"))
+      for (_ <- 1 to 3) {
+        val cand = edges
+          .join(broadcast(dist.where(col("dist").isNotNull)),
+            col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(min(col("dist") + col("cost")).as("cand"))
+        dist = nodes
+          .join(dist, Seq("node"))
+          .join(cand, col("node") === col("dst"), "left")
+          .select(col("node"), merged(col("dist"), col("cand"))
+            .as("dist"))
+      }
+      nodes.join(dist, Seq("node"))
+        .select(col("n_name"),
+          round(col("dist"), 6).as("dist_3hop"),
+          col("dist").isNotNull.as("reachable"))
+        .orderBy(col("n_name"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -460,5 +515,54 @@ object GraphQueries {
            FROM d3)
          SELECT * FROM r0 UNION ALL SELECT * FROM r1
          UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
-         ORDER BY round""")
+         ORDER BY round""",
+
+    "q_graph_shortest_paths" ->
+      """WITH e AS (
+           SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(1.0 AS DOUBLE) / count(*) AS cost
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         d0 AS (
+           SELECT n_nationkey AS node,
+             CASE WHEN n_nationkey = 0 THEN CAST(0.0 AS DOUBLE) END
+               AS dist
+           FROM nation),
+         c1 AS (
+           SELECT e.dst, min(d.dist + e.cost) AS cand
+           FROM e JOIN d0 d ON e.src = d.node
+           WHERE d.dist IS NOT NULL GROUP BY 1),
+         d1 AS (
+           SELECT d.node,
+             CASE WHEN d.dist IS NULL THEN c.cand
+                  WHEN c.cand IS NULL THEN d.dist
+                  ELSE least(d.dist, c.cand) END AS dist
+           FROM d0 d LEFT JOIN c1 c ON d.node = c.dst),
+         c2 AS (
+           SELECT e.dst, min(d.dist + e.cost) AS cand
+           FROM e JOIN d1 d ON e.src = d.node
+           WHERE d.dist IS NOT NULL GROUP BY 1),
+         d2 AS (
+           SELECT d.node,
+             CASE WHEN d.dist IS NULL THEN c.cand
+                  WHEN c.cand IS NULL THEN d.dist
+                  ELSE least(d.dist, c.cand) END AS dist
+           FROM d1 d LEFT JOIN c2 c ON d.node = c.dst),
+         c3 AS (
+           SELECT e.dst, min(d.dist + e.cost) AS cand
+           FROM e JOIN d2 d ON e.src = d.node
+           WHERE d.dist IS NOT NULL GROUP BY 1),
+         d3 AS (
+           SELECT d.node,
+             CASE WHEN d.dist IS NULL THEN c.cand
+                  WHEN c.cand IS NULL THEN d.dist
+                  ELSE least(d.dist, c.cand) END AS dist
+           FROM d2 d LEFT JOIN c3 c ON d.node = c.dst)
+         SELECT n.n_name, round(d3.dist, 6) AS dist_3hop,
+           d3.dist IS NOT NULL AS reachable
+         FROM nation n JOIN d3 ON n.n_nationkey = d3.node
+         ORDER BY n.n_name""")
 }

@@ -214,6 +214,32 @@ object OpsQueries {
           max(abs(col("diff"))).cast("decimal(18,6)").as("max_abs_diff"),
           sum(col("diff")).cast("decimal(28,6)").as("total_diff"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Order aging report — the receivables view: age each order
+    // against the corpus watermark (one-row broadcast max — the
+    // q_topk_decayed idiom), bucket at 30/60/90 days, and roll up
+    // counts and DECIMAL-exact value per status × bucket. One scan,
+    // one aggregate; the bucket domain is fixed so the readout is
+    // |status|×4 rows at any scale.
+    "q_order_aging" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val wm = o.agg(max(to_date(col("o_orderdate"))).as("wm"))
+      val age = datediff(col("wm"), to_date(col("o_orderdate")))
+      o.crossJoin(broadcast(wm))
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          age.as("age_days"))
+        .withColumn("age_bucket",
+          when(col("age_days") <= 30, "000-030")
+            .when(col("age_days") <= 60, "031-060")
+            .when(col("age_days") <= 90, "061-090")
+            .otherwise("090+"))
+        .groupBy(col("o_orderstatus"), col("age_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").as("total_value"),
+          max(col("age_days")).cast("long").as("max_age"))
+        .orderBy(col("o_orderstatus"), col("age_bucket"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -338,5 +364,28 @@ object OpsQueries {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
            CAST(max(abs(diff)) AS DECIMAL(18,6)) AS max_abs_diff,
            CAST(sum(diff) AS DECIMAL(28,6)) AS total_diff
-         FROM d GROUP BY 1 ORDER BY o_orderstatus""")
+         FROM d GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "q_order_aging" ->
+      """WITH wm AS (
+           SELECT max(CAST(o_orderdate AS DATE)) AS wm FROM orders),
+         aged AS (
+           SELECT o_orderstatus, o_totalprice,
+             date_diff('day', CAST(o_orderdate AS DATE), w.wm)
+               AS age_days
+           FROM orders, wm w),
+         bucketed AS (
+           SELECT o_orderstatus, o_totalprice, age_days,
+             CASE WHEN age_days <= 30 THEN '000-030'
+                  WHEN age_days <= 60 THEN '031-060'
+                  WHEN age_days <= 90 THEN '061-090'
+                  ELSE '090+' END AS age_bucket
+           FROM aged)
+         SELECT o_orderstatus, age_bucket,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DECIMAL(28,6)) AS total_value,
+           CAST(max(age_days) AS BIGINT) AS max_age
+         FROM bucketed GROUP BY 1, 2
+         ORDER BY o_orderstatus, age_bucket""")
 }

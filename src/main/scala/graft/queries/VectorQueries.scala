@@ -177,6 +177,73 @@ object VectorQueries {
           round(col("nrm"), 4).as("lambda"))
         .orderBy(col("component"))
     },
+
+    // Class-balanced downsampling — the label-balance step before
+    // classifier training: cap every label at the minority-class
+    // count, keeping each label's md5-rank-first rows (deterministic,
+    // engine-portable, and STABLE under corpus growth for the
+    // surviving prefix). The per-label rank window orders by the
+    // 60-bit md5 hash; the cap comes from one broadcast min-count
+    // row. Output is the per-label audit (kept counts + a checksum
+    // of the kept ids proving the exact selection).
+    "q_sample_balanced" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = expr("cast(conv(substring(md5(cast(vec_id as string))" +
+        ",1,15),16,10) as bigint)")
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        h.as("h"))
+      val nMin = e.groupBy(col("label")).count()
+        .agg(min(col("count")).as("n_min"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("h"), col("vec_id"))
+      e.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(nMin))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_before"),
+          first(col("n_min")).as("n_after"),
+          sum(when(col("rn") <= col("n_min"), col("vec_id")))
+            .as("kept_id_sum"))
+        .orderBy(col("label"))
+    },
+
+    // Embedding centroid shift — distribution drift in embedding
+    // space: split the corpus into two halves (even/odd vec_id),
+    // compute each label's per-dimension centroid in both halves,
+    // and report the L2 distance between them. Everything after the
+    // (label, half, dim) explode is DECIMAL-exact: component sums at
+    // (28,12), means quantized at (18,12), squared diffs summed at
+    // (38,12) — the vector analogue of the PSI drift audit, and the
+    // monitor you run on an embedding pipeline after a model bump.
+    "q_embed_centroid_shift" -> { (s, dir) =>
+      val comps = emb(s, dir)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("half"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,12)"))
+            .cast("decimal(28,12)").as("sx"))
+        .select(col("label"), col("half"), col("dim"), col("n"),
+          (col("sx").cast("double") / col("n"))
+            .cast("decimal(18,12)").as("m"))
+      val a = comps.where(col("half") === 0)
+        .select(col("label"), col("dim"), col("m").as("ma"),
+          col("n").as("na"))
+      val b = comps.where(col("half") === 1)
+        .select(col("label"), col("dim"), col("m").as("mb"),
+          col("n").as("nb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(first(col("na")).as("n_even"),
+          first(col("nb")).as("n_odd"),
+          sqrt(sum(((col("ma").cast("double") -
+              col("mb").cast("double")) *
+            (col("ma").cast("double") - col("mb").cast("double")))
+            .cast("decimal(38,12)")).cast("decimal(38,12)")
+            .cast("double")).as("shift"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(col("shift"), 6).as("l2_shift"))
+        .orderBy(col("label"))
+    },
   )
 
   /** Replays Similarity.annPq: per subspace s (8 dims each), the
@@ -543,5 +610,56 @@ object VectorQueries {
          SELECT pos AS component, round(v, 6) AS loading,
            round(nrm, 4) AS lambda
          FROM v3 ORDER BY component""",
+
+    "q_sample_balanced" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+           FROM embeddings),
+         nmin AS (
+           SELECT min(c) AS n_min FROM (
+             SELECT count(*) AS c FROM e GROUP BY label)),
+         rk AS (
+           SELECT label, vec_id, h,
+             row_number() OVER (PARTITION BY label
+               ORDER BY h, vec_id) AS rn
+           FROM e)
+         SELECT label,
+           count(*) AS n_before,
+           CAST(any_value(m.n_min) AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN rn <= m.n_min THEN vec_id END)
+             AS BIGINT) AS kept_id_sum
+         FROM rk, nmin m GROUP BY label ORDER BY label""",
+
+    "q_embed_centroid_shift" ->
+      """WITH comps AS (
+           SELECT label, vec_id % 2 AS half,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS x
+           FROM embeddings),
+         g AS (
+           SELECT label, half, dim, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DECIMAL(28,12))
+               AS sx
+           FROM comps GROUP BY 1, 2, 3),
+         m AS (
+           SELECT label, half, dim, n,
+             CAST(sx::DOUBLE / n AS DECIMAL(18,12)) AS m
+           FROM g),
+         j AS (
+           SELECT a.label, a.dim, a.m AS ma, b.m AS mb,
+             a.n AS na, b.n AS nb
+           FROM m a JOIN m b
+             ON a.label = b.label AND a.dim = b.dim
+            AND a.half = 0 AND b.half = 1)
+         SELECT label,
+           CAST(any_value(na) AS BIGINT) AS n_even,
+           CAST(any_value(nb) AS BIGINT) AS n_odd,
+           round(sqrt(CAST(sum(CAST(
+               (ma::DOUBLE - mb::DOUBLE) * (ma::DOUBLE - mb::DOUBLE)
+               AS DECIMAL(38,12))) AS DECIMAL(38,12))::DOUBLE), 6)
+             AS l2_shift
+         FROM j GROUP BY label ORDER BY label""",
   )
 }

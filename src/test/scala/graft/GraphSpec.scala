@@ -81,4 +81,22 @@ class GraphSpec extends SparkSpec {
       assert(last.getAs[Long]("min_deg") >= 1)
     }
   }
+
+  test("q_graph_shortest_paths: source at 0, costs positive, monotone reach") {
+    val rows = q("q_graph_shortest_paths").collect()
+    assert(rows.length == 25)
+    val bySrc = rows.filter(!_.isNullAt(1))
+      .map(r => r.getAs[String]("n_name") -> r.getAs[Double]("dist_3hop"))
+    assert(bySrc.nonEmpty)
+    // the source nation itself must read 0 (nation 0 = ALGERIA)
+    val zero = rows.filter(r => !r.isNullAt(1) &&
+      r.getAs[Double]("dist_3hop") == 0.0)
+    assert(zero.length == 1, "exactly the source sits at distance 0")
+    rows.foreach { r =>
+      val reach = r.getAs[Boolean]("reachable")
+      assert(reach == !r.isNullAt(1),
+        s"reachable flag must mirror non-null distance: $r")
+      if (!r.isNullAt(1)) assert(r.getAs[Double]("dist_3hop") >= 0.0)
+    }
+  }
 }

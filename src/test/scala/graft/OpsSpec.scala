@@ -117,4 +117,21 @@ class OpsSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n_orders")).sum
     assert(total == Tables(spark, sf(), "orders").count())
   }
+
+  test("q_order_aging: buckets partition orders; ages within bucket bounds") {
+    val rows = q("q_order_aging").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables(spark, sf(), "orders").count(),
+      "status × bucket cells must partition the order table")
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_age")
+      r.getAs[String]("age_bucket") match {
+        case "000-030" => assert(mx <= 30)
+        case "031-060" => assert(mx > 30 && mx <= 60)
+        case "061-090" => assert(mx > 60 && mx <= 90)
+        case "090+"    => assert(mx > 90)
+      }
+    }
+  }
 }

@@ -203,4 +203,32 @@ class SimilaritySpec extends SparkSpec {
     assert(lambda >= lam1 * 0.999,
       s"power iteration regressed: λ3=$lambda < λ1=$lam1")
   }
+
+  test("q_sample_balanced: every label capped at the minority count") {
+    val rows = SparkEntry.queries("q_sample_balanced")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val minBefore = rows.map(_.getAs[Long]("n_before")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") == minBefore,
+        s"cap must equal the minority class size: $r")
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("kept_id_sum") > 0)
+    }
+  }
+
+  test("q_embed_centroid_shift: halves partition labels; shift bounded") {
+    val rows = SparkEntry.queries("q_embed_centroid_shift")(
+      spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r =>
+      r.getAs[Long]("n_even") + r.getAs[Long]("n_odd")).sum
+    assert(total == Tables(spark, sf(), "embeddings").count(),
+      "even+odd halves must partition every vector")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("l2_shift")
+      // random halves of the same distribution: small but non-zero
+      assert(s > 0.0 && s < 1.0, s"implausible centroid shift: $r")
+    }
+  }
 }
