@@ -102,6 +102,48 @@ object Multimodal {
     }
   }
 
+  /** Average-hash perceptual fingerprint over the byte tier — the
+    * pHash-shaped near-dup signature for media payloads: the payload
+    * is cut into `bits` equal segments (integer boundaries
+    * ⌊i·n/bits⌋), each segment reduces to its byte sum, and bit i
+    * sets iff segment i's sum×bits exceeds the payload total
+    * (integer cross-multiplication — no FP mean, so the oracle
+    * replays it exactly). Same mapPartitions boundary as the codec
+    * tiers; a real image pipeline would hash the decoded 8×8 luma
+    * raster instead, with identical downstream plumbing.
+    */
+  def avgHash(media: Dataset[MediaRecord], bits: Int = 64)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = m.payload
+        val n = bytes.length
+        val seg = new Array[Long](bits)
+        var i = 0
+        var total = 0L
+        while (i < n) {
+          val s = (i.toLong * bits / n).toInt
+          val u = (bytes(i) & 0xff).toLong
+          seg(s) += u
+          total += u
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < bits) {
+          // bit b ⇔ mean(segment) > mean(payload), in integers:
+          // seg·bits > total (segments have n/bits bytes up to
+          // boundary rounding; the oracle replays the same rule)
+          if (seg(b) * bits > total) hash |= (1L << b)
+          b += 1
+        }
+        (m.doc_id, hash)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** REAL image decode via the JDK's bundled `javax.imageio` codecs
     * (PNG/JPEG/BMP/GIF). Per record: intrinsic dimensions plus mean
     * luma (ITU-R BT.601 integer weights over the ARGB raster — a

@@ -1147,6 +1147,7 @@ object AnalyticsQueries {
         col("sx").cast("double") * col("sy").cast("double")) /
         (col("k") * col("sx2").cast("double") -
           col("sx").cast("double") * col("sx").cast("double"))
+      // (slope/intercept shared by the half-life readout below)
       val a = (col("sy").cast("double") -
         b * col("sx").cast("double")) / col("k")
       g.select(col("k").as("n_weeks"),
@@ -1157,6 +1158,86 @@ object AnalyticsQueries {
           // the curve is exactly flat (this synthetic corpus)
           when(b < 0.0, round(lit(math.log(2.0)) / -b, 2))
             .as("half_life_weeks"))
+    },
+
+    // Basket diversity — Shannon entropy of each order's brand mix,
+    // rolled up per order priority: the assortment-breadth metric
+    // next to basket SIZE. Per-order entropy −Σ p·ln p uses the
+    // repo's ln idiom (each term DECIMAL(18,8)-quantized, the
+    // per-order sum exact); order-level entropies quantize again
+    // before the per-priority mean. Two hash aggregates over the
+    // lineitem⋈part join — the join shuffles on partkey once and
+    // the entropy never sees more than the (order, brand) aggregate.
+    "q_basket_entropy" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("o_orderpriority"),
+          col("p_brand"))
+      val brandCnt = li.groupBy(col("ok"), col("o_orderpriority"),
+          col("p_brand"))
+        .agg(count(lit(1)).as("c"))
+      val withTot = brandCnt
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("ok"))))
+      val p = col("c") / col("n").cast("double")
+      val perOrder = withTot
+        .select(col("ok"), col("o_orderpriority"),
+          (-p * log(p)).cast("decimal(18,8)").as("term"))
+        .groupBy(col("ok"), col("o_orderpriority"))
+        .agg(sum(col("term")).cast("decimal(18,8)").as("h"),
+          count(lit(1)).as("n_brands"))
+      perOrder.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("h")).cast("double") / count(lit(1)), 4)
+            .as("avg_entropy"),
+          round(max(col("h")).cast("double"), 4).as("max_entropy"),
+          round(avg(col("n_brands")), 4).as("avg_brands"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Customer segment migration — the value-tier transition matrix
+    // between two periods (split at the in-plan median order date):
+    // classify each customer low/mid/high by revenue tercile WITHIN
+    // each period (broadcast percentile edges, map-side assignment
+    // — the RFM discipline, no global ntile), full-outer join the
+    // periods, and count the 4×4 matrix including churn ('none').
+    // The readout an account team reads as "who moved up, who left".
+    "q_segment_migration" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val cut = o.agg(expr(
+        "percentile(unix_micros(o_orderdate), 0.5)").as("cut"))
+      val tagged = o.crossJoin(broadcast(cut))
+        .select(col("o_custkey").as("cust"),
+          (expr("unix_micros(o_orderdate)") <= col("cut"))
+            .as("first_half"),
+          col("o_totalprice").cast("decimal(18,6)").as("rev"))
+      def half(flag: Boolean) = {
+        val h = tagged.where(col("first_half") === flag)
+          .groupBy(col("cust"))
+          .agg(sum(col("rev")).cast("decimal(18,6)").as("r"))
+        val edges = h.agg(expr(
+          "percentile(cast(r as double), array(0.3333, 0.6667))")
+          .as("es"))
+        h.crossJoin(broadcast(edges))
+          .select(col("cust"),
+            when(col("r").cast("double") <= element_at(col("es"), 1),
+              "low")
+              .when(col("r").cast("double") <=
+                element_at(col("es"), 2), "mid")
+              .otherwise("high").as("seg"))
+      }
+      half(true).select(col("cust"), col("seg").as("seg_p1"))
+        .join(half(false).select(col("cust"),
+          col("seg").as("seg_p2")), Seq("cust"), "full_outer")
+        .select(coalesce(col("seg_p1"), lit("none")).as("seg_p1"),
+          coalesce(col("seg_p2"), lit("none")).as("seg_p2"))
+        .groupBy(col("seg_p1"), col("seg_p2"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("seg_p1"), col("seg_p2"))
     },
   )
 
@@ -1972,5 +2053,71 @@ object AnalyticsQueries {
                  / (k * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)), 2)
              END AS half_life_weeks
          FROM g""",
+
+    "q_basket_entropy" ->
+      """WITH li AS (
+           SELECT l.l_orderkey AS ok, o.o_orderpriority, p.p_brand
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         bc AS (
+           SELECT ok, o_orderpriority, p_brand, count(*) AS c
+           FROM li GROUP BY 1, 2, 3),
+         wt AS (
+           SELECT ok, o_orderpriority, c,
+             sum(c) OVER (PARTITION BY ok) AS n
+           FROM bc),
+         po AS (
+           SELECT ok, o_orderpriority,
+             CAST(sum(CAST(-(c / n::DOUBLE) * ln(c / n::DOUBLE)
+               AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS h,
+             count(*) AS n_brands
+           FROM wt GROUP BY 1, 2)
+         SELECT o_orderpriority, count(*) AS n_orders,
+           round(CAST(sum(h) AS DECIMAL(28,8))::DOUBLE / count(*), 4)
+             AS avg_entropy,
+           round(max(h)::DOUBLE, 4) AS max_entropy,
+           round(avg(n_brands), 4) AS avg_brands
+         FROM po GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q_segment_migration" ->
+      """WITH cutq AS (
+           SELECT quantile_cont(epoch_us(o_orderdate), 0.5) AS cut
+           FROM orders),
+         tagged AS (
+           SELECT o_custkey AS cust,
+             epoch_us(o_orderdate) <= c.cut AS first_half,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+           FROM orders, cutq c),
+         h1 AS (
+           SELECT cust, CAST(sum(rev) AS DECIMAL(18,6)) AS r
+           FROM tagged WHERE first_half GROUP BY 1),
+         e1 AS (
+           SELECT quantile_cont(r::DOUBLE, [0.3333, 0.6667]) AS es
+           FROM h1),
+         s1 AS (
+           SELECT cust,
+             CASE WHEN r::DOUBLE <= e.es[1] THEN 'low'
+                  WHEN r::DOUBLE <= e.es[2] THEN 'mid'
+                  ELSE 'high' END AS seg_p1
+           FROM h1, e1 e),
+         h2 AS (
+           SELECT cust, CAST(sum(rev) AS DECIMAL(18,6)) AS r
+           FROM tagged WHERE NOT first_half GROUP BY 1),
+         e2 AS (
+           SELECT quantile_cont(r::DOUBLE, [0.3333, 0.6667]) AS es
+           FROM h2),
+         s2 AS (
+           SELECT cust,
+             CASE WHEN r::DOUBLE <= e.es[1] THEN 'low'
+                  WHEN r::DOUBLE <= e.es[2] THEN 'mid'
+                  ELSE 'high' END AS seg_p2
+           FROM h2, e2 e),
+         j AS (
+           SELECT coalesce(s1.seg_p1, 'none') AS seg_p1,
+             coalesce(s2.seg_p2, 'none') AS seg_p2
+           FROM s1 FULL OUTER JOIN s2 USING (cust))
+         SELECT seg_p1, seg_p2, count(*) AS n_customers
+         FROM j GROUP BY 1, 2 ORDER BY seg_p1, seg_p2""",
   )
 }

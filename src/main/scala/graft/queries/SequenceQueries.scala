@@ -290,6 +290,36 @@ object SequenceQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
         .limit(20)
+    },
+
+    // Inter-purchase interval distribution — the repeat-purchase
+    // cadence metric behind replenishment and churn models: per-user
+    // consecutive purchase gaps (lag over the user sequence, exact
+    // integer µs), summarized with exact percentiles. One window
+    // pass over the purchase subset, one aggregate; the gap sum is
+    // exact integer arithmetic so the mean is engine-identical.
+    "q_interpurchase_gap" -> { (s, dir) =>
+      val purchases = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+      val wUs = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = purchases
+        .withColumn("prev", lag(col("us"), 1).over(wUs))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"), (col("us") - col("prev")).as("gap"))
+      val hours = lit(3600.0) * lit(1000000.0)
+      gaps.agg(
+          countDistinct(col("user_id")).as("n_repeat_users"),
+          count(lit(1)).as("n_gaps"),
+          round(sum(col("gap")).cast("double") / count(lit(1)) /
+            hours, 4).as("avg_gap_hours"),
+          round(expr("percentile(gap, 0.5)") / hours, 4)
+            .as("median_gap_hours"),
+          round(expr("percentile(gap, 0.9)") / hours, 4)
+            .as("p90_gap_hours"),
+          round(max(col("gap")) / hours, 4).as("max_gap_hours"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -470,5 +500,27 @@ object SequenceQueries {
            SELECT path, count(*) AS n_users
            FROM f3 WHERE len = 3 GROUP BY 1)
          SELECT path, n_users FROM p
-         ORDER BY n_users DESC, path LIMIT 20""")
+         ORDER BY n_users DESC, path LIMIT 20""",
+
+    "q_interpurchase_gap" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id,
+             us - lag(us, 1) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS gap
+           FROM p),
+         gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL)
+         SELECT count(DISTINCT user_id) AS n_repeat_users,
+           count(*) AS n_gaps,
+           round(CAST(sum(gap) AS DOUBLE) / count(*)
+             / 3600000000.0, 4) AS avg_gap_hours,
+           round(quantile_cont(gap, 0.5) / 3600000000.0, 4)
+             AS median_gap_hours,
+           round(quantile_cont(gap, 0.9) / 3600000000.0, 4)
+             AS p90_gap_hours,
+           round(max(gap)::DOUBLE / 3600000000.0, 4)
+             AS max_gap_hours
+         FROM gg""")
 }

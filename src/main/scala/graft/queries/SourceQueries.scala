@@ -64,6 +64,42 @@ object SourceQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Perceptual-hash near-dup over the byte tier — the media
+    // analogue of MinHash dedup: 32-bit average-hash per payload
+    // (integer segment sums, mapPartitions tier), then candidate
+    // pairs via 4×8-bit BAND BLOCKING (pigeonhole: hamming ≤ 3 ⇒ at
+    // least one of 4 bands identical — NO false negatives at the
+    // emitted threshold) and a bit_count(xor) hamming verify. The
+    // shuffle is band-bucket-sized like LSH — never the n² pair
+    // space. The corpus carries 20 planted exact copies (the dedup
+    // fixture), which surface at hamming 0.
+    "q_multimodal_phash" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val aug = d.unionByName(d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val hashes = Multimodal.avgHash(
+        Multimodal.fromDocuments(aug), bits = 32)
+      val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bkey", expr("shiftright(phash, band * 8) & 255"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"),
+          col("a.phash").as("ha"), col("b.phash").as("hb"))
+        .distinct()
+      pairs
+        .withColumn("hamming",
+          expr("bit_count(ha ^ hb)").cast("long"))
+        .where(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Resize (multimodal downsample stub): every-4th-byte decimation
     // with before/after sizes and a checksum of the kept bytes.
     "q_multimodal_resize" -> { (s, dir) =>
@@ -223,5 +259,43 @@ object SourceQueries {
          FROM documents
          WHERE octet_length(encode(text)) >= 64
          ORDER BY doc_id""",
+
+    "q_multimodal_phash" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id < 20),
+         ch AS (
+           SELECT doc_id, length(text) AS n,
+             unnest(string_split(text, '')) AS c,
+             unnest(range(length(text))) AS j
+           FROM aug),
+         ss AS (
+           SELECT doc_id, (j * 32) // n AS seg,
+             sum(ascii(c)) AS s
+           FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS total FROM ss GROUP BY 1),
+         hashes AS (
+           SELECT ss.doc_id,
+             CAST(sum(CASE WHEN ss.s * 32 > t.total
+               THEN CAST(1 AS BIGINT) << CAST(ss.seg AS INT)
+               ELSE 0 END) AS BIGINT) AS phash
+           FROM ss JOIN tot t USING (doc_id) GROUP BY 1),
+         bk AS (
+           SELECT doc_id, phash, band,
+             (phash >> CAST(band * 8 AS INT)) & 255 AS bkey
+           FROM (SELECT doc_id, phash, unnest(range(4)) AS band
+                 FROM hashes)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.phash AS ha, b.phash AS hb
+           FROM bk a JOIN bk b
+             ON a.band = b.band AND a.bkey = b.bkey
+            AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+         ORDER BY id_a, id_b""",
   )
 }

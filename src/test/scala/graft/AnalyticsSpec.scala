@@ -356,6 +356,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(neff > 0)
   }
 
+  test("q_basket_entropy: entropy bounded by ln(brand count)") {
+    val rows = q("q_basket_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avgH = r.getAs[Double]("avg_entropy")
+      val maxH = r.getAs[Double]("max_entropy")
+      val avgB = r.getAs[Double]("avg_brands")
+      assert(avgH >= 0 && maxH >= avgH - 1e-9)
+      assert(avgB >= 1.0)
+      // H ≤ ln(#brands in the order); 25 brands is the domain cap
+      assert(maxH <= math.log(25.0) + 1e-6,
+        s"entropy exceeds the brand-domain bound: $r")
+    }
+  }
+
+  test("q_segment_migration: matrix covers every active customer once") {
+    val rows = q("q_segment_migration").collect()
+    assert(rows.nonEmpty)
+    val segs = Set("low", "mid", "high", "none")
+    rows.foreach { r =>
+      assert(segs(r.getAs[String]("seg_p1")))
+      assert(segs(r.getAs[String]("seg_p2")))
+      assert(!(r.getAs[String]("seg_p1") == "none" &&
+        r.getAs[String]("seg_p2") == "none"),
+        "a customer can't be absent from both periods")
+    }
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val active = Tables(spark, sf(), "orders")
+      .select("o_custkey").distinct().count()
+    assert(total == active,
+      s"matrix total $total != active customers $active")
+  }
+
   test("q_lorenz_deciles: cumulative shares monotone, end at 1") {
     val rows = q("q_lorenz_deciles").collect()
       .sortBy(_.getAs[Long]("decile"))

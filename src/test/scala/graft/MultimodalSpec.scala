@@ -62,4 +62,26 @@ class MultimodalSpec extends SparkSpec {
       assert(sum == expected.map(_.toLong).sum, s"doc $id")
     }
   }
+
+  test("q_multimodal_phash: planted copies surface at hamming 0") {
+    val rows = SparkEntry.queries("q_multimodal_phash")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+    // every planted exact copy (id < 20 duplicated at id+100000)
+    // must be found with hamming 0 — identical bytes, identical hash
+    val found = rows.filter(r => r.getAs[Long]("hamming") == 0L)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = Tables(spark, sf(), "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(found.contains((id, id + 100000)),
+        s"planted copy pair ($id, ${id + 100000}) missed")
+    }
+  }
 }

@@ -131,6 +131,17 @@ class SequenceSpec extends SparkSpec {
       "paths must be ranked by user count desc")
   }
 
+  test("q_interpurchase_gap: order statistics coherent, gaps positive") {
+    val r = q("q_interpurchase_gap").collect().head
+    assert(r.getAs[Long]("n_gaps") >= r.getAs[Long]("n_repeat_users"),
+      "every repeat user contributes at least one gap")
+    val med = r.getAs[Double]("median_gap_hours")
+    val p90 = r.getAs[Double]("p90_gap_hours")
+    val mx = r.getAs[Double]("max_gap_hours")
+    assert(med > 0 && med <= p90 + 1e-9 && p90 <= mx + 1e-9)
+    assert(r.getAs[Double]("avg_gap_hours") > 0)
+  }
+
   test("q_session_path_topk: per-user window is group-limit pruned") {
     val p = q("q_session_path_topk")
       .queryExecution.executedPlan.toString
