@@ -1239,6 +1239,34 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("seg_p1"), col("seg_p2"))
     },
+
+    // Day-of-week seasonal index per event_type — the multiplicative
+    // profile (dow mean ÷ overall mean) a planner multiplies into a
+    // base forecast. Derived entirely from the DECIMAL daily
+    // aggregate: per-(type,dow) and per-type means are exact-sum /
+    // count, the index one IEEE division pinned at round(4). The
+    // readout is |types|×7 rows; nothing after the daily rollup
+    // touches fact rows.
+    "q_seasonal_index" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("rev"))
+      val byDow = daily
+        .groupBy(col("event_type"), dayofweek(col("d")).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("rev")).cast("decimal(28,6)").as("s"))
+      val overall = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(col("rev")).cast("decimal(28,6)").as("s_all"))
+      byDow.join(broadcast(overall), "event_type")
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("n_days"),
+          round((col("s").cast("double") / col("n_days")) /
+            (col("s_all").cast("double") / col("n_all")), 4)
+            .as("seasonal_index"))
+        .orderBy(col("event_type"), col("dow"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2119,5 +2147,27 @@ object AnalyticsQueries {
            FROM s1 FULL OUTER JOIN s2 USING (cust))
          SELECT seg_p1, seg_p2, count(*) AS n_customers
          FROM j GROUP BY 1, 2 ORDER BY seg_p1, seg_p2""",
+
+    "q_seasonal_index" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS rev
+           FROM events GROUP BY 1, 2),
+         bydow AS (
+           SELECT event_type,
+             CAST(extract(dow FROM d) + 1 AS BIGINT) AS dow,
+             count(*) AS n_days,
+             CAST(sum(rev) AS DECIMAL(28,6)) AS s
+           FROM daily GROUP BY 1, 2),
+         overall AS (
+           SELECT event_type, count(*) AS n_all,
+             CAST(sum(rev) AS DECIMAL(28,6)) AS s_all
+           FROM daily GROUP BY 1)
+         SELECT b.event_type, b.dow, b.n_days,
+           round((b.s::DOUBLE / b.n_days)
+             / (o.s_all::DOUBLE / o.n_all), 4) AS seasonal_index
+         FROM bydow b JOIN overall o USING (event_type)
+         ORDER BY b.event_type, b.dow""",
   )
 }

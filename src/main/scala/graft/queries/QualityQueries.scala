@@ -421,6 +421,40 @@ object QualityQueries {
             .as("staleness_days"))
         .orderBy(col("event_type"))
     },
+
+    // Ingest row-count anomaly monitor — the operational DQ check
+    // that catches a broken producer before any content check can:
+    // daily row counts per event_type scored against the TRAILING
+    // 7-day window (mean/stddev via exact integer sums — counts are
+    // integers so Σ and Σ² are exact without DECIMAL), |z| > 3
+    // flags. The window runs over the |types|×|days| daily
+    // aggregate, never fact rows. Emits only scored days (≥3 prior
+    // days of history) to keep the readout stable as the calendar
+    // grows.
+    "q_dq_rowcount_anomaly" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(-7, -1)
+      val scored = daily
+        .withColumn("k", count(col("n")).over(w))
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .where(col("k") >= 3)
+      val mean = col("s1").cast("double") / col("k")
+      val variance = col("s2").cast("double") / col("k") -
+        mean * mean
+      val z = (col("n") - mean) / sqrt(greatest(variance, lit(1.0)))
+      scored.select(col("event_type"), col("d").cast("string")
+            .as("day"),
+          col("n").as("row_count"),
+          round(mean, 4).as("trailing_mean"),
+          round(z, 4).as("z_score"),
+          (abs(z) > 3.0).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -711,5 +745,31 @@ object QualityQueries {
          FROM pres p LEFT JOIN missing m
            ON p.event_type = m.event_type, bounds b
          ORDER BY p.event_type""",
+
+    "q_dq_rowcount_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT event_type, d, n,
+             count(n) OVER w AS k,
+             sum(n) OVER w AS s1,
+             sum(n * n) OVER w AS s2
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         f AS (SELECT * FROM scored WHERE k >= 3)
+         SELECT event_type, CAST(d AS VARCHAR) AS day,
+           n AS row_count,
+           round(s1::DOUBLE / k, 4) AS trailing_mean,
+           round((n - s1::DOUBLE / k)
+             / sqrt(greatest(s2::DOUBLE / k
+               - (s1::DOUBLE / k) * (s1::DOUBLE / k), 1.0)), 4)
+             AS z_score,
+           abs((n - s1::DOUBLE / k)
+             / sqrt(greatest(s2::DOUBLE / k
+               - (s1::DOUBLE / k) * (s1::DOUBLE / k), 1.0))) > 3.0
+             AS anomaly
+         FROM f ORDER BY event_type, day""",
   )
 }

@@ -621,6 +621,67 @@ object StatsQueries {
           round(sqrt(pc * (lit(1.0) - pc) / col("n_c") +
             pt * (lit(1.0) - pt) / col("n_t")), 6).as("se_uplift"))
         .orderBy(col("event_type"))
+    },
+
+    // Sample-ratio-mismatch check — the experiment-platform health
+    // gate that runs BEFORE any readout is trusted: does the
+    // md5-bucket arm split actually land 50/50 per segment? One
+    // conditional aggregate, then the one-df χ² against the equal
+    // split and the |z| > 3 alarm — exact integer counts, per-row
+    // IEEE algebra, nothing but the |types| readout rows shuffle.
+    "q_ab_srm_check" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("variant", variantOf(col("user_id")))
+      val g = ev.groupBy(col("event_type")).agg(
+        sum(when(col("variant") === "control", 1L).otherwise(0L))
+          .as("n_c"),
+        sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+          .as("n_t"))
+      val n = col("n_c") + col("n_t")
+      val e = n / lit(2.0)
+      val chi2 = (col("n_c") - e) * (col("n_c") - e) / e +
+        (col("n_t") - e) * (col("n_t") - e) / e
+      val z = (col("n_c") - e) / sqrt(n / lit(4.0))
+      g.select(col("event_type"), col("n_c"), col("n_t"),
+          round(col("n_c") / n.cast("double"), 4).as("share_control"),
+          round(chi2, 4).as("srm_chi2"),
+          round(z, 4).as("z_imbalance"),
+          (abs(z) > 3.0).as("srm_alarm"))
+        .orderBy(col("event_type"))
+    },
+
+    // Log-log price elasticity per brand — demand-curve OLS as a
+    // closed-form aggregate: regress ln(quantity) on ln(price) over
+    // line items, slope = elasticity, with R² from the same five
+    // DECIMAL-quantized sums (Σx, Σy, Σxy, Σx², Σy²). The
+    // retention-half-life fitting idiom applied per group: every
+    // cross-row reduction exact, only the final algebra in doubles.
+    "q_price_elasticity" -> { (s, dir) =>
+      val pts = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          log(col("l_extendedprice")).cast("decimal(18,8)").as("x"),
+          log(col("l_quantity")).cast("decimal(18,8)").as("y"))
+      val g = pts.groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(28,8)").as("sx"),
+        sum(col("y")).cast("decimal(28,8)").as("sy"),
+        // (18,8)×(18,8) products carry scale 16 exactly — no
+        // intermediate cast, so nothing rounds before the sum
+        sum(col("x") * col("y")).cast("decimal(38,16)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,16)").as("sx2"),
+        sum(col("y") * col("y")).cast("decimal(38,16)").as("sy2"))
+      val covn = col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val varx = col("n") * col("sx2").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vary = col("n") * col("sy2").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      g.select(col("p_brand"), col("n"),
+          round(covn / varx, 4).as("elasticity"),
+          round(covn * covn / (varx * vary), 4).as("r2"))
+        .orderBy(col("p_brand"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1054,5 +1115,60 @@ object StatsQueries {
                / n_c
              + (r_t / n_t::DOUBLE) * (1.0 - r_t / n_t::DOUBLE)
                / n_t), 6) AS se_uplift
-         FROM g ORDER BY event_type""")
+         FROM g ORDER BY event_type""",
+
+    "q_ab_srm_check" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         g AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_t
+           FROM ev GROUP BY 1)
+         SELECT event_type, n_c, n_t,
+           round(n_c / (n_c + n_t)::DOUBLE, 4) AS share_control,
+           round((n_c - (n_c + n_t) / 2.0) * (n_c - (n_c + n_t) / 2.0)
+               / ((n_c + n_t) / 2.0)
+             + (n_t - (n_c + n_t) / 2.0) * (n_t - (n_c + n_t) / 2.0)
+               / ((n_c + n_t) / 2.0), 4) AS srm_chi2,
+           round((n_c - (n_c + n_t) / 2.0)
+             / sqrt((n_c + n_t) / 4.0), 4) AS z_imbalance,
+           abs((n_c - (n_c + n_t) / 2.0)
+             / sqrt((n_c + n_t) / 4.0)) > 3.0 AS srm_alarm
+         FROM g ORDER BY event_type""",
+
+    "q_price_elasticity" ->
+      """WITH pts AS (
+           -- (19,8): DuckDB needs the wider type so the scale-16
+           -- product stays inside DECIMAL(38,16) int128 arithmetic
+           -- (18×18 would overflow its int64 multiply path); the
+           -- VALUES equal Spark's (18,8) exactly
+           SELECT p.p_brand,
+             CAST(ln(l.l_extendedprice) AS DECIMAL(19,8)) AS x,
+             CAST(ln(l.l_quantity) AS DECIMAL(19,8)) AS y
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         g AS (
+           SELECT p_brand, count(*) AS n,
+             CAST(sum(x) AS DECIMAL(28,8)) AS sx,
+             CAST(sum(y) AS DECIMAL(28,8)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,16)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,16)) AS sx2,
+             CAST(sum(y * y) AS DECIMAL(38,16)) AS sy2
+           FROM pts GROUP BY 1)
+         SELECT p_brand, n,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+             AS elasticity,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               * (n * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+             AS r2
+         FROM g ORDER BY p_brand""")
 }

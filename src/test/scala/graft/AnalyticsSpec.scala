@@ -356,6 +356,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(neff > 0)
   }
 
+  test("q_seasonal_index: indices average to ~1 weighted by days") {
+    val rows = q("q_seasonal_index").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (et, rs) =>
+        rs.foreach(r => assert(r.getAs[Double]("seasonal_index") > 0,
+          s"$et: $r"))
+        // day-weighted mean of (dow_mean/overall_mean) is exactly 1
+        val days = rs.map(_.getAs[Long]("n_days")).sum.toDouble
+        val wmean = rs.map(r => r.getAs[Double]("seasonal_index") *
+          r.getAs[Long]("n_days")).sum / days
+        assert(math.abs(wmean - 1.0) < 1e-3,
+          s"$et: weighted index mean $wmean != 1")
+    }
+  }
+
   test("q_basket_entropy: entropy bounded by ln(brand count)") {
     val rows = q("q_basket_entropy").collect()
     assert(rows.nonEmpty)

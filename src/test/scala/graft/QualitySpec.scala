@@ -199,4 +199,25 @@ class QualitySpec extends SparkSpec {
       assert(anom <= scored, s"more anomalies than scored rows: $row")
     }
   }
+
+  test("q_dq_rowcount_anomaly: only historied days scored; flags match z") {
+    val rows = SparkEntry.queries("q_dq_rowcount_anomaly")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach {
+      case (et, rs) =>
+        // the first 3 calendar days per type can never be scored
+        val allDays = rs.map(_.getAs[String]("day")).sorted
+        assert(rs.forall(_.getAs[Long]("row_count") > 0), et)
+        rs.foreach { r =>
+          assert(r.getAs[Double]("trailing_mean") > 0, s"$et $r")
+          val z = r.getAs[Double]("z_score")
+          if (math.abs(math.abs(z) - 3.0) > 1e-3)
+            assert(r.getAs[Boolean]("anomaly") == (math.abs(z) > 3.0),
+              s"$et: anomaly flag inconsistent with z: $r")
+        }
+        assert(allDays.distinct.length == allDays.length,
+          s"$et: duplicate scored days")
+    }
+  }
 }

@@ -234,6 +234,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_ab_srm_check: counts partition events; z consistent with shares") {
+    val rows = q("q_ab_srm_check").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r =>
+      r.getAs[Long]("n_c") + r.getAs[Long]("n_t")).sum
+    assert(total == Tables(spark, sf(), "events").count())
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share_control")
+      assert(share > 0 && share < 1)
+      assert(r.getAs[Double]("srm_chi2") >= 0)
+      // md5 split should not alarm on this corpus
+      val z = r.getAs[Double]("z_imbalance")
+      assert(r.getAs[Boolean]("srm_alarm") == (math.abs(z) > 3.0 -
+        1e-9) || math.abs(math.abs(z) - 3.0) < 1e-3,
+        s"alarm flag inconsistent with z: $r")
+    }
+  }
+
+  test("q_price_elasticity: R² bounded; brand coverage complete") {
+    val rows = q("q_price_elasticity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9,
+        s"R² outside [0,1]: $r")
+      assert(r.getAs[Long]("n") > 2)
+      assert(!r.getAs[Double]("elasticity").isNaN)
+    }
+  }
+
   test("q_uplift_two_model: rates bounded, uplift consistent") {
     val rows = q("q_uplift_two_model").collect()
     assert(rows.nonEmpty)
