@@ -809,6 +809,64 @@ object TextQueries {
     // per-doc first-occurrence aggregate — doc-domain-sized joins
     // against a 10-row broadcast milestone spine; the fact-scale
     // explode happens exactly once.
+    // Zipf-law fit — the rank-frequency power law every natural
+    // corpus should follow (and synthetic corpora visibly don't):
+    // OLS of ln(freq) on ln(rank) over the top-100 words. Ranks come
+    // from one window over the WORD AGGREGATE (vocab-bounded, never
+    // token rows); the fit reuses the closed-form DECIMAL-sum OLS
+    // idiom (retention half-life, elasticity). Healthy text sits
+    // near slope −1 — the number a corpus-quality dashboard tracks.
+    "q_text_zipf_fit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      val ranked = freq
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("f").desc, col("word"))))
+        .where(col("r") <= 100)
+        .select(log(col("r").cast("double")).cast("decimal(18,8)")
+            .as("x"),
+          log(col("f").cast("double")).cast("decimal(18,8)")
+            .as("y"))
+      val g = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(28,8)").as("sx"),
+        sum(col("y")).cast("decimal(28,8)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,16)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,16)").as("sx2"),
+        sum(col("y") * col("y")).cast("decimal(38,16)").as("sy2"))
+      val covn = col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val varx = col("n") * col("sx2").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vary = col("n") * col("sy2").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      g.select(col("n").as("n_ranks"),
+        round(covn / varx, 4).as("zipf_slope"),
+        round(covn * covn / (varx * vary), 4).as("r2"))
+    },
+
+    // Hapax legomena ratio per source — the vocabulary-richness
+    // companion to Heaps/Zipf: the share of each source's vocabulary
+    // seen exactly once. Two hash aggregates over the word aggregate
+    // (token explode → (source, word) counts → type/hapax rollup).
+    "q_text_hapax" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("f")).as("n_tokens"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          col("n_hapax"),
+          round(col("n_hapax") / col("n_types").cast("double"), 4)
+            .as("hapax_ratio"))
+        .orderBy(col("source"))
+    },
+
     "q_text_vocab_growth" -> { (s, dir) =>
       val words = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " "))
@@ -1795,6 +1853,54 @@ object TextQueries {
            round(minf::DOUBLE, 4) AS min_flesch,
            round(maxf::DOUBLE, 4) AS max_flesch
          FROM g ORDER BY source""",
+
+    "q_text_zipf_fit" ->
+      """WITH freq AS (
+           SELECT word, count(*) AS f FROM (
+             SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           GROUP BY 1),
+         ranked AS (
+           SELECT CAST(ln(r::DOUBLE) AS DECIMAL(19,8)) AS x,
+             CAST(ln(f::DOUBLE) AS DECIMAL(19,8)) AS y
+           FROM (
+             SELECT f, row_number() OVER (ORDER BY f DESC, word)
+               AS r
+             FROM freq)
+           WHERE r <= 100),
+         g AS (
+           SELECT count(*) AS n,
+             CAST(sum(x) AS DECIMAL(28,8)) AS sx,
+             CAST(sum(y) AS DECIMAL(28,8)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,16)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,16)) AS sx2,
+             CAST(sum(y * y) AS DECIMAL(38,16)) AS sy2
+           FROM ranked)
+         SELECT n AS n_ranks,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+             AS zipf_slope,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               * (n * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+             AS r2
+         FROM g""",
+
+    "q_text_hapax" ->
+      """WITH wc AS (
+           SELECT source, word, count(*) AS f FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT source,
+           count(*) AS n_types,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS hapax_ratio
+         FROM wc GROUP BY 1 ORDER BY source""",
 
     "q_quality_logistic" ->
       """WITH f AS (

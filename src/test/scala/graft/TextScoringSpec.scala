@@ -25,6 +25,31 @@ class TextScoringSpec extends SparkSpec {
     }
   }
 
+  test("q_text_zipf_fit: negative slope, R² in range") {
+    val r = q("q_text_zipf_fit").collect().head
+    // capped at 100; the sf0.001 synthetic vocabulary is smaller
+    assert(r.getAs[Long]("n_ranks") >= 10 &&
+      r.getAs[Long]("n_ranks") <= 100)
+    assert(r.getAs[Double]("zipf_slope") < 0,
+      "rank-frequency slope must be negative")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0 && r2 <= 1.0 + 1e-9)
+  }
+
+  test("q_text_hapax: hapax bounded by vocabulary") {
+    val rows = q("q_text_hapax").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val types = r.getAs[Long]("n_types")
+      val hapax = r.getAs[Long]("n_hapax")
+      assert(hapax <= types)
+      assert(r.getAs[Long]("n_tokens") >= types,
+        "token count can't be below type count")
+      val ratio = r.getAs[Double]("hapax_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("q_quality_logistic: sigmoid bounds, keep-count consistency") {
     val rows = q("q_quality_logistic").collect()
     assert(rows.nonEmpty)
