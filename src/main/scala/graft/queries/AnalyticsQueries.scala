@@ -1267,6 +1267,41 @@ object AnalyticsQueries {
             .as("seasonal_index"))
         .orderBy(col("event_type"), col("dow"))
     },
+
+    // Cohort LTV curve — cumulative revenue per user by acquisition
+    // cohort and week offset: the money companion to cohort
+    // retention ("how much has the January cohort earned per head
+    // by week 3"). Purchase revenue aggregates to the
+    // (cohort, offset) grid (DECIMAL-exact), the running sum is a
+    // window over that |cohorts|×|weeks| grid, and the per-head
+    // division is the only double, pinned at round(4).
+    "q_cohort_ltv" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val purchases = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          col("value").cast("decimal(18,6)").as("rev"))
+      val cohorts = purchases.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("c0"))
+      val sized = cohorts.groupBy(col("c0").as("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val grid = purchases.join(cohorts, "user_id")
+        .groupBy(col("c0").as("cohort_wk"),
+          (col("wk") - col("c0")).as("wk_offset"))
+        .agg(sum(col("rev")).cast("decimal(28,6)").as("wk_rev"))
+      val w = Window.partitionBy(col("cohort_wk"))
+        .orderBy(col("wk_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(broadcast(sized), "cohort_wk")
+        .withColumn("cum_rev", sum(col("wk_rev")).over(w)
+          .cast("decimal(28,6)"))
+        .select(col("cohort_wk"), col("wk_offset"),
+          col("cohort_size"), col("cum_rev"),
+          round(col("cum_rev").cast("double") / col("cohort_size"),
+            4).as("ltv_per_user"))
+        .orderBy(col("cohort_wk"), col("wk_offset"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2169,5 +2204,34 @@ object AnalyticsQueries {
              / (o.s_all::DOUBLE / o.n_all), 4) AS seasonal_index
          FROM bydow b JOIN overall o USING (event_type)
          ORDER BY b.event_type, b.dow""",
+
+    "q_cohort_ltv" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+             CAST(value AS DECIMAL(18,6)) AS rev
+           FROM events WHERE event_type = 'purchase'),
+         cohorts AS (
+           SELECT user_id, min(wk) AS c0 FROM p GROUP BY 1),
+         sized AS (
+           SELECT c0 AS cohort_wk, count(DISTINCT user_id)
+             AS cohort_size
+           FROM cohorts GROUP BY 1),
+         grid AS (
+           SELECT c.c0 AS cohort_wk, p.wk - c.c0 AS wk_offset,
+             CAST(sum(p.rev) AS DECIMAL(28,6)) AS wk_rev
+           FROM p JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort_wk, wk_offset,
+             CAST(sum(wk_rev) OVER (PARTITION BY cohort_wk
+               ORDER BY wk_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,6)) AS cum_rev
+           FROM grid)
+         SELECT c.cohort_wk, c.wk_offset, s.cohort_size, c.cum_rev,
+           round(c.cum_rev::DOUBLE / s.cohort_size, 4)
+             AS ltv_per_user
+         FROM cum c JOIN sized s USING (cohort_wk)
+         ORDER BY c.cohort_wk, c.wk_offset""",
   )
 }

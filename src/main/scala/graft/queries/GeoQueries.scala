@@ -259,6 +259,37 @@ object GeoQueries {
         .orderBy(col("density_ratio").desc, col("lat_cell"),
           col("lon_cell"))
         .limit(10)
+    },
+
+    // Per-entity track summary — bounding box, centroid and point
+    // count per entity, the "flight envelope" row a track UI lists
+    // before rendering any geometry: one hash aggregate over the
+    // derived coordinates (min/max exact; centroid via DECIMAL
+    // coordinate sums — the coordinates are exact 2-decimal
+    // doubles, so the sums are exact and the division is the only
+    // double, pinned at round(4)). Top-20 widest boxes by span.
+    "q_geo_track_summary" -> { (s, dir) =>
+      val pts = withGeo(ev(s, dir))
+        .select(col("user_id").as("entity"), col("lat"), col("lon"))
+      pts.groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+          sum(col("lat").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").as("slat"),
+          sum(col("lon").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").as("slon"))
+        .select(col("entity"), col("n_points"),
+          col("lat_min"), col("lat_max"), col("lon_min"),
+          col("lon_max"),
+          round(col("slat").cast("double") / col("n_points"), 4)
+            .as("centroid_lat"),
+          round(col("slon").cast("double") / col("n_points"), 4)
+            .as("centroid_lon"),
+          round((col("lat_max") - col("lat_min")) *
+            (col("lon_max") - col("lon_min")), 4).as("bbox_area"))
+        .orderBy(col("bbox_area").desc, col("entity"))
+        .limit(20)
     }
   )
 
@@ -411,6 +442,25 @@ object GeoQueries {
          FROM cells c JOIN nbhd b
            ON c.cla = b.cla AND c.clo = b.clo
          ORDER BY density_ratio DESC, lat_cell, lon_cell
-         LIMIT 10"""
+         LIMIT 10""",
+
+    "q_geo_track_summary" ->
+      s"""WITH $ptsCte,
+         g AS (
+           SELECT user_id AS entity, count(*) AS n_points,
+             min(lat) AS lat_min, max(lat) AS lat_max,
+             min(lon) AS lon_min, max(lon) AS lon_max,
+             CAST(sum(CAST(lat AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS slat,
+             CAST(sum(CAST(lon AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS slon
+           FROM pts GROUP BY 1)
+         SELECT entity, n_points, lat_min, lat_max, lon_min, lon_max,
+           round(slat::DOUBLE / n_points, 4) AS centroid_lat,
+           round(slon::DOUBLE / n_points, 4) AS centroid_lon,
+           round((lat_max - lat_min) * (lon_max - lon_min), 4)
+             AS bbox_area
+         FROM g
+         ORDER BY bbox_area DESC, entity LIMIT 20"""
   )
 }

@@ -455,6 +455,47 @@ object QualityQueries {
           (abs(z) > 3.0).as("anomaly"))
         .orderBy(col("event_type"), col("day"))
     },
+
+    // Survivorship (golden-record merge) — the step AFTER entity
+    // resolution: matched records collapse to one survivor per
+    // cluster under explicit domain rules (format-valid name wins —
+    // fewest non-alphanumeric characters — then lowest id). Cluster
+    // ids propagate as min-over-neighbors (exact here: the ER match
+    // graph is star-shaped orig↔variant); the survivor pick is one
+    // per-cluster window over clusters whose size is bounded by the
+    // blocking key. This is the MDM merge that turns match pairs
+    // into a master table.
+    "q_dedup_survivorship" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val keyed = erCorpus(s, dir)
+        .withColumn("block", element_at(split(col("p_name"), " "), 1))
+      val a = keyed.as("a")
+      val b = keyed.as("b")
+      val pairs = a.join(b, col("a.block") === col("b.block")
+          && col("a.id") < col("b.id"))
+        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val membership = pairs
+        .select(col("id_a").as("node"), col("id_a").as("peer"))
+        .unionAll(pairs.select(col("id_b").as("node"),
+          col("id_a").as("peer")))
+        .groupBy(col("node")).agg(min(col("peer")).as("cluster"))
+      val members = keyed.join(membership,
+          col("id") === col("node"), "inner")
+        .select(col("cluster"), col("id"), col("p_name"),
+          length(regexp_replace(col("p_name"), "[a-z0-9 ]", ""))
+            .as("n_bad_chars"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_bad_chars"), col("id"))
+      members.withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("p_name")))
+            .as("survivor_name"),
+          max(when(col("rn") === 1, col("id"))).as("survivor_id"),
+          countDistinct(col("p_name")).as("n_name_variants"))
+        .orderBy(col("cluster"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -771,5 +812,50 @@ object QualityQueries {
                - (s1::DOUBLE / k) * (s1::DOUBLE / k), 1.0))) > 3.0
              AS anomaly
          FROM f ORDER BY event_type, day""",
+
+    "q_dedup_survivorship" ->
+      """WITH dict AS (
+           SELECT p_name, min(p_partkey) AS id FROM part GROUP BY 1),
+         off AS (
+           SELECT CAST((floor(max(id) / 1000000) + 1) * 1000000
+             AS BIGINT) AS off
+           FROM dict),
+         corpus AS (
+           SELECT id, p_name FROM dict
+           UNION ALL
+           SELECT d.id + o.off AS id,
+             substr(d.p_name, 1, length(d.p_name) - 1) || '#'
+               AS p_name
+           FROM dict d, off o),
+         keyed AS (
+           SELECT id, p_name, string_split(p_name, ' ')[1] AS block
+           FROM corpus),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM keyed a JOIN keyed b
+             ON a.block = b.block AND a.id < b.id
+           WHERE levenshtein(a.p_name, b.p_name) <= 2),
+         membership AS (
+           SELECT node, min(peer) AS cluster FROM (
+             SELECT id_a AS node, id_a AS peer FROM pairs
+             UNION ALL
+             SELECT id_b AS node, id_a AS peer FROM pairs)
+           GROUP BY 1),
+         members AS (
+           SELECT m.cluster, k.id, k.p_name,
+             length(regexp_replace(k.p_name, '[a-z0-9 ]', '', 'g'))
+               AS n_bad_chars
+           FROM keyed k JOIN membership m ON k.id = m.node),
+         rk AS (
+           SELECT cluster, id, p_name, n_bad_chars,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_bad_chars, id) AS rn
+           FROM members)
+         SELECT cluster,
+           count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN p_name END) AS survivor_name,
+           max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+           count(DISTINCT p_name) AS n_name_variants
+         FROM rk GROUP BY cluster ORDER BY cluster""",
   )
 }

@@ -356,6 +356,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(neff > 0)
   }
 
+  test("q_cohort_ltv: LTV curves are non-decreasing per cohort") {
+    val rows = q("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_wk")).foreach {
+      case (cw, rs) =>
+        val byOff = rs.sortBy(_.getAs[Long]("wk_offset"))
+        val ltv = byOff.map(_.getAs[Double]("ltv_per_user"))
+        assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-9 },
+          s"cohort $cw LTV not cumulative: ${ltv.mkString(",")}")
+        assert(byOff.head.getAs[Long]("wk_offset") == 0,
+          s"cohort $cw must earn in its own week 0")
+        assert(rs.forall(_.getAs[Long]("cohort_size") > 0))
+    }
+  }
+
   test("q_seasonal_index: indices average to ~1 weighted by days") {
     val rows = q("q_seasonal_index").collect()
     assert(rows.nonEmpty)

@@ -172,4 +172,24 @@ class GeoSpec extends SparkSpec {
     val ratios = rows.map(_.getAs[Double]("density_ratio"))
     assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q_geo_track_summary: centroid inside bbox, spans non-negative") {
+    val rows = SparkEntry.queries("q_geo_track_summary")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val latMin = r.getAs[Double]("lat_min")
+      val latMax = r.getAs[Double]("lat_max")
+      val lonMin = r.getAs[Double]("lon_min")
+      val lonMax = r.getAs[Double]("lon_max")
+      assert(latMin <= latMax && lonMin <= lonMax)
+      val cLat = r.getAs[Double]("centroid_lat")
+      val cLon = r.getAs[Double]("centroid_lon")
+      assert(cLat >= latMin - 1e-4 && cLat <= latMax + 1e-4,
+        s"centroid lat outside bbox: $r")
+      assert(cLon >= lonMin - 1e-4 && cLon <= lonMax + 1e-4,
+        s"centroid lon outside bbox: $r")
+      assert(r.getAs[Double]("bbox_area") >= 0)
+    }
+  }
 }

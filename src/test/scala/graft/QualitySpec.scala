@@ -200,6 +200,23 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_survivorship: format-valid record wins every cluster") {
+    val rows = SparkEntry.queries("q_dedup_survivorship")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2,
+        s"singleton cluster leaked into the merge: $r")
+      val survivor = r.getAs[String]("survivor_name")
+      assert(!survivor.endsWith("#"),
+        s"corrupted variant won survivorship: $r")
+      assert(r.getAs[Long]("survivor_id") ==
+        r.getAs[Long]("cluster"),
+        "clean record (lowest id) should anchor its cluster")
+      assert(r.getAs[Long]("n_name_variants") >= 2)
+    }
+  }
+
   test("q_dq_rowcount_anomaly: only historied days scored; flags match z") {
     val rows = SparkEntry.queries("q_dq_rowcount_anomaly")(spark, sf())
       .collect()
