@@ -1302,6 +1302,40 @@ object AnalyticsQueries {
             4).as("ltv_per_user"))
         .orderBy(col("cohort_wk"), col("wk_offset"))
     },
+
+    // Rolling 24-hour distinct users per event_type — sliding-window
+    // COUNT DISTINCT, the op a naive window can't do (distinct
+    // doesn't decompose over frames): each (type, hour, user) row
+    // EXPANDS into the 24 anchor hours it contributes to
+    // (sequence+explode — a fixed 24× fan-out of the already
+    // hour-deduplicated user rows, not of fact rows), then one hash
+    // aggregate per (type, anchor) counts distinct users. Anchors
+    // keep only OBSERVED hours (semi join) so the readout is
+    // bounded by the activity calendar. At 100 TB the expansion
+    // factor is the window/granularity ratio — the standard
+    // time-series trade; for sketches swap countDistinct for HLL
+    // partials and the same plan merges them.
+    "q_rolling_distinct_users" -> { (s, dir) =>
+      val hu = Tables(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val observed = hu.select(col("event_type"), col("h")).distinct()
+      val expanded = hu.select(col("event_type"), col("user_id"),
+        explode(expr(
+          "sequence(h, h + interval 23 hours, interval 1 hour)"))
+          .as("anchor"))
+      expanded
+        .join(observed.select(col("event_type"),
+          col("h").as("anchor")), Seq("event_type", "anchor"),
+          "left_semi")
+        .groupBy(col("event_type"), col("anchor"))
+        .agg(countDistinct(col("user_id")).as("rolling_24h_users"))
+        .select(col("event_type"),
+          expr("unix_micros(anchor)").as("h_us"),
+          col("rolling_24h_users"))
+        .orderBy(col("event_type"), col("h_us"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2233,5 +2267,27 @@ object AnalyticsQueries {
              AS ltv_per_user
          FROM cum c JOIN sized s USING (cohort_wk)
          ORDER BY c.cohort_wk, c.wk_offset""",
+
+    "q_rolling_distinct_users" ->
+      """WITH hu AS (
+           SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+             user_id
+           FROM events),
+         observed AS (
+           SELECT DISTINCT event_type, h FROM hu),
+         expanded AS (
+           SELECT event_type, user_id,
+             unnest(generate_series(h, h + INTERVAL 23 HOUR,
+               INTERVAL 1 HOUR)) AS anchor
+           FROM hu),
+         filtered AS (
+           SELECT e.event_type, e.user_id, e.anchor
+           FROM expanded e
+           WHERE EXISTS (SELECT 1 FROM observed o
+             WHERE o.event_type = e.event_type AND o.h = e.anchor))
+         SELECT event_type, epoch_us(anchor) AS h_us,
+           count(DISTINCT user_id) AS rolling_24h_users
+         FROM filtered GROUP BY 1, 2
+         ORDER BY event_type, h_us""",
   )
 }

@@ -356,6 +356,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(neff > 0)
   }
 
+  test("q_rolling_distinct_users: rolling count dominates the hourly count") {
+    val rows = q("q_rolling_distinct_users").collect()
+    assert(rows.nonEmpty)
+    // compute the per-hour distinct directly and compare: the
+    // 24h rolling window can never be smaller at the same anchor
+    val hourly = Tables(spark, sf(), "events")
+      .selectExpr("event_type",
+        "unix_micros(date_trunc('hour', ts)) as h_us", "user_id")
+      .distinct()
+      .groupBy("event_type", "h_us").count()
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("h_us")) -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("h_us"))
+      val rolling = r.getAs[Long]("rolling_24h_users")
+      assert(hourly.contains(key), s"anchor not an observed hour: $r")
+      assert(rolling >= hourly(key),
+        s"rolling window smaller than its own hour: $r")
+    }
+    assert(rows.length == hourly.size,
+      "every observed (type, hour) must be scored exactly once")
+  }
+
   test("q_cohort_ltv: LTV curves are non-decreasing per cohort") {
     val rows = q("q_cohort_ltv").collect()
     assert(rows.nonEmpty)
