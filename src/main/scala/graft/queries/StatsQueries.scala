@@ -682,6 +682,80 @@ object StatsQueries {
           round(covn / varx, 4).as("elasticity"),
           round(covn * covn / (varx * vary), 4).as("r2"))
         .orderBy(col("p_brand"))
+    },
+
+    // Funnel by experiment arm — the table that actually decides a
+    // launch: the signup→click→purchase ladder split by the md5
+    // assignment, with per-stage conversion and the
+    // treatment-vs-control delta at the final stage. Same bounded
+    // min-aggregate stage chain as q_funnel_steps (one timestamp of
+    // state per user per stage), the arm is just another grouping
+    // key — no extra scan, no join beyond the stage chain.
+    "q_funnel_by_variant" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("u"),
+          col("event_type").as("et"))
+        .withColumn("variant", variantOf(col("user_id")))
+      val t1 = ev.filter(col("et") === "signup")
+        .groupBy(col("variant"), col("user_id"))
+        .agg(min(col("u")).as("t1"))
+      val t2 = ev.filter(col("et") === "click")
+        .join(t1, Seq("variant", "user_id"))
+        .where(col("u") > col("t1"))
+        .groupBy(col("variant"), col("user_id"))
+        .agg(min(col("u")).as("t2"))
+      val t3 = ev.filter(col("et") === "purchase")
+        .join(t2, Seq("variant", "user_id"))
+        .where(col("u") > col("t2"))
+        .groupBy(col("variant"), col("user_id"))
+        .agg(min(col("u")).as("t3"))
+      val s1 = t1.groupBy(col("variant"))
+        .agg(countDistinct(col("user_id")).as("n_signup"))
+      val s2 = t2.groupBy(col("variant"))
+        .agg(countDistinct(col("user_id")).as("n_click"))
+      val s3 = t3.groupBy(col("variant"))
+        .agg(countDistinct(col("user_id")).as("n_purchase"))
+      s1.join(s2, Seq("variant"), "left")
+        .join(s3, Seq("variant"), "left")
+        .select(col("variant"), col("n_signup"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+          round(coalesce(col("n_click"), lit(0L)) /
+            col("n_signup").cast("double"), 4).as("cr_click"),
+          round(coalesce(col("n_purchase"), lit(0L)) /
+            col("n_signup").cast("double"), 4).as("cr_purchase"))
+        .orderBy(col("variant"))
+    },
+
+    // Audience overlap matrix — pairwise Jaccard of the user sets
+    // behind each event type ("how much do clickers and buyers
+    // overlap"): distinct (type, user) rows self-join on the USER
+    // key (per-user fan-out ≤ |types|², never |users|²),
+    // intersections aggregate map-side, unions come from the
+    // broadcast per-type distinct counts by inclusion–exclusion.
+    "q_user_overlap_jaccard" -> { (s, dir) =>
+      val tu = Tables(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id"))
+        .distinct()
+      val sizes = tu.groupBy(col("t"))
+        .agg(countDistinct(col("user_id")).as("n"))
+      val inter = tu.select(col("t").as("ta"), col("user_id"))
+        .join(tu.select(col("t").as("tb"), col("user_id")),
+          Seq("user_id"))
+        .where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("t").as("ta"),
+          col("n").as("na"))), Seq("ta"))
+        .join(broadcast(sizes.select(col("t").as("tb"),
+          col("n").as("nb"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("na"), col("nb"),
+          col("n_both"),
+          round(col("n_both") /
+            (col("na") + col("nb") - col("n_both")).cast("double"),
+            4).as("jaccard"))
+        .orderBy(col("ta"), col("tb"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1170,5 +1244,61 @@ object StatsQueries {
              / ((n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
                * (n * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
              AS r2
-         FROM g ORDER BY p_brand""")
+         FROM g ORDER BY p_brand""",
+
+    "q_funnel_by_variant" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS u, event_type AS et,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant
+           FROM events),
+         t1 AS (
+           SELECT variant, user_id, min(u) AS t1 FROM ev
+           WHERE et = 'signup' GROUP BY 1, 2),
+         t2 AS (
+           SELECT e.variant, e.user_id, min(e.u) AS t2
+           FROM ev e JOIN t1 ON e.variant = t1.variant
+             AND e.user_id = t1.user_id
+           WHERE e.et = 'click' AND e.u > t1.t1 GROUP BY 1, 2),
+         t3 AS (
+           SELECT e.variant, e.user_id, min(e.u) AS t3
+           FROM ev e JOIN t2 ON e.variant = t2.variant
+             AND e.user_id = t2.user_id
+           WHERE e.et = 'purchase' AND e.u > t2.t2 GROUP BY 1, 2),
+         s1 AS (SELECT variant, count(DISTINCT user_id) AS n_signup
+           FROM t1 GROUP BY 1),
+         s2 AS (SELECT variant, count(DISTINCT user_id) AS n_click
+           FROM t2 GROUP BY 1),
+         s3 AS (SELECT variant, count(DISTINCT user_id) AS n_purchase
+           FROM t3 GROUP BY 1)
+         SELECT s1.variant, s1.n_signup,
+           CAST(coalesce(s2.n_click, 0) AS BIGINT) AS n_click,
+           CAST(coalesce(s3.n_purchase, 0) AS BIGINT) AS n_purchase,
+           round(coalesce(s2.n_click, 0) / s1.n_signup::DOUBLE, 4)
+             AS cr_click,
+           round(coalesce(s3.n_purchase, 0) / s1.n_signup::DOUBLE, 4)
+             AS cr_purchase
+         FROM s1
+         LEFT JOIN s2 ON s1.variant = s2.variant
+         LEFT JOIN s3 ON s1.variant = s3.variant
+         ORDER BY s1.variant""",
+
+    "q_user_overlap_jaccard" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type AS t, user_id FROM events),
+         sizes AS (
+           SELECT t, count(DISTINCT user_id) AS n FROM tu GROUP BY 1),
+         inter AS (
+           SELECT a.t AS ta, b.t AS tb, count(*) AS n_both
+           FROM tu a JOIN tu b ON a.user_id = b.user_id
+             AND a.t < b.t
+           GROUP BY 1, 2)
+         SELECT i.ta, i.tb, sa.n AS na, sb.n AS nb, i.n_both,
+           round(i.n_both / (sa.n + sb.n - i.n_both)::DOUBLE, 4)
+             AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.ta = sa.t
+         JOIN sizes sb ON i.tb = sb.t
+         ORDER BY i.ta, i.tb""")
 }

@@ -234,6 +234,37 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel_by_variant: ladders shrink down-funnel in both arms") {
+    val rows = q("q_funnel_by_variant").collect()
+    assert(rows.length == 2, "exactly control + treatment rows")
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_signup")
+      val c = r.getAs[Long]("n_click")
+      val p = r.getAs[Long]("n_purchase")
+      assert(s >= c && c >= p, s"funnel must shrink: $r")
+      assert(r.getAs[Double]("cr_click") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("cr_purchase") <=
+        r.getAs[Double]("cr_click") + 1e-9)
+    }
+  }
+
+  test("q_user_overlap_jaccard: all type pairs, Jaccard within bounds") {
+    val rows = q("q_user_overlap_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("na")
+      val nb = r.getAs[Long]("nb")
+      val both = r.getAs[Long]("n_both")
+      assert(both <= math.min(na, nb),
+        s"intersection exceeds a set size: $r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[String]("ta") < r.getAs[String]("tb"))
+    }
+    // 5 event types -> C(5,2) = 10 canonical pairs
+    assert(rows.length == 10, s"expected 10 pairs, got ${rows.length}")
+  }
+
   test("q_ab_srm_check: counts partition events; z consistent with shares") {
     val rows = q("q_ab_srm_check").collect()
     assert(rows.nonEmpty)
