@@ -370,7 +370,10 @@ object AnalyticsQueries {
         .groupBy(col("event_type"))                          // merge
         .agg(sum(col("n")).as("n_events"),
           sum(col("sv")).cast("decimal(18,6)").as("sum_value"))
-        .select(col("event_type"), col("n_events"), col("sum_value"),
+        .select(col("event_type"), col("n_events"),
+          // DECIMAL internally (order-independent merge); DOUBLE on
+          // the output surface — the repo-wide hash-gate discipline
+          round(col("sum_value").cast("double"), 6).as("sum_value"),
           round(col("sum_value").cast("double") / col("n_events"), 4)
             .as("avg_value"))
         .orderBy(col("event_type"))
@@ -564,7 +567,8 @@ object AnalyticsQueries {
             .when(col("prev_share") < 0.95, "B").otherwise("C"))
       classed.groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),
-          sum(col("rev")).cast("decimal(18,6)").as("class_revenue"))
+          round(sum(col("rev")).cast("decimal(18,6)").cast("double"),
+            6).as("class_revenue"))
         .orderBy(col("abc_class"))
     },
 
@@ -620,7 +624,8 @@ object AnalyticsQueries {
         .unionByName(leg(tagged.filter(col("wk") >= col("cutwk"))))
         .groupBy(col("p_brand"))                          // merge
         .agg(sum(col("n")).as("n_items"),
-          sum(col("sq")).cast("decimal(18,6)").as("sum_qty"))
+          round(sum(col("sq")).cast("decimal(18,6)").cast("double"), 6)
+            .as("sum_qty"))
         .orderBy(col("p_brand"))
     },
 
@@ -635,8 +640,8 @@ object AnalyticsQueries {
         .groupBy((expr("weekday(ts)") + 1).cast("long").as("isodow"),
           hour(col("ts")).cast("long").as("hr"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_value"))
+          round(sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").cast("double"), 6).as("sum_value"))
         .orderBy(col("isodow"), col("hr"))
     },
 
@@ -695,7 +700,8 @@ object AnalyticsQueries {
           .cast("decimal(18,6)").as("rev"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
       weekly.withColumn("prev", lag(col("rev"), 1).over(w))
-        .select(col("event_type"), col("wk"), col("rev"),
+        .select(col("event_type"), col("wk"),
+          round(col("rev").cast("double"), 6).as("rev"),
           round((col("rev") - col("prev")).cast("double") /
             col("prev").cast("double"), 4).as("wow_growth"))
         .orderBy(col("event_type"), col("wk"))
@@ -720,7 +726,10 @@ object AnalyticsQueries {
             .cast("decimal(18,6)").as("decay"))
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("decay")).cast("decimal(18,6)").as("score"))
+          // round(·,6) of a DECIMAL(18,6) is lossless at these
+          // magnitudes, so the DESC sort order is unchanged
+          round(sum(col("decay")).cast("decimal(18,6)")
+            .cast("double"), 6).as("score"))
         .orderBy(col("score").desc, col("l_partkey"))
         .limit(10)
     },
@@ -846,8 +855,9 @@ object AnalyticsQueries {
           // epoch-µs output (not raw timestamp): repo convention for
           // driver-hash-stable time columns (cf. tp_scd2_intervals)
           expr("unix_micros(h)").as("h_us"),
-          coalesce(last(col("rev"), ignoreNulls = true).over(w),
-            lit(0).cast("decimal(18,6)")).as("rev_filled"),
+          round(coalesce(last(col("rev"), ignoreNulls = true).over(w),
+            lit(0).cast("decimal(18,6)")).cast("double"), 6)
+            .as("rev_filled"),
           col("rev").isNull.as("is_gap"))
         .orderBy(col("event_type"), col("h_us"))
     },
@@ -1022,7 +1032,7 @@ object AnalyticsQueries {
         col("cw").cast("double") >= lit(p) * col("tw").cast("double"),
         col("l_extendedprice")))
       cum.groupBy(col("l_returnflag"))
-        .agg(first(col("tw")).cast("decimal(28,6)").as("total_qty"),
+        .agg(round(first(col("tw")).cast("double"), 6).as("total_qty"),
           round(pick(0.5), 2).as("w_median_price"),
           round(pick(0.9), 2).as("w_p90_price"),
           count(lit(1)).as("n_price_points"))
@@ -1297,7 +1307,8 @@ object AnalyticsQueries {
         .withColumn("cum_rev", sum(col("wk_rev")).over(w)
           .cast("decimal(28,6)"))
         .select(col("cohort_wk"), col("wk_offset"),
-          col("cohort_size"), col("cum_rev"),
+          col("cohort_size"),
+          round(col("cum_rev").cast("double"), 6).as("cum_rev"),
           round(col("cum_rev").cast("double") / col("cohort_size"),
             4).as("ltv_per_user"))
         .orderBy(col("cohort_wk"), col("wk_offset"))
@@ -1521,7 +1532,8 @@ object AnalyticsQueries {
     // land on exactly this (decimal sums are order-independent).
     "q_agg_incremental" ->
       """SELECT event_type, count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6) AS sum_value,
+           round((sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6))::DOUBLE,
+             6) AS sum_value,
            round((sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6))::DOUBLE
              / count(*), 4) AS avg_value
          FROM events
@@ -1621,8 +1633,8 @@ object AnalyticsQueries {
     // the full recompute IS the oracle — the IVM identity under test
     "q_incremental_join" ->
       """SELECT p_brand, count(*) AS n_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-             AS DECIMAL(18,6)) AS sum_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+             AS DECIMAL(18,6))::DOUBLE, 6) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
 
@@ -1704,7 +1716,8 @@ object AnalyticsQueries {
                   ELSE 'C' END AS abc_class
            FROM c)
          SELECT abc_class, count(*) AS n_parts,
-           CAST(sum(rev) AS DECIMAL(18,6)) AS class_revenue
+           round(CAST(sum(rev) AS DECIMAL(18,6))::DOUBLE, 6)
+             AS class_revenue
          FROM cl GROUP BY 1 ORDER BY abc_class""",
 
     "q_anomaly_iqr" ->
@@ -1731,8 +1744,8 @@ object AnalyticsQueries {
       """SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
            CAST(hour(ts) AS BIGINT) AS hr,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
-             AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+             AS DECIMAL(18,6))::DOUBLE, 6) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY isodow, hr""",
 
     "q_new_vs_returning" ->
@@ -1782,7 +1795,7 @@ object AnalyticsQueries {
              lag(rev, 1) OVER (PARTITION BY event_type
                ORDER BY wk) AS prev
            FROM weekly)
-         SELECT event_type, wk, rev,
+         SELECT event_type, wk, round(rev::DOUBLE, 6) AS rev,
            round((rev - prev)::DOUBLE / prev::DOUBLE, 4) AS wow_growth
          FROM lagged ORDER BY event_type, wk""",
 
@@ -1797,7 +1810,8 @@ object AnalyticsQueries {
                AS DECIMAL(18,6)) AS decay
            FROM li, wm)
          SELECT l_partkey, count(*) AS n_items,
-           CAST(sum(decay) AS DECIMAL(18,6)) AS score
+           round(CAST(sum(decay) AS DECIMAL(18,6))::DOUBLE, 6)
+             AS score
          FROM scored GROUP BY l_partkey
          ORDER BY score DESC, l_partkey LIMIT 10""",
 
@@ -1889,10 +1903,10 @@ object AnalyticsQueries {
                INTERVAL 1 HOUR)) AS h
            FROM hourly GROUP BY event_type)
          SELECT s.event_type, epoch_us(s.h) AS h_us,
-           coalesce(last_value(hr.rev IGNORE NULLS) OVER (
+           round(coalesce(last_value(hr.rev IGNORE NULLS) OVER (
              PARTITION BY s.event_type ORDER BY s.h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             CAST(0 AS DECIMAL(18,6))) AS rev_filled,
+             CAST(0 AS DECIMAL(18,6)))::DOUBLE, 6) AS rev_filled,
            hr.rev IS NULL AS is_gap
          FROM spine s
          LEFT JOIN hourly hr
@@ -2027,7 +2041,7 @@ object AnalyticsQueries {
              sum(bw) OVER (PARTITION BY l_returnflag) AS tw
            FROM blocks)
          SELECT l_returnflag,
-           CAST(any_value(tw) AS DECIMAL(28,6)) AS total_qty,
+           round(any_value(tw)::DOUBLE, 6) AS total_qty,
            round(min(CASE WHEN cw::DOUBLE >= 0.5 * tw::DOUBLE
              THEN l_extendedprice END), 2) AS w_median_price,
            round(min(CASE WHEN cw::DOUBLE >= 0.9 * tw::DOUBLE
@@ -2262,7 +2276,8 @@ object AnalyticsQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DECIMAL(28,6)) AS cum_rev
            FROM grid)
-         SELECT c.cohort_wk, c.wk_offset, s.cohort_size, c.cum_rev,
+         SELECT c.cohort_wk, c.wk_offset, s.cohort_size,
+           round(c.cum_rev::DOUBLE, 6) AS cum_rev,
            round(c.cum_rev::DOUBLE / s.cohort_size, 4)
              AS ltv_per_user
          FROM cum c JOIN sized s USING (cohort_wk)

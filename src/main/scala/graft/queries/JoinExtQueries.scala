@@ -231,8 +231,8 @@ object JoinExtQueries {
           struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("sum_qty"))
+          round(sum(col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").cast("double"), 6).as("sum_qty"))
         .orderBy(col("p_brand"))
     },
 
@@ -587,8 +587,8 @@ object JoinExtQueries {
 
     "q_join_skew_salted" ->
       """SELECT p_brand, count(*) AS n_items,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-             AS DECIMAL(18,6)) AS sum_qty
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+             AS DECIMAL(18,6))::DOUBLE, 6) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
 

@@ -67,7 +67,8 @@ object OpsQueries {
             .cast("decimal(18,4)").as("delta"))
         .groupBy(col("change_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("delta")).cast("decimal(18,4)").as("price_delta"),
+          round(sum(col("delta")).cast("decimal(18,4)")
+            .cast("double"), 4).as("price_delta"),
           min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy(col("change_type"))
     },
@@ -82,11 +83,18 @@ object OpsQueries {
     "q_sample_weighted" -> { (s, dir) =>
       val k = 100
       val docs = Tables(s, dir, "documents")
+      // top-k membership + order decided on the DECIMAL(28,10)
+      // priority (engine-stable); the emitted column is DOUBLE —
+      // round(·,10) cannot re-tie rows the decimal kept distinct,
+      // so the final sort is unambiguous in both engines.
       docs.select(col("doc_id"), col("lang"), col("n_chars"),
           (log((h60(col("doc_id")) + 1) / two60) / col("n_chars"))
-            .cast("decimal(28,10)").as("priority"))
-        .orderBy(col("priority").desc, col("doc_id"))
+            .cast("decimal(28,10)").as("priority_d"))
+        .orderBy(col("priority_d").desc, col("doc_id"))
         .limit(k)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("priority_d").cast("double"), 10).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
     },
 
     // KMV sketch set algebra, k = 64: per-segment k-minimum-values
@@ -211,8 +219,10 @@ object OpsQueries {
           sum(when(!col("no_lines") &&
             col("diff") < lit(new java.math.BigDecimal("-0.01")), 1L)
             .otherwise(0L)).as("n_under"),
-          max(abs(col("diff"))).cast("decimal(18,6)").as("max_abs_diff"),
-          sum(col("diff")).cast("decimal(28,6)").as("total_diff"))
+          round(max(abs(col("diff"))).cast("decimal(18,6)")
+            .cast("double"), 6).as("max_abs_diff"),
+          round(sum(col("diff")).cast("decimal(28,6)")
+            .cast("double"), 6).as("total_diff"))
         .orderBy(col("o_orderstatus"))
     },
 
@@ -236,8 +246,9 @@ object OpsQueries {
             .otherwise("090+"))
         .groupBy(col("o_orderstatus"), col("age_bucket"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,6)"))
-            .cast("decimal(28,6)").as("total_value"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").cast("double"), 6)
+            .as("total_value"),
           max(col("age_days")).cast("long").as("max_age"))
         .orderBy(col("o_orderstatus"), col("age_bucket"))
     })
@@ -263,17 +274,22 @@ object OpsQueries {
                AS DECIMAL(18,4)) AS delta
            FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
          SELECT change_type, count(*) AS n,
-           CAST(sum(delta) AS DECIMAL(18,4)) AS price_delta,
+           round(CAST(sum(delta) AS DECIMAL(18,4))::DOUBLE, 4)
+             AS price_delta,
            min(k) AS min_key, max(k) AS max_key
          FROM d GROUP BY change_type ORDER BY change_type""",
 
     "q_sample_weighted" ->
-      """SELECT doc_id, lang, n_chars,
-           CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      ::BIGINT + 1) / 1152921504606846976.0)
-                / n_chars AS DECIMAL(28,10)) AS priority
-         FROM documents
-         ORDER BY priority DESC, doc_id LIMIT 100""",
+      """WITH ranked AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::BIGINT + 1) / 1152921504606846976.0)
+                  / n_chars AS DECIMAL(28,10)) AS priority_d
+           FROM documents
+           ORDER BY priority_d DESC, doc_id LIMIT 100)
+         SELECT doc_id, lang, n_chars,
+           round(priority_d::DOUBLE, 10) AS priority
+         FROM ranked ORDER BY priority DESC, doc_id""",
 
     "q_kmv_set_ops" ->
       """WITH hashes AS (
@@ -362,8 +378,10 @@ object OpsQueries {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
            CAST(sum(CASE WHEN NOT no_lines AND diff < -0.01
              THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
-           CAST(max(abs(diff)) AS DECIMAL(18,6)) AS max_abs_diff,
-           CAST(sum(diff) AS DECIMAL(28,6)) AS total_diff
+           round(CAST(max(abs(diff)) AS DECIMAL(18,6))::DOUBLE, 6)
+             AS max_abs_diff,
+           round(CAST(sum(diff) AS DECIMAL(28,6))::DOUBLE, 6)
+             AS total_diff
          FROM d GROUP BY 1 ORDER BY o_orderstatus""",
 
     "q_order_aging" ->
@@ -383,8 +401,8 @@ object OpsQueries {
            FROM aged)
          SELECT o_orderstatus, age_bucket,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-             AS DECIMAL(28,6)) AS total_value,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DECIMAL(28,6))::DOUBLE, 6) AS total_value,
            CAST(max(age_days) AS BIGINT) AS max_age
          FROM bucketed GROUP BY 1, 2
          ORDER BY o_orderstatus, age_bucket""")

@@ -321,7 +321,8 @@ object QualityQueries {
         .where(col("rk") === 1)
         .select(col("event_type"), col("day").as("changepoint_day"),
           col("n_days"),
-          abs(col("cusum")).cast("decimal(28,6)").as("max_abs_cusum"))
+          round(abs(col("cusum")).cast("double"), 6)
+            .as("max_abs_cusum"))
         .orderBy(col("event_type"))
     },
 
@@ -665,7 +666,7 @@ object QualityQueries {
                ORDER BY abs(cusum) DESC, day) AS rk
            FROM c)
          SELECT event_type, day AS changepoint_day, n_days,
-           CAST(abs(cusum) AS DECIMAL(28,6)) AS max_abs_cusum
+           round(abs(cusum)::DOUBLE, 6) AS max_abs_cusum
          FROM r WHERE rk = 1 ORDER BY event_type""",
 
     "q_l_diversity" ->

@@ -447,12 +447,16 @@ object RelationalQueries {
     "q_sql_pivot" -> { (s, dir) =>
       Tables.registerViews(s, dir)
       s.sql("""
-        SELECT * FROM (
-          SELECT l_returnflag, l_linestatus,
-            CAST(l_quantity AS DECIMAL(18,6)) AS qty
-          FROM lineitem)
-        PIVOT (CAST(sum(qty) AS DECIMAL(18,6))
-               FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled))
+        SELECT l_returnflag,
+          round(CAST(qty_open AS DOUBLE), 6) AS qty_open,
+          round(CAST(qty_filled AS DOUBLE), 6) AS qty_filled
+        FROM (
+          SELECT * FROM (
+            SELECT l_returnflag, l_linestatus,
+              CAST(l_quantity AS DECIMAL(18,6)) AS qty
+            FROM lineitem)
+          PIVOT (CAST(sum(qty) AS DECIMAL(18,6))
+                 FOR l_linestatus IN ('O' AS qty_open, 'F' AS qty_filled)))
         ORDER BY l_returnflag""")
     },
 
@@ -979,12 +983,12 @@ object RelationalQueries {
 
     "q_sql_pivot" ->
       """SELECT l_returnflag,
-           CAST(sum(CASE WHEN l_linestatus = 'O'
+           round(CAST(sum(CASE WHEN l_linestatus = 'O'
              THEN CAST(l_quantity AS DECIMAL(18,6)) END)
-             AS DECIMAL(18,6)) AS qty_open,
-           CAST(sum(CASE WHEN l_linestatus = 'F'
+             AS DECIMAL(18,6))::DOUBLE, 6) AS qty_open,
+           round(CAST(sum(CASE WHEN l_linestatus = 'F'
              THEN CAST(l_quantity AS DECIMAL(18,6)) END)
-             AS DECIMAL(18,6)) AS qty_filled
+             AS DECIMAL(18,6))::DOUBLE, 6) AS qty_filled
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",

@@ -58,8 +58,8 @@ object SequenceQueries {
           // DECIMAL sum: order-independent across partitions, exact
           // in any engine (a double sum differs in ulps by
           // association) — the repo-wide idiom for summed metrics.
-          sum(col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)").as("revenue"))
+          round(sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").cast("double"), 6).as("revenue"))
         .orderBy(col("channel"))
     },
 
@@ -101,8 +101,8 @@ object SequenceQueries {
             .otherwise(col("value").cast("decimal(18,6)"))
             .as("credit"))
         .groupBy(col("channel"))
-        .agg(sum(col("credit")).cast("decimal(18,6)")
-          .as("credited_revenue"))
+        .agg(round(sum(col("credit")).cast("decimal(18,6)")
+          .cast("double"), 6).as("credited_revenue"))
         .orderBy(col("channel"))
     },
 
@@ -170,8 +170,8 @@ object SequenceQueries {
           col("monetary"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"),
-          sum(col("monetary")).cast("decimal(18,6)")
-            .as("segment_revenue"))
+          round(sum(col("monetary")).cast("decimal(18,6)")
+            .cast("double"), 6).as("segment_revenue"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     },
 
@@ -335,7 +335,8 @@ object SequenceQueries {
            FROM events)
          SELECT coalesce(channel, 'unattributed') AS channel,
            count(*) AS n_conversions,
-           sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6) AS revenue
+           round((sum(CAST(value AS DECIMAL(18,6)))::DECIMAL(18,6))::DOUBLE,
+             6) AS revenue
          FROM seq WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY channel""",
 
@@ -361,10 +362,10 @@ object SequenceQueries {
            SELECT user_id, seg, value FROM tagged
            WHERE event_type = 'purchase')
          SELECT coalesce(t.channel, 'unattributed') AS channel,
-           CAST(sum(CASE WHEN t.n_ch IS NOT NULL
+           round(CAST(sum(CASE WHEN t.n_ch IS NOT NULL
              THEN CAST(p.value * t.n_ch / s.n_tot AS DECIMAL(18,6))
              ELSE CAST(p.value AS DECIMAL(18,6)) END)
-             AS DECIMAL(18,6)) AS credited_revenue
+             AS DECIMAL(18,6))::DOUBLE, 6) AS credited_revenue
          FROM purchases p
          LEFT JOIN seg_totals s USING (user_id, seg)
          LEFT JOIN touches t USING (user_id, seg)
@@ -418,7 +419,8 @@ object SequenceQueries {
              rfm.monetary
            FROM rfm, e)
          SELECT r_score, f_score, m_score, count(*) AS n_users,
-           CAST(sum(monetary) AS DECIMAL(18,6)) AS segment_revenue
+           round(CAST(sum(monetary) AS DECIMAL(18,6))::DOUBLE, 6)
+             AS segment_revenue
          FROM scored GROUP BY 1, 2, 3
          ORDER BY r_score, f_score, m_score""",
 

@@ -276,7 +276,8 @@ object StatsQueries {
           sum((col("r").cast("decimal(10,0)") * col("rev"))
             .cast("decimal(28,6)")).cast("decimal(28,6)").as("s_rx"))
         .select(col("c_mktsegment"), col("n_customers"),
-          col("total_revenue"),
+          round(col("total_revenue").cast("double"), 6)
+            .as("total_revenue"),
           round(lit(2.0) * col("s_rx").cast("double") /
             (col("n_customers") * col("total_revenue").cast("double")) -
             (col("n_customers") + lit(1.0)) / col("n_customers"), 6)
@@ -913,7 +914,8 @@ object StatsQueries {
              CAST(sum(CAST(CAST(r AS DECIMAL(10,0)) * rev
                AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS s_rx
            FROM rk GROUP BY 1)
-         SELECT c_mktsegment, n_customers, total_revenue,
+         SELECT c_mktsegment, n_customers,
+           round(total_revenue::DOUBLE, 6) AS total_revenue,
            round(2.0 * s_rx::DOUBLE /
              (n_customers * total_revenue::DOUBLE) -
              (n_customers + 1.0) / n_customers, 6) AS gini

@@ -1,20 +1,45 @@
 package graft
 
+import org.apache.spark.sql.types._
+
 /** Smoke-level regression: every declared query runs at sf0.001,
   * returns rows, and its oracle entry (if any) exists. Exact value
   * agreement with DuckDB is checked by the driver (and locally by
   * scripts/selfcheck.py) — this spec guards schema/runtime breakage.
+  *
+  * Output-type lint: no query may emit a DecimalType column. The
+  * driver's hash canonicalization diverges from DuckDB on decimal128
+  * result columns (round-7 verdict: 19 cell-exact queries failed
+  * hash-only, every one with a DECIMAL output). The repo idiom is
+  * DECIMAL *internally* (order-independent sums) and
+  * round(cast(double), k) on the output surface; this lint makes the
+  * discipline corpus-wide and permanent. Allowlist intentionally
+  * empty.
   */
 class QueriesSpec extends SparkSpec {
+
+  private def hasDecimal(dt: DataType): Boolean = dt match {
+    case _: DecimalType     => true
+    case s: StructType      => s.fields.exists(f => hasDecimal(f.dataType))
+    case a: ArrayType       => hasDecimal(a.elementType)
+    case m: MapType         => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+    case _                  => false
+  }
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"query $name runs and returns rows at sf0.001") {
+    test(s"query $name runs, returns rows, no DECIMAL output") {
       val df = fn(spark, sf())
       assert(df.columns.nonEmpty)
+      val dec = df.schema.fields
+        .filter(f => hasDecimal(f.dataType)).map(_.name)
+      assert(dec.isEmpty,
+        s"$name emits DECIMAL column(s) ${dec.mkString(", ")} — " +
+          "cast the output to round(x.cast(\"double\"), k) in query " +
+          "AND oracle (driver decimal-hash gate, VERDICT r7)")
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
