@@ -114,6 +114,9 @@ object Multimodal {
     */
   def avgHash(media: Dataset[MediaRecord], bits: Int = 64)
       : DataFrame = {
+    // one Long of hash: bits > 64 would silently alias via 1L << b
+    require(bits >= 1 && bits <= 64,
+      s"avgHash bits must be in [1, 64], got $bits")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>

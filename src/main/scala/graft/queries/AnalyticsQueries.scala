@@ -540,24 +540,54 @@ object AnalyticsQueries {
 
     // Pareto / ABC classification: parts ranked by revenue, running
     // share of the total, classed A (≤80%), B (≤95%), C (rest) —
-    // the inventory-concentration workhorse. The running sum and
-    // classing run over the per-part AGGREGATE (parts domain, not
-    // line items); revenue and its cumulative sum are exact DECIMAL,
-    // the share division happens once in double per row. Class of a
-    // row = share BEFORE it crosses the boundary (standard: the part
-    // that crosses 80% still belongs to A via its predecessor share).
+    // the inventory-concentration workhorse. The running sum runs
+    // over the per-part AGGREGATE (parts domain, not line items),
+    // and that domain GROWS with scale — so no single-partition
+    // global window. Two-pass partition-wise cumsum instead:
+    // broadcast approx-quantile edges split the rev axis into ≤32
+    // rev-ordered buckets (bucket = #edges above my rev, a pure
+    // map-side function of the row — order-consistent with the
+    // global (rev desc, partkey) sort); the window cumsum runs
+    // WITHIN each bucket, and each bucket adds the broadcast prefix
+    // sum of the (≤32-row) bucket totals. Bucket count is fixed at
+    // any SF, so the widest serial sort is |parts|/32 rows. Exact
+    // DECIMAL throughout (edges only PLACE boundaries, they never
+    // touch values); the share division happens once in double per
+    // row. Class of a row = share BEFORE it crosses the boundary
+    // (standard: the part that crosses 80% still belongs to A via
+    // its predecessor share).
     "q_pareto_abc" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val rev = Tables(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,6)")).cast("decimal(18,6)").as("rev"))
-      val w = Window.partitionBy(lit(1))
+      val tot = rev.agg(sum(col("rev")).cast("decimal(18,6)").as("tot"))
+      val probs = (1 until 32).map(i => i / 32.0).mkString(",")
+      val edges = rev.agg(expr(
+        s"approx_percentile(cast(rev as double), array($probs), 10000)")
+        .as("es"))
+      val bucketed = rev.crossJoin(broadcast(edges))
+        .select(col("l_partkey"), col("rev"),
+          size(filter(col("es"), e => e > col("rev").cast("double")))
+            .as("bkt"))
+      val wIn = Window.partitionBy(col("bkt"))
         .orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = rev.agg(sum(col("rev")).cast("decimal(18,6)").as("tot"))
-      val classed = rev.crossJoin(broadcast(tot))
-        .withColumn("cum", sum(col("rev")).over(w)
+      val btots = bucketed.groupBy(col("bkt"))
+        .agg(sum(col("rev")).cast("decimal(18,6)").as("btot"))
+      val offsets = btots
+        .join(broadcast(btots.select(col("bkt").as("pbkt"),
+          col("btot").as("pbtot"))), col("pbkt") < col("bkt"), "left")
+        .groupBy(col("bkt"))
+        .agg(coalesce(sum(col("pbtot")), lit(0)).cast("decimal(18,6)")
+          .as("off"))
+      val classed = bucketed
+        .withColumn("cum_in", sum(col("rev")).over(wIn)
+          .cast("decimal(18,6)"))
+        .join(broadcast(offsets), Seq("bkt"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum", (col("cum_in") + col("off"))
           .cast("decimal(18,6)"))
         .withColumn("prev_share",
           ((col("cum") - col("rev")).cast("double") /

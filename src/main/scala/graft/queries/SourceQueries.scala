@@ -72,10 +72,16 @@ object SourceQueries {
     // emitted threshold) and a bit_count(xor) hamming verify. The
     // shuffle is band-bucket-sized like LSH — never the n² pair
     // space. The corpus carries 20 planted exact copies (the dedup
-    // fixture), which surface at hamming 0.
+    // fixture), which surface at hamming 0. Contract with the
+    // oracle: text is ASCII (so UTF-8 bytes == codepoints — pinned
+    // by MultimodalSpec's corpus assertion) and empty payloads are
+    // excluded from near-dup candidacy (the oracle's unnest drops
+    // them; we filter explicitly so both engines agree by
+    // construction, not by corpus accident).
     "q_multimodal_phash" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) > 0)
       val aug = d.unionByName(d.filter(col("doc_id") < 20)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       val hashes = Multimodal.avgHash(
@@ -260,12 +266,16 @@ object SourceQueries {
          WHERE octet_length(encode(text)) >= 64
          ORDER BY doc_id""",
 
+    // char-based (ascii codepoints) vs Spark's UTF-8 bytes: equal
+    // ONLY under the ASCII corpus contract asserted by
+    // MultimodalSpec; empty docs are filtered on both sides.
     "q_multimodal_phash" ->
       """WITH aug AS (
            SELECT doc_id, text FROM documents
+           WHERE length(text) > 0
            UNION ALL
            SELECT doc_id + 100000 AS doc_id, text FROM documents
-           WHERE doc_id < 20),
+           WHERE doc_id < 20 AND length(text) > 0),
          ch AS (
            SELECT doc_id, length(text) AS n,
              unnest(string_split(text, '')) AS c,

@@ -821,10 +821,13 @@ object TextQueries {
       val freq = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      // top-100 FIRST via sort+limit (TakeOrderedAndProject — map-
+      // side pruned, vocab never single-partitions), THEN rank the
+      // 100 survivors; identical ranks, bounded serial window.
       val ranked = freq
+        .orderBy(col("f").desc, col("word")).limit(100)
         .withColumn("r", row_number().over(
           Window.orderBy(col("f").desc, col("word"))))
-        .where(col("r") <= 100)
         .select(log(col("r").cast("double")).cast("decimal(18,8)")
             .as("x"),
           log(col("f").cast("double")).cast("decimal(18,8)")

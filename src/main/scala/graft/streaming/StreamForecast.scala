@@ -59,11 +59,16 @@ object StreamForecast {
       .toDouble
 
   /** Score the seasonal-naive baseline over the dense spine implied
-    * by `sums` — exactly the batch query's arithmetic.
+    * by `sums` — exactly the batch query's arithmetic. Returns None
+    * while the spine is shorter than one season (< 24h of history):
+    * the batch query emits no row for such a key, and the stream
+    * must mirror that row-presence, not emit a zero-filled stub.
+    * WAPE is 0.0 (not NaN) when every eval hour sums to exactly 0 —
+    * a downstream monitor must never see NaN.
     */
   private[graft] def score(key: String,
-      sums: Map[Long, BigDecimal]): ForecastEstimate = {
-    if (sums.isEmpty) return ForecastEstimate(key, 0L, 0.0, 0.0, 0.0)
+      sums: Map[Long, BigDecimal]): Option[ForecastEstimate] = {
+    if (sums.isEmpty) return None
     val h0 = sums.keys.min
     val h1 = sums.keys.max
     val zero = BigDecimal(0).setScale(6)
@@ -82,11 +87,12 @@ object StreamForecast {
       sa += actual.abs
       h += HourUs
     }
-    if (n == 0) ForecastEstimate(key, 0L, 0.0, 0.0, 0.0)
-    else ForecastEstimate(key, n,
+    if (n == 0) None
+    else Some(ForecastEstimate(key, n,
       round4(sae.toDouble / n),
       round4(math.sqrt(sse.toDouble / n)),
-      round4(sae.toDouble / sa.toDouble))
+      if (sa.signum == 0) 0.0
+      else round4(sae.toDouble / sa.toDouble)))
   }
 
   def monitor(events: Dataset[ForecastEvent])
@@ -108,7 +114,7 @@ object StreamForecast {
           }
           state.update(ForecastState(
             sums.map { case (h, d) => h -> d.toString }))
-          Iterator.single(score(key, sums))
+          score(key, sums).iterator
       }
   }
 }

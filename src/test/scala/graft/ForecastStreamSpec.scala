@@ -62,7 +62,7 @@ class ForecastStreamSpec extends SparkSpec {
       0L -> BigDecimal("10.000000"),
       3600000000L * 24 -> BigDecimal("12.500000"),
       3600000000L * 25 -> BigDecimal("7.250000"))
-    val est = StreamForecast.score("t", sums)
+    val est = StreamForecast.score("t", sums).get
     // spine covers hours 24..25 relative to hour 0 → 2 eval points
     assert(est.n_eval == 2)
     // hour 24: |12.5 - 10| = 2.5 ; hour 25: |7.25 - 0| = 7.25
@@ -70,5 +70,24 @@ class ForecastStreamSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(est.wape == BigDecimal((2.5 + 7.25) / (12.5 + 7.25))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("short spine (< one season) emits nothing, mirroring batch") {
+    // batch emits no row when every pred is NULL (lag-24 undefined)
+    assert(StreamForecast.score("t", Map.empty).isEmpty)
+    assert(StreamForecast.score("t",
+      Map(0L -> BigDecimal("5.000000"),
+        3600000000L * 23 -> BigDecimal("2.000000"))).isEmpty)
+  }
+
+  test("all-zero eval span yields WAPE 0.0, never NaN") {
+    // hour 0 carries value; hours 24..25 sum to exactly 0 → sa == 0
+    val est = StreamForecast.score("t", Map(
+      0L -> BigDecimal("10.000000"),
+      3600000000L * 24 -> BigDecimal("0.000000"),
+      3600000000L * 25 -> BigDecimal("0.000000"))).get
+    assert(est.n_eval == 2)
+    assert(est.wape == 0.0)
+    assert(!est.mae.isNaN && !est.rmse.isNaN)
   }
 }

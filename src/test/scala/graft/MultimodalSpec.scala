@@ -20,6 +20,20 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(payload, "UTF-8") == text)
   }
 
+  test("corpus contract: documents.text is ASCII (phash oracle)") {
+    // the q_multimodal_phash / q_multimodal_decode oracles hash
+    // CODEPOINTS while avgHash hashes UTF-8 BYTES — equal only for
+    // ASCII. Pin the contract so a non-ASCII corpus fails loudly
+    // here instead of as a silent oracle divergence.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables(spark, sf(), "documents")
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii non-ASCII documents break the byte==codepoint " +
+        "contract the phash oracle relies on")
+  }
+
   test("feature extraction is deterministic and shape-stable") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
