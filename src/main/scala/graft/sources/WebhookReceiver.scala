@@ -1,0 +1,96 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** S1 HTTP transport — the reference's live webhook endpoint
+  * (reference `task.ts:97-164`): `POST /{webhookid}` with an
+  * `EverywhereItem` JSON body. JDK-only (`com.sun.net.httpserver`),
+  * no servlet container.
+  *
+  * Behavior reproduced:
+  *  - valid body → spooled + `{"status":200,"message":"Received"}`
+  *    (`task.ts:156-159`);
+  *  - invalid body → HTTP 400 with an error message (the TypeBox
+  *    `body: EverywhereItem` schema gate, `task.ts:110`); validity
+  *    here is the same required-field rule as
+  *    [[JsonSources.decodeWebhook]] — `entityId` and
+  *    `trackPoint.time` present — so the transport gate and the
+  *    Spark-side V1 validator agree by construction;
+  *  - DEBUG → any body accepted (`body: Type.Any()`, `task.ts:110`)
+  *    and logged to stderr (`task.ts:116-118`);
+  *  - non-POST → 405.
+  *
+  * Accepted payloads land as immutable `part-` files (write hidden
+  * tmp + atomic rename, so a concurrent directory listing never sees
+  * a half-written file) in `spoolDir`, which the
+  * [[TrackPointSource]] micro-batch stream — or a plain
+  * `readStream.text` + [[JsonSources.decodeWebhook]] pipeline —
+  * drains with its file-count watermark. The receiver is the
+  * transport shim between a push protocol and Spark's pull-based
+  * micro-batching; it holds no state beyond the spool counter, so at
+  * scale N receivers spool to N prefixes behind one stream.
+  */
+final class WebhookReceiver(spoolDir: java.io.File,
+    debug: Boolean = false) extends AutoCloseable {
+
+  private val mapper = new ObjectMapper
+  private val nFiles = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val server = HttpServer.create(
+    new java.net.InetSocketAddress(
+      java.net.InetAddress.getLoopbackAddress, 0), 16)
+
+  server.createContext("/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = try {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, "Method Not Allowed")
+      } else {
+        val webhookid = ex.getRequestURI.getPath.stripPrefix("/")
+        val body = new String(
+          ex.getRequestBody.readAllBytes(), "UTF-8")
+        if (debug)
+          System.err.println(s"DEBUG Webhook: $webhookid - $body")
+        if (debug || isValid(body)) {
+          spool(body)
+          respond(ex, 200, "Received")
+        } else respond(ex, 400, "Invalid webhook body")
+      }
+    } finally ex.close()
+  })
+  server.start()
+
+  /** Bound loopback port (requested port 0 = ephemeral). */
+  def port: Int = server.getAddress.getPort
+
+  /** The reference 400s any body failing the EverywhereItem schema;
+    * required-field subset mirrors decodeWebhook's validity rule.
+    */
+  private def isValid(body: String): Boolean = try {
+    val n = mapper.readTree(body)
+    n != null && n.isObject && n.hasNonNull("entityId") &&
+      n.path("trackPoint").hasNonNull("time")
+  } catch { case _: Exception => false }
+
+  private def spool(body: String): Unit = {
+    val i = nFiles.getAndIncrement()
+    val tmp = new java.io.File(spoolDir, f".part-$i%05d.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      body.replace('\n', ' ').getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(spoolDir, f"part-$i%05d").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def respond(ex: HttpExchange, status: Int,
+      message: String): Unit = {
+    val out = mapper.createObjectNode
+    out.put("status", status)
+    out.put("message", message)
+    val bytes = mapper.writeValueAsBytes(out)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  override def close(): Unit = server.stop(0)
+}

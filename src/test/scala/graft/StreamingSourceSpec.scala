@@ -162,6 +162,90 @@ class StreamingSourceSpec extends SparkSpec {
     }
   }
 
+  test("S1 HTTP leg: POST round-trip, 200/400/405, streaming drain") {
+    // The reference webhook is HTTP, not a raw socket
+    // (`task.ts:97-164`): POST body validated against EverywhereItem
+    // (400 on failure, `task.ts:110`), 200 + {status, message} on
+    // success (`task.ts:156-159`). WebhookReceiver reproduces that
+    // contract over JDK com.sun.net.httpserver; this leg drives it
+    // with a real HTTP client end-to-end into the streaming decode.
+    import graft.sources.{JsonSources, WebhookReceiver}
+    val dir = java.nio.file.Files.createTempDirectory("tp_http").toFile
+    val recv = scala.util.Try(new WebhookReceiver(dir)) match {
+      case scala.util.Success(r) => r
+      case scala.util.Failure(e) =>
+        cancel(s"sandbox forbids loopback sockets: $e")
+    }
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def req(path: String) = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(
+          s"http://127.0.0.1:${recv.port}$path"))
+      def post(body: String, path: String = "/hook1") =
+        client.send(req(path).POST(java.net.http.HttpRequest
+            .BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      def item(eid: Int, t: Long, x: Double, y: Double) =
+        s"""{"entityId": $eid, "name": "n$eid", "alias": "a$eid",""" +
+          s""" "deviceType": "inReach", "deviceId": $eid,""" +
+          s""" "trackPoint": {"time": $t, "isEmergency": false,""" +
+          s""" "direction": 90.0, "point": {"x": $x, "y": $y}}}"""
+
+      val ok = post(item(1, 1704844800000L, 1.5, 2.5))
+      assert(ok.statusCode() == 200, s"valid body: ${ok.body()}")
+      assert(ok.body().contains("\"message\":\"Received\""))
+      // schema gate: missing entityId / malformed JSON both 400
+      assert(post("""{"name": "no entity id"}""").statusCode() == 400)
+      assert(post("{not json").statusCode() == 400)
+      // wrong method
+      assert(client.send(req("/hook1").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 405)
+      assert(post(item(2, 1704844860000L, 3.5, 4.5))
+        .statusCode() == 200)
+      // only the two VALID bodies spooled
+      assert(dir.listFiles().count(_.getName.startsWith("part-")) == 2)
+
+      // drain the spool through the V1 decode + CoT transform
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = graft.sources.JsonSources.webhookToCot(
+          JsonSources.decodeWebhook(
+            spark.readStream.text(dir.getAbsolutePath), "value"))
+        .select(col("id"))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            got.synchronized {
+              got ++= df.collect().map(_.getString(0))
+            }
+            ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(got.sorted.toSeq == Seq("inreach-1", "inreach-2"),
+          s"HTTP-ingested records wrong: $got")
+      } finally q.stop()
+    } finally recv.close()
+
+    // DEBUG mode = Type.Any(): any body accepted (task.ts:110)
+    val dbgDir =
+      java.nio.file.Files.createTempDirectory("tp_http_dbg").toFile
+    val dbg = new WebhookReceiver(dbgDir, debug = true)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val r = client.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(
+            s"http://127.0.0.1:${dbg.port}/hookd"))
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofString("anything goes")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(dbgDir.listFiles()
+        .count(_.getName.startsWith("part-")) == 1)
+    } finally dbg.close()
+  }
+
   test("pushed filter drops rows inside the streaming reader") {
     val dir = java.nio.file.Files.createTempDirectory("tp_stream_f").toFile
     writeFile(dir, "part-00000",
