@@ -13,6 +13,10 @@ case class StageAdvance(user_id: Long, stage: Int, at_us: Long)
 /** Per-user funnel position: stage reached + its event time (µs). */
 case class FunnelState(st: Int, t: Long)
 
+/** Stage advance tagged with the user's experiment arm. */
+case class VariantStageAdvance(variant: String, user_id: Long,
+    stage: Int, at_us: Long)
+
 /** Streaming parity for the batch ordered-funnel fold
   * ([[graft.queries.AnalyticsQueries]] `q_funnel_steps`): users
   * advance signup → click → purchase AS EVENTS ARRIVE, with two
@@ -61,5 +65,30 @@ object StreamFunnel {
           state.update(FunnelState(st, t))
           out.result().iterator
       }
+  }
+
+  /** The user's experiment arm — byte-identical to the batch
+    * `variantOf` (md5 hex prefix, 8 nibbles, parity): same hash,
+    * same assignment, so stream and batch bucket every user alike.
+    */
+  private[graft] def variantOf(uid: Long): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(uid.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "control"
+    else "treatment"
+  }
+
+  /** `q_funnel_by_variant` twin: the same two-int per-user fold,
+    * each advance tagged with the experiment arm. Per-variant
+    * final-stage counts (stage ≥ k) reproduce the batch conversion
+    * table; state stays O(1) per user because the arm is a pure
+    * hash of the key, never stored.
+    */
+  def variantStageAdvances(events: Dataset[FunnelEvent])
+      : Dataset[VariantStageAdvance] = {
+    import events.sparkSession.implicits._
+    stageAdvances(events).map(a => VariantStageAdvance(
+      variantOf(a.user_id), a.user_id, a.stage, a.at_us))
   }
 }

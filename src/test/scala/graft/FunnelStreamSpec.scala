@@ -63,4 +63,46 @@ class FunnelStreamSpec extends SparkSpec {
         s"user $uid: stream ${streamedFinal.getOrElse(uid, 0)} != batch $st")
     }
   }
+
+  test("variant-tagged advances reproduce q_funnel_by_variant") {
+    val batch = SparkEntry.queries("q_funnel_by_variant")(
+        spark, sf("0.001"))
+      .collect()
+      .map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("n_signup"), r.getAs[Long]("n_click"),
+          r.getAs[Long]("n_purchase"), r.getAs[Double]("cr_click"),
+          r.getAs[Double]("cr_purchase"))).toMap
+    assert(batch.nonEmpty)
+
+    val all = events
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.variantStageAdvances(input.toDS())
+      .writeStream.format("memory").queryName("vfunnel")
+      .outputMode(OutputMode.Append).start()
+    val advances = try {
+      val (a, rest) = all.splitAt(all.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      spark.table("vfunnel")
+        .as[(String, Long, Int, Long)].collect().toSeq
+    } finally q.stop()
+
+    // per-variant conversion table from each user's final stage
+    val streamed = advances.groupBy(_._2)
+      .map { case (uid, rows) => (rows.head._1, uid,
+        rows.map(_._3).max) }
+      .groupBy(_._1)
+      .map { case (v, users) =>
+        val n1 = users.count(_._3 >= 1).toLong
+        val n2 = users.count(_._3 >= 2).toLong
+        val n3 = users.count(_._3 >= 3).toLong
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        v -> (n1, n2, n3, r4(n2.toDouble / n1), r4(n3.toDouble / n1))
+      }
+    assert(streamed == batch,
+      s"variant funnel parity broken:\n stream=$streamed\n batch=$batch")
+  }
 }
