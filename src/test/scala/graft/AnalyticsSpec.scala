@@ -181,7 +181,7 @@ class AnalyticsSpec extends SparkSpec {
     val rows = q("q_pareto_abc").collect()
       .map(r => r.getAs[String]("abc_class") ->
         (r.getAs[Long]("n_parts"),
-          r.getAs[java.math.BigDecimal]("class_revenue").doubleValue))
+          r.getAs[Double]("class_revenue")))
       .toMap
     val totalRev = rows.values.map(_._2).sum
     val aShare = rows("A")._2 / totalRev
@@ -288,7 +288,7 @@ class AnalyticsSpec extends SparkSpec {
           b - a == 3600L * 1000000L },
           s"$et spine not dense hourly")
         rs.foreach { r =>
-          assert(r.getAs[java.math.BigDecimal]("rev_filled") != null,
+          assert(!r.isNullAt(r.fieldIndex("rev_filled")),
             s"LOCF must never leave null after the first obs: $r")
         }
         // first and last hour must be observed (span endpoints)
@@ -302,14 +302,16 @@ class AnalyticsSpec extends SparkSpec {
     val rows = q("q_gap_fill").collect()
       .filter(_.getAs[String]("event_type") == "click")
       .sortBy(_.getAs[Long]("h_us"))
-    var lastObserved: java.math.BigDecimal = null
+    // LOCF copies the SAME decimal then rounds identically, so the
+    // carried double is bit-equal to its source row's
+    var lastObserved: Option[Double] = None
     rows.foreach { r =>
       if (!r.getAs[Boolean]("is_gap"))
-        lastObserved = r.getAs[java.math.BigDecimal]("rev_filled")
-      else if (lastObserved != null)
-        assert(r.getAs[java.math.BigDecimal]("rev_filled")
-          .compareTo(lastObserved) == 0,
+        lastObserved = Some(r.getAs[Double]("rev_filled"))
+      else lastObserved.foreach { lo =>
+        assert(r.getAs[Double]("rev_filled") == lo,
           s"gap row must carry last observation: $r")
+      }
     }
   }
 
@@ -479,8 +481,7 @@ class AnalyticsSpec extends SparkSpec {
       val med = r.getAs[Double]("w_median_price")
       val p90 = r.getAs[Double]("w_p90_price")
       assert(med <= p90 + 1e-9, s"weighted median > p90: $r")
-      assert(r.getAs[java.math.BigDecimal]("total_qty")
-        .compareTo(java.math.BigDecimal.ZERO) > 0)
+      assert(r.getAs[Double]("total_qty") > 0.0)
       assert(r.getAs[Long]("n_price_points") > 0)
     }
   }

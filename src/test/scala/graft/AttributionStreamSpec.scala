@@ -50,7 +50,9 @@ class AttributionStreamSpec extends SparkSpec {
         spark, sf("0.001")).collect()
       .map(r => r.getAs[String]("channel") ->
         (r.getAs[Long]("n_conversions"),
-          BigDecimal(r.getAs[java.math.BigDecimal]("revenue"))))
+          // batch emits round(decimal→double, 6); dec() recovers the
+          // exact 6-dp decimal the stream's quantized sum carries
+          dec(r.getAs[Double]("revenue"))))
       .toMap
 
     assert(got.keySet == expected.keySet,

@@ -109,8 +109,7 @@ class FrontierSpec extends SparkSpec {
     rows.foreach { r =>
       val day = r.getAs[java.sql.Date]("changepoint_day")
       assert(!day.before(lo) && !day.after(hi), s"day outside range: $r")
-      assert(r.getAs[java.math.BigDecimal]("max_abs_cusum")
-        .signum >= 0)
+      assert(r.getAs[Double]("max_abs_cusum") >= 0.0)
       assert(r.getAs[Long]("n_days") >= 1)
     }
   }

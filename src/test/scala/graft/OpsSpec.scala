@@ -23,10 +23,8 @@ class OpsSpec extends SparkSpec {
     assert(n("removed") + n("changed") + n("unchanged") == v1)
     assert(n("added") + n("changed") + n("unchanged") == v2)
     // unchanged rows contribute zero delta; changed rows reprice UP
-    assert(rows("unchanged").getAs[java.math.BigDecimal]("price_delta")
-      .signum == 0)
-    assert(rows("changed").getAs[java.math.BigDecimal]("price_delta")
-      .signum > 0)
+    assert(rows("unchanged").getAs[Double]("price_delta") == 0.0)
+    assert(rows("changed").getAs[Double]("price_delta") > 0.0)
   }
 
   test("q_snapshot_diff: exactly one join, and it is a full outer equi-join") {
@@ -111,8 +109,7 @@ class OpsSpec extends SparkSpec {
         r.getAs[Long]("n_under")
       assert(parts == n,
         s"match/over/under/no-lines must partition the orders: $r")
-      assert(r.getAs[java.math.BigDecimal]("max_abs_diff")
-        .compareTo(java.math.BigDecimal.ZERO) >= 0)
+      assert(r.getAs[Double]("max_abs_diff") >= 0.0)
     }
     val total = rows.map(_.getAs[Long]("n_orders")).sum
     assert(total == Tables(spark, sf(), "orders").count())

@@ -171,6 +171,24 @@ class ScalingSpec extends SparkSpec {
     (small, big, big.toDouble / small)
   }
 
+  test("decade 1 (real): pareto running share stays on the part aggregate") {
+    // the r8 rewrite replaced the single-partition global window
+    // with bucket-local cumsums + a ≤32-row broadcast prefix: the
+    // wire must carry the per-part aggregate (×|parts| growth) plus
+    // constant-size bucket totals — growth tracks the part domain,
+    // and NO task may serially sort more than ~|parts|/32 + slack
+    val (s, b, g) = decade("q_pareto_abc")
+    val parts01 = Tables(spark, sf("0.01"), "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    val parts1 = Tables(spark, sf("0.1"), "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    val partG = parts1.toDouble / parts01
+    info(f"pareto shuffle ×$g%.1f vs part domain ×$partG%.1f " +
+      f"($s → $b rows, $parts01 → $parts1 parts)")
+    assert(s > 0 && g < partG * 3 + 3,
+      f"pareto shuffle outgrew the part domain: ×$g%.1f vs ×$partG%.1f")
+  }
+
   test("decade 1 (real): geofence shuffle is linear (one ordered pass)") {
     val (s, b, g) = decade("q_geo_geofence")
     info(f"geofence shuffle ×$g%.1f across ×10 events ($s → $b rows)")
