@@ -32,6 +32,27 @@ class PlanSpec extends SparkSpec {
       s"expected ≥3 broadcast joins in the star:\n$p")
   }
 
+  test("q_pareto_abc: no single-partition window; prefix joins broadcast") {
+    val p = plan("q_pareto_abc")
+    // the r8 rewrite: cumsum windows must be partitioned by the
+    // bucket key — an empty partition spec would single-thread the
+    // growing part domain again
+    val windows = p.linesIterator.filter(_.contains("Window "))
+    windows.foreach { w =>
+      // WindowExec prints `Window [exprs], [partition], [order]` —
+      // the partition list must carry the bucket key
+      assert(w.contains("windowspecdefinition(bkt"),
+        s"window not bucket-partitioned:\n$w\n$p")
+    }
+    // the ≤32-row offsets/edges/tot sides ride broadcasts, never a
+    // shuffled join
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"bucket-prefix joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a tiny side fell into a sort-merge join:\n$p")
+  }
+
   test("q_topk_per_group: rank limit is pruned map-side before the shuffle") {
     // Spark's WindowGroupLimit (the built-in grouped-top-k physical
     // optimization) must fire in Partial mode under the exchange:
