@@ -57,7 +57,15 @@ object GraphQueries {
       a.join(b, Seq("ok")).where(col("sa") < col("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w")))
     weighted.count()
-    val thr = weighted.agg(expr("percentile(w, 0.95)").as("thr"))
+    // exact p95 via the FREQUENCY form: a plain percentile(w, .95)
+    // buffers every pair row in one aggregation buffer (the
+    // single-reducer collect the pareto rewrite eliminated);
+    // w is a small-domain integer count, so histogram first —
+    // map-side-combinable, |distinct w| rows — then interpolate over
+    // the tiny histogram. percentile(col, p, freq) is value-repeated
+    // semantics: bit-identical to the unweighted form.
+    val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .agg(expr("percentile(w, 0.95, f)").as("thr"))
     weighted.crossJoin(broadcast(thr)).where(col("w") >= col("thr"))
       .select(col("sa"), col("sb"))
   }
