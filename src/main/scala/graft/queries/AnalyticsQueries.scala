@@ -1253,8 +1253,18 @@ object AnalyticsQueries {
     // The readout an account team reads as "who moved up, who left".
     "q_segment_migration" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
-      val cut = o.agg(expr(
-        "percentile(unix_micros(o_orderdate), 0.5)").as("cut"))
+      // median date via the frequency-histogram percentile (the
+      // graph-threshold idiom): the date domain is calendar-bounded,
+      // so the heavy single-group buffer of a plain percentile over
+      // |orders| rows collapses to |distinct days| histogram rows,
+      // map-side combined. Identical value (repeated-value
+      // semantics). The revenue terciles below stay plain exact
+      // percentiles: continuous domain — see DESIGN.md "exact order
+      // statistics at scale".
+      val cut = o
+        .groupBy(expr("unix_micros(o_orderdate)").as("us"))
+        .agg(count(lit(1)).as("f"))
+        .agg(expr("percentile(us, 0.5, f)").as("cut"))
       val tagged = o.crossJoin(broadcast(cut))
         .select(col("o_custkey").as("cust"),
           (expr("unix_micros(o_orderdate)") <= col("cut"))
