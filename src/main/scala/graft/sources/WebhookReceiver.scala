@@ -32,7 +32,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * scale N receivers spool to N prefixes behind one stream.
   */
 final class WebhookReceiver(spoolDir: java.io.File,
-    debug: Boolean = false) extends AutoCloseable {
+    debug: Boolean = false,
+    prefix: String = "part-") extends AutoCloseable {
+
+  // a hidden tmp prefix would make the atomic-rename dance moot
+  require(prefix.nonEmpty && !prefix.startsWith("."),
+    s"spool prefix must be visible: '$prefix'")
 
   private val mapper = new ObjectMapper
   private val nFiles = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -63,21 +68,35 @@ final class WebhookReceiver(spoolDir: java.io.File,
   def port: Int = server.getAddress.getPort
 
   /** The reference 400s any body failing the EverywhereItem schema;
-    * required-field subset mirrors decodeWebhook's validity rule.
+    * this mirrors decodeWebhook's validity rule INCLUDING types:
+    * the required fields must be present as integral JSON numbers
+    * (PERMISSIVE from_json nulls wrong-typed fields, so accepting a
+    * string entityId here would 200 a record the decoder then
+    * drops — a silent loss the 400 exists to prevent). Trailing
+    * content after the JSON object is rejected for the same reason.
     */
   private def isValid(body: String): Boolean = try {
-    val n = mapper.readTree(body)
-    n != null && n.isObject && n.hasNonNull("entityId") &&
-      n.path("trackPoint").hasNonNull("time")
+    val parser = mapper.createParser(body)
+    try {
+      val n: com.fasterxml.jackson.databind.JsonNode =
+        mapper.readTree(parser)
+      val clean = parser.nextToken() == null // no trailing garbage
+      clean && n != null && n.isObject &&
+        n.path("entityId").isIntegralNumber &&
+        n.path("trackPoint").path("time").isIntegralNumber
+    } finally parser.close()
   } catch { case _: Exception => false }
 
   private def spool(body: String): Unit = {
     val i = nFiles.getAndIncrement()
-    val tmp = new java.io.File(spoolDir, f".part-$i%05d.tmp")
+    val tmp = new java.io.File(spoolDir, f".$prefix$i%05d.tmp")
+    // flatten BOTH newline flavors: Hadoop's line reader splits on
+    // lone CR too, so a CRLF pretty-printed body would otherwise
+    // spool as several malformed JSON fragments after a 200
     java.nio.file.Files.write(tmp.toPath,
-      body.replace('\n', ' ').getBytes("UTF-8"))
+      body.replace('\n', ' ').replace('\r', ' ').getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(spoolDir, f"part-$i%05d").toPath,
+      new java.io.File(spoolDir, f"$prefix$i%05d").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 

@@ -14,7 +14,7 @@ case class ForecastEvent(event_type: String, hour_us: Long,
   * hourly spine, scored MAE/RMSE/WAPE).
   */
 case class ForecastEstimate(event_type: String, n_eval: Long,
-    mae: Double, rmse: Double, wape: Double)
+    mae: Double, rmse: Double, wape: Option[Double])
 
 /** Running per-hour revenue sums for one key (hour epoch µs →
   * DECIMAL(18,6)-quantized sum, stored as its unscaled string for a
@@ -63,8 +63,10 @@ object StreamForecast {
     * while the spine is shorter than one season (< 24h of history):
     * the batch query emits no row for such a key, and the stream
     * must mirror that row-presence, not emit a zero-filled stub.
-    * WAPE is 0.0 (not NaN) when every eval hour sums to exactly 0 —
-    * a downstream monitor must never see NaN.
+    * WAPE is None (SQL NULL — matching the batch row, whose
+    * non-ANSI sae/sa division yields NULL at sa = 0) when every eval
+    * hour sums to exactly 0: "undefined", never NaN, and never a
+    * fake-perfect 0.0 while MAE shows real error.
     */
   private[graft] def score(key: String,
       sums: Map[Long, BigDecimal]): Option[ForecastEstimate] = {
@@ -91,8 +93,8 @@ object StreamForecast {
     else Some(ForecastEstimate(key, n,
       round4(sae.toDouble / n),
       round4(math.sqrt(sse.toDouble / n)),
-      if (sa.signum == 0) 0.0
-      else round4(sae.toDouble / sa.toDouble)))
+      if (sa.signum == 0) None
+      else Some(round4(sae.toDouble / sa.toDouble))))
   }
 
   def monitor(events: Dataset[ForecastEvent])

@@ -70,9 +70,17 @@ object StreamFunnel {
   /** The user's experiment arm — byte-identical to the batch
     * `variantOf` (md5 hex prefix, 8 nibbles, parity): same hash,
     * same assignment, so stream and batch bucket every user alike.
+    * MessageDigest is per-thread (the SketchExpressions idiom), not
+    * per-record — this runs on the hot path of every stage advance.
     */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   private[graft] def variantOf(uid: Long): String = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
+    val hex = md5Local.get()
       .digest(uid.toString.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "control"

@@ -42,7 +42,7 @@ class ForecastStreamSpec extends SparkSpec {
         input.addData(chunk); q.processAllAvailable()
       }
       spark.table("fcsink")
-        .as[(String, Long, Double, Double, Double)].collect()
+        .as[(String, Long, Double, Double, Option[Double])].collect()
         .zipWithIndex.groupBy(_._1._1)
         .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
     } finally q.stop()
@@ -53,7 +53,7 @@ class ForecastStreamSpec extends SparkSpec {
       assert(sN == n, s"$et: n_eval $sN != batch $n")
       assert(sMae == mae, s"$et: MAE $sMae != batch $mae")
       assert(sRmse == rmse, s"$et: RMSE $sRmse != batch $rmse")
-      assert(sWape == wape, s"$et: WAPE $sWape != batch $wape")
+      assert(sWape.contains(wape), s"$et: WAPE $sWape != batch $wape")
     }
   }
 
@@ -68,8 +68,8 @@ class ForecastStreamSpec extends SparkSpec {
     // hour 24: |12.5 - 10| = 2.5 ; hour 25: |7.25 - 0| = 7.25
     assert(est.mae == BigDecimal((2.5 + 7.25) / 2)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(est.wape == BigDecimal((2.5 + 7.25) / (12.5 + 7.25))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(est.wape.contains(BigDecimal((2.5 + 7.25) / (12.5 + 7.25))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
   test("short spine (< one season) emits nothing, mirroring batch") {
@@ -80,14 +80,17 @@ class ForecastStreamSpec extends SparkSpec {
         3600000000L * 23 -> BigDecimal("2.000000"))).isEmpty)
   }
 
-  test("all-zero eval span yields WAPE 0.0, never NaN") {
-    // hour 0 carries value; hours 24..25 sum to exactly 0 → sa == 0
+  test("all-zero eval span yields undefined WAPE (None), never NaN or fake 0.0") {
+    // hour 0 carries value; hours 24..25 sum to exactly 0 → sa == 0:
+    // MAE shows real error (total miss) so WAPE must not read as a
+    // perfect 0.0 — it is undefined, the batch row's NULL
     val est = StreamForecast.score("t", Map(
       0L -> BigDecimal("10.000000"),
       3600000000L * 24 -> BigDecimal("0.000000"),
       3600000000L * 25 -> BigDecimal("0.000000"))).get
     assert(est.n_eval == 2)
-    assert(est.wape == 0.0)
+    assert(est.wape.isEmpty)
+    assert(est.mae == 5.0)
     assert(!est.mae.isNaN && !est.rmse.isNaN)
   }
 }

@@ -78,9 +78,11 @@ class SequenceSpec extends SparkSpec {
       .select(sum(col("value").cast("decimal(18,6)"))).head
       .getDecimal(0))
     // cells are round(decimal→double, 6) on the output surface: each
-    // carries ≤½ double-ulp of representation error into the sum
-    assert((revenue - total).abs <= BigDecimal("0.01"),
-      s"revenue leak: $revenue != $total")
+    // carries ≤5e-7 of representation error into the sum — scale the
+    // envelope to the cell count so a real sub-cent leak still fails
+    val slack = BigDecimal(rows.length) * BigDecimal("0.0000005")
+    assert((revenue - total).abs <= slack,
+      s"revenue leak: $revenue != $total (slack $slack)")
     rows.foreach { r =>
       Seq("r_score", "f_score", "m_score").foreach { c =>
         val v = r.getAs[Long](c); assert(v >= 1 && v <= 5, s"$c=$v")

@@ -197,14 +197,28 @@ class StreamingSourceSpec extends SparkSpec {
       // schema gate: missing entityId / malformed JSON both 400
       assert(post("""{"name": "no entity id"}""").statusCode() == 400)
       assert(post("{not json").statusCode() == 400)
+      // TYPED gate: present-but-wrong-typed required fields must 400
+      // (PERMISSIVE from_json would null them — a 200 here would
+      // acknowledge a record the decoder then silently drops)
+      assert(post("""{"entityId": "abc",""" +
+        """ "trackPoint": {"time": 1}}""").statusCode() == 400)
+      assert(post("""{"entityId": 1,""" +
+        """ "trackPoint": {"time": "xx"}}""").statusCode() == 400)
+      // trailing garbage after a valid object
+      assert(post("""{"entityId": 1,""" +
+        """ "trackPoint": {"time": 1}} extra""").statusCode() == 400)
       // wrong method
       assert(client.send(req("/hook1").GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
         .statusCode() == 405)
       assert(post(item(2, 1704844860000L, 3.5, 4.5))
         .statusCode() == 200)
-      // only the two VALID bodies spooled
-      assert(dir.listFiles().count(_.getName.startsWith("part-")) == 2)
+      // CRLF pretty-printed body: accepted AND spooled as ONE line
+      // (lone CR is a Hadoop line delimiter — must be flattened)
+      assert(post(item(3, 1704844920000L, 5.5, 6.5)
+        .replace(", ", ",\r\n ")).statusCode() == 200)
+      // only the three VALID bodies spooled
+      assert(dir.listFiles().count(_.getName.startsWith("part-")) == 3)
 
       // drain the spool through the V1 decode + CoT transform
       val got = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -223,10 +237,31 @@ class StreamingSourceSpec extends SparkSpec {
         .start()
       try {
         q.processAllAvailable()
-        assert(got.sorted.toSeq == Seq("inreach-1", "inreach-2"),
+        assert(got.sorted.toSeq ==
+          Seq("inreach-1", "inreach-2", "inreach-3"),
           s"HTTP-ingested records wrong: $got")
       } finally q.stop()
     } finally recv.close()
+
+    // N receivers → N prefixes in one spool dir: no name collision
+    val shared =
+      java.nio.file.Files.createTempDirectory("tp_http_n").toFile
+    val ra = new WebhookReceiver(shared, prefix = "a-")
+    val rb = new WebhookReceiver(shared, prefix = "b-")
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def postTo(p: Int) = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$p/h"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"entityId": 9, "trackPoint": {"time": 5}}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(postTo(ra.port).statusCode() == 200)
+      assert(postTo(rb.port).statusCode() == 200)
+      val names = shared.listFiles().map(_.getName).sorted.toSeq
+      assert(names == Seq("a-00000", "b-00000"), s"spool: $names")
+    } finally { ra.close(); rb.close() }
 
     // DEBUG mode = Type.Any(): any body accepted (task.ts:110)
     val dbgDir =
