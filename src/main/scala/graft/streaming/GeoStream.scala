@@ -59,7 +59,12 @@ object GeoStream {
       .flatMapGroupsWithState[Boolean, FenceEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[GeoStatus], state: GroupState[Boolean]) =>
-          val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.eventId))
+          // full-µs ordering (getTime is ms-truncated): the batch
+          // geofence window orders by (ts, event_id) at µs
+          // precision, and a sub-ms tie sorted differently here
+          // would emit a divergent enter/exit sequence
+          val ordered = rows.toSeq
+            .sortBy(r => (StreamArith.micros(r.ts), r.eventId))
           val (events, last) =
             ordered.foldLeft((Vector.empty[FenceEvent],
                 state.getOption)) { case ((acc, prev), r) =>

@@ -40,10 +40,8 @@ case class RingState(values: List[Double])
   */
 object StreamAnomaly {
 
-  private def micros(ts: java.sql.Timestamp): Long = {
-    val i = ts.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def micros(ts: java.sql.Timestamp): Long =
+    StreamArith.micros(ts)
 
   def zScores(events: Dataset[MetricPoint], window: Int = 20,
       zMax: Double = 3.0): Dataset[AnomalyScore] = {

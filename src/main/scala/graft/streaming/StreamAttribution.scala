@@ -28,10 +28,8 @@ object StreamAttribution {
 
   private val touches = Set("click", "view", "signup")
 
-  private def micros(ts: java.sql.Timestamp): Long = {
-    val i = ts.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def micros(ts: java.sql.Timestamp): Long =
+    StreamArith.micros(ts)
 
   def attributions(events: Dataset[TouchEvent]): Dataset[Attribution] = {
     import events.sparkSession.implicits._

@@ -29,10 +29,8 @@ case class CdcState(op: String, value: Double, tsUs: Long,
   */
 object StreamCdc {
 
-  private def micros(ts: java.sql.Timestamp): Long = {
-    val i = ts.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def micros(ts: java.sql.Timestamp): Long =
+    StreamArith.micros(ts)
 
   def applyChanges(changes: Dataset[ChangeEvent]): Dataset[SnapshotRow] = {
     import changes.sparkSession.implicits._

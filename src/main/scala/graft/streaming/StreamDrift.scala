@@ -28,8 +28,7 @@ case class DriftState(cur: Map[Long, Long])
   */
 object StreamDrift {
 
-  private def dec6(v: Double): BigDecimal =
-    BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  private def dec6(v: Double): BigDecimal = StreamArith.dec6(v)
 
   /** PSI of `cur` vs `ref` replicating q_drift_psi's quantized form. */
   private[streaming] def psi(ref: Map[Long, Long],

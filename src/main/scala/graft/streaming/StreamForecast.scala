@@ -51,12 +51,9 @@ object StreamForecast {
 
   private val HourUs = 3600L * 1000000L
 
-  private def dec6(v: Double): BigDecimal =
-    BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  private def dec6(v: Double): BigDecimal = StreamArith.dec6(v)
 
-  private def round4(v: Double): Double =
-    BigDecimal.decimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+  private def round4(v: Double): Double = StreamArith.round4(v)
 
   /** Score the seasonal-naive baseline over the dense spine implied
     * by `sums` — exactly the batch query's arithmetic. Returns None

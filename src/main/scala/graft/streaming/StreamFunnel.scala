@@ -36,10 +36,8 @@ case class VariantStageAdvance(variant: String, user_id: Long,
   */
 object StreamFunnel {
 
-  private def micros(ts: java.sql.Timestamp): Long = {
-    val i = ts.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def micros(ts: java.sql.Timestamp): Long =
+    StreamArith.micros(ts)
 
   def stageAdvances(events: Dataset[FunnelEvent]): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
@@ -68,24 +66,15 @@ object StreamFunnel {
   }
 
   /** The user's experiment arm — byte-identical to the batch
-    * `variantOf` (md5 hex prefix, 8 nibbles, parity): same hash,
+    * `variantOf` (md5 hex prefix, 8 nibbles = first 4 digest bytes,
+    * parity of the 32-bit value = lowest bit of byte 3): same hash,
     * same assignment, so stream and batch bucket every user alike.
-    * MessageDigest is per-thread (the SketchExpressions idiom), not
-    * per-record — this runs on the hot path of every stage advance.
+    * Digest via StreamArith's per-thread MessageDigest — this runs
+    * on the hot path of every stage advance.
     */
-  private val md5Local =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
-  private[graft] def variantOf(uid: Long): String = {
-    val hex = md5Local.get()
-      .digest(uid.toString.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "control"
+  private[graft] def variantOf(uid: Long): String =
+    if ((StreamArith.md5Bytes(uid.toString)(3) & 1) == 0) "control"
     else "treatment"
-  }
 
   /** `q_funnel_by_variant` twin: the same two-int per-user fold,
     * each advance tagged with the experiment arm. Per-variant

@@ -27,18 +27,12 @@ case class QSketchState(entries: List[(Long, Long, Double)])
 object StreamQuantile {
 
   /** Same 60-bit hash as the batch SQL:
-    * `conv(substring(md5(id), 1, 15), 16, 10)`.
+    * `conv(substring(md5(id), 1, 15), 16, 10)` — shared numeric
+    * form (per-thread digest, no hex-string allocation per event).
     */
-  private def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  private def hash60(s: String): Long = StreamArith.hash60(s)
 
-  private def round4(v: Double): Double =
-    BigDecimal.decimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+  private def round4(v: Double): Double = StreamArith.round4(v)
 
   def estimates(points: Dataset[QPoint], k: Int = 256)
       : Dataset[QuantileEstimate] = {
@@ -49,9 +43,14 @@ object StreamQuantile {
         (key: String, it: Iterator[QPoint],
          state: GroupState[QSketchState]) =>
           val prev = state.getOption.map(_.entries).getOrElse(Nil)
+          // .distinct BEFORE take(k): an at-least-once source can
+          // re-deliver an event; its (hash, id, value) triple is
+          // identical, and without dedup it would occupy two sample
+          // slots and evict a legitimate distinct event — membership
+          // must stay a pure function of the id set
           val merged = (prev ++ it.map(p =>
               (hash60(p.event_id.toString), p.event_id, p.value)))
-            .sortBy(e => (e._1, e._2)).take(k)
+            .distinct.sortBy(e => (e._1, e._2)).take(k)
           state.update(QSketchState(merged))
           val sv = merged.map(_._3).sorted
           val n = sv.length

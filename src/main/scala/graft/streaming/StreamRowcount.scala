@@ -30,9 +30,7 @@ case class RowcountState(counts: Map[String, Long])
   */
 object StreamRowcount {
 
-  private def round4(v: Double): Double =
-    BigDecimal.decimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+  private def round4(v: Double): Double = StreamArith.round4(v)
 
   /** Score the day series exactly like the batch query: trailing
     * 7-ROW window, scored only with ≥3 prior days.

@@ -33,10 +33,8 @@ object StreamSessionize {
 
   val gapUs: Long = 21600L * 1000000L // 6 hours, matches q_sessionize
 
-  private def micros(ts: java.sql.Timestamp): Long = {
-    val i = ts.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def micros(ts: java.sql.Timestamp): Long =
+    StreamArith.micros(ts)
 
   def closedSessions(events: Dataset[SessionEvent]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

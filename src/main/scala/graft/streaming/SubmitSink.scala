@@ -40,12 +40,26 @@ object SubmitSink {
     * at-most-once — crash between loses the send, never duplicates. */
   case object StateFirst extends Order
 
+  /** Keys already persisted to the state log, or None when the log
+    * doesn't exist yet. The existence check goes through the
+    * session's Hadoop FileSystem — a driver-local
+    * `java.nio.file.Files.exists` would be false for every
+    * non-local stateDir (hdfs://, s3a://) and silently disable the
+    * StateFirst anti-join guard, turning at-most-once into
+    * duplicate sends. A real read error propagates for the same
+    * reason: "could not read the log" must fail the batch, not
+    * masquerade as "nothing processed yet".
+    */
   private def processedKeys(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, keyCol: String): Option[DataFrame] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir)))
-      scala.util.Try(spark.read.parquet(stateDir)
-        .select(col(keyCol)).distinct()).toOption
+      stateDir: String, keyCol: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      Some(spark.read.parquet(stateDir)
+        .select(col(keyCol)).distinct())
     else None
+  }
 
   /** Process one micro-batch with the chosen write ordering.
     * `failpoint` runs BETWEEN the two writes (default no-op).

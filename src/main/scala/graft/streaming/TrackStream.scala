@@ -55,12 +55,15 @@ object TrackStream {
             Iterator.single(DeviceUpdate(id, dead.ts, dead.isEmergency,
               dead.course, evicted = true))
           } else {
-            // newest ts wins; on equal ts the FIRST arrival wins —
-            // the stored point goes first so maxBy (which keeps the
-            // first maximal element) can't let a same-ts point from a
-            // later micro-batch displace it. Same policy as v2 below.
+            // newest ts wins AT FULL µs PRECISION (getTime is
+            // ms-truncated — it would treat a point newer by µs as a
+            // tie and drop it); on truly equal ts the FIRST arrival
+            // wins — the stored point goes first so maxBy (which
+            // keeps the first maximal element) can't let a same-ts
+            // point from a later micro-batch displace it. Same
+            // policy as v2 below.
             val candidates = state.getOption.iterator ++ rows
-            val best = candidates.maxBy(_.ts.getTime)
+            val best = candidates.maxBy(p => StreamArith.micros(p.ts))
             state.update(best)
             state.setTimeoutTimestamp(best.ts.getTime + retentionMs)
             Iterator.single(DeviceUpdate(id, best.ts, best.isEmergency,
@@ -170,9 +173,10 @@ class LatestTrackProcessor(retentionMs: Long)
   override def handleInputRows(id: Long, rows: Iterator[TrackPoint],
       timers: TimerValues): Iterator[DeviceUpdate] = {
     val prev = if (latest.exists()) Some(latest.get()) else None
-    // newest ts, first arrival on equal ts (prev goes first so maxBy
-    // keeps it on ties) — same policy as the v1 operator
-    val best = (prev.iterator ++ rows).maxBy(_.ts.getTime)
+    // newest ts at full µs, first arrival on equal ts (prev goes
+    // first so maxBy keeps it on ties) — same policy as v1
+    val best = (prev.iterator ++ rows)
+      .maxBy(p => StreamArith.micros(p.ts))
     prev.foreach(p => getHandle.deleteTimer(p.ts.getTime + retentionMs))
     latest.update(best)
     getHandle.registerTimer(best.ts.getTime + retentionMs)

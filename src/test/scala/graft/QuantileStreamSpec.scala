@@ -55,4 +55,36 @@ class QuantileStreamSpec extends SparkSpec {
         s"$et: stream ($s50,$s90) != batch ($p50,$p90)")
     }
   }
+
+  test("at-least-once re-delivery leaves the sketch unchanged") {
+    // an at-least-once source can replay a micro-batch: the replayed
+    // triples are identical, and membership must stay a pure
+    // function of the id set — the sketch dedups before take(k)
+    val pts = (1L to 400L).map(i => QPoint(i, "t", i.toDouble))
+    val input = MemoryStream[QPoint]
+    val q = StreamQuantile.estimates(input.toDS())
+      .writeStream.format("memory").queryName("qsketch_redeliver")
+      .outputMode(OutputMode.Append).start()
+    val rows = try {
+      input.addData(pts); q.processAllAvailable()
+      input.addData(pts.take(200)); q.processAllAvailable() // replay
+      spark.table("qsketch_redeliver")
+        .as[(String, Long, Double, Double)].collect().toSeq
+    } finally q.stop()
+    assert(rows.size == 2)
+    assert(rows(0) == rows(1),
+      s"re-delivery changed the sketch: ${rows(0)} vs ${rows(1)}")
+  }
+
+  test("StreamArith.hash60 equals the hex-string md5 reference form") {
+    def ref(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    (0L to 500L).map(_.toString).foreach { s =>
+      assert(graft.streaming.StreamArith.hash60(s) == ref(s),
+        s"hash60 mismatch for '$s'")
+    }
+  }
 }
