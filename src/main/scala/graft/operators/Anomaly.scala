@@ -36,8 +36,16 @@ object Anomaly {
       .withColumn("__sq", sum(dv * dv).over(w))
       .withColumn("__c", count(dv).over(w))
       .withColumn("__mean", col("__s").cast("double") / col("__c"))
-      .withColumn("__var", col("__sq").cast("double") / col("__c")
-        - col("__mean") * col("__mean"))
+      // variance via the EXACT decimal numerator (c·Σx² − (Σx)²)/c²:
+      // the E[x²] − E[x]² form subtracts two near-equal doubles and
+      // cancels catastrophically for large-offset series (values
+      // ~1e7 with σ ~1e-3 compute __var = 0 and silently leave every
+      // row unscored); the decimal difference is exact, so only one
+      // well-conditioned double division remains. Oracle and
+      // streaming twin replay the identical formula.
+      .withColumn("__var",
+        (col("__sq") * col("__c") - col("__s") * col("__s"))
+          .cast("double") / (col("__c") * col("__c")))
       .withColumn("z", when(col("__c") === window && col("__var") > 0,
         (valueCol - col("__mean")) / sqrt(col("__var"))))
       .drop("__s", "__sq", "__c", "__mean", "__var")

@@ -26,9 +26,16 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       payloadCols: Seq[String]): DataFrame = {
-    val rp = right.select(
-      col(key), col(ts),
-      struct(payloadCols.map(col): _*).as("__asof_payload"))
+    val rp = right
+      // null key/ts never match — the asOfStatic contract. Without
+      // this, a null-ts right row sorts FIRST in the ascending
+      // window (nulls-first) and its payload attaches to every left
+      // row that precedes all real right rows, a match whose ts
+      // relation is unknown.
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        col(key), col(ts),
+        struct(payloadCols.map(col): _*).as("__asof_payload"))
       .withColumn("__side", lit(0))
     val lp = left.withColumn("__side", lit(1))
     val unioned = lp.unionByName(rp, allowMissingColumns = true)

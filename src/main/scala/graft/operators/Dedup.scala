@@ -334,6 +334,13 @@ object Dedup {
     // twice (or the driver path collects it once), and pairs are
     // typically the output of an expensive similarity join
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      // a pair with a null endpoint is not an edge — drop it HERE so
+      // both execution strategies see the same graph (previously the
+      // driver path skipped such pairs entirely while the
+      // distributed path self-labeled the non-null endpoint and
+      // emitted a (null, null) row: the size-adaptive switch changed
+      // RESULTS, not just the plan)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size-adaptive execution. The pair count() is the operator's one
     // EAGER driver action: it sizes the strategy and materializes the

@@ -163,10 +163,14 @@ object Multimodal {
       // ImageIO scans its reader registry on first use — once per
       // partition here, then each payload reuses the codec.
       it.flatMap { m =>
+        // NonFatal, not just IOException: ImageIO.read throws
+        // RuntimeExceptions on some corrupt payloads (CMMException
+        // on bad ICC profiles, AIOOBE on truncated JPEGs) and the
+        // drop-corrupt-records contract must hold for those too
         val img = try {
           javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload))
-        } catch { case _: java.io.IOException => null }
+        } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           var lumaSum = 0L
@@ -199,10 +203,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
+        // NonFatal: same drop-corrupt contract as decodeImages
         val img = try {
           javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload))
-        } catch { case _: java.io.IOException => null }
+        } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val out = new java.awt.image.BufferedImage(targetW, targetH,
@@ -244,6 +249,39 @@ object Multimodal {
     * like decodeImages). Spec-verified (AudioCodecSpec synthesizes
     * WAVs with known sine content) — no SQL engine replays a codec.
     */
+  /** Decode a WAV/AIFF payload to (format, raw PCM bytes), or None
+    * for undecodable or non-16-bit payloads — the ONE corrupt-
+    * record policy both audio tiers share (previously duplicated in
+    * decodeWav and windowAudio, where a fix to one would silently
+    * miss the other).
+    */
+  private def decodePcm16(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    val in = try {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+    if (in == null) None
+    else {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      if (fmt.getSampleSizeInBits != 16) None
+      else Some((fmt, bytes))
+    }
+  }
+
+  /** The i-th 16-bit sample in [-1, 1), honoring endianness. */
+  private def pcm16Sample(bytes: Array[Byte], be: Boolean,
+      i: Int): Double = {
+    val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xff
+    val hi = bytes(2 * i + (if (be) 0 else 1))
+    ((hi << 8) | lo).toShort / 32768.0
+  }
+
   def decodeWav(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -251,35 +289,19 @@ object Multimodal {
       // AudioSystem provider lookup happens on first use — once per
       // partition, like the ImageIO registry scan.
       it.flatMap { m =>
-        val in = try {
-          javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
-        }
-        if (in == null) None
-        else {
-          val fmt = in.getFormat
-          val bytes = in.readAllBytes()
-          in.close()
-          if (fmt.getSampleSizeInBits != 16) None
-          else {
-            val be = fmt.isBigEndian
-            val n = bytes.length / 2
-            var sumSq = 0.0
-            var i = 0
-            while (i < n) {
-              val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xff
-              val hi = bytes(2 * i + (if (be) 0 else 1))
-              val s = ((hi << 8) | lo).toShort / 32768.0
-              sumSq += s * s
-              i += 1
-            }
-            Some(AudioMeta(m.doc_id, fmt.getSampleRate.toInt,
-              fmt.getChannels, n,
-              if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+        decodePcm16(m.payload).map { case (fmt, bytes) =>
+          val be = fmt.isBigEndian
+          val n = bytes.length / 2
+          var sumSq = 0.0
+          var i = 0
+          while (i < n) {
+            val s = pcm16Sample(bytes, be, i)
+            sumSq += s * s
+            i += 1
           }
+          AudioMeta(m.doc_id, fmt.getSampleRate.toInt,
+            fmt.getChannels, n,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n))
         }
       }
     }
@@ -302,27 +324,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val in = try {
-          javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
-        }
-        if (in == null) Iterator.empty
-        else {
-          val fmt = in.getFormat
-          val bytes = in.readAllBytes()
-          in.close()
-          if (fmt.getSampleSizeInBits != 16) Iterator.empty
-          else {
+        decodePcm16(m.payload) match {
+          case None => Iterator.empty
+          case Some((fmt, bytes)) =>
             val be = fmt.isBigEndian
             val n = bytes.length / 2
-            def sample(i: Int): Double = {
-              val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xff
-              val hi = bytes(2 * i + (if (be) 0 else 1))
-              ((hi << 8) | lo).toShort / 32768.0
-            }
             val starts = 0 to math.max(n - windowSamples, 0) by hopSamples
             starts.iterator.filter(_ + windowSamples <= n).zipWithIndex
               .map { case (s0, w) =>
@@ -331,7 +337,7 @@ object Multimodal {
                 var i = s0
                 var prev = 0.0
                 while (i < s0 + windowSamples) {
-                  val x = sample(i)
+                  val x = pcm16Sample(bytes, be, i)
                   sumSq += x * x
                   if (i > s0 && ((prev < 0 && x >= 0) ||
                       (prev >= 0 && x < 0))) zc += 1
@@ -341,7 +347,6 @@ object Multimodal {
                 AudioWindow(m.doc_id, w, s0,
                   math.sqrt(sumSq / windowSamples), zc)
               }
-          }
         }
       }
     }
@@ -356,10 +361,14 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord], factor: Int): DataFrame =
     media.toDF().select(col("doc_id"),
       octet_length(col("payload")).as("orig_bytes"),
+      // empty payload: sequence(1, 0, f) throws ("Illegal sequence
+      // boundaries") — emit an empty kept-array instead, so a 0-byte
+      // record resizes to a 0-byte record rather than killing the job
       expr(
-        s"""transform(
+        s"""CASE WHEN octet_length(payload) = 0 THEN array()
+            ELSE transform(
               sequence(1, octet_length(payload), $factor),
-              i -> substring(payload, i, 1))""").as("kept"))
+              i -> substring(payload, i, 1)) END""").as("kept"))
       .select(col("doc_id"), col("orig_bytes"),
         expr("array_size(kept)").cast("int").as("resized_bytes"),
         expr("aggregate(kept, 0L, (acc, b) -> acc + ascii(cast(b as string)))")

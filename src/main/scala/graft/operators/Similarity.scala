@@ -71,15 +71,6 @@ object Similarity {
         col("hit._2").as("id"), col("hit._1").as("cos"))
   }
 
-  /** Deterministic unit hyperplanes: tables × bitsPerTable planes of
-    * `dim` components, seeded java.util.Random (spec-fixed LCG — the
-    * same planes on every JVM, executor, and rerun).
-    */
-  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new java.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-  }
-
   /** Engine-portable Rademacher (±1) hyperplanes: component (p, i) is
     * +1 when the first md5 hex digit of "p_i" is odd, −1 otherwise —
     * i.e. `('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2` in
@@ -138,7 +129,10 @@ object Similarity {
     require(multiProbe >= 0 && multiProbe <= 1,
       "only Hamming radius 0 or 1 probing is implemented")
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val dim = 64
+    // measure the dimensionality (the annPq idiom) — a hardcoded
+    // dim would silently bucket wider embeddings on a prefix of
+    // their components and collapse recall with no error
+    val dim = v.select(size(col("vec"))).first().getInt(0)
     val planes = rademacherPlanes(dim, tables * bitsPerTable)
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), posexplode(
@@ -275,6 +269,9 @@ object Similarity {
     */
   def annSq8(vecs: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, shortlist: Int = 20): DataFrame = {
+    // a shortlist narrower than k would silently return < k rows
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k)")
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bounds = v
       .select(posexplode(col("vec")).as(Seq("d", "x")))
@@ -462,8 +459,18 @@ class TopKAggregator(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[(Double, Long)],
       Seq[(Double, Long)]] {
 
+  // score DESC with Spark's NaN-as-largest sort semantics (java
+  // Double.compare is a total order with NaN greatest), id ASC on
+  // ties — a negate-the-score ordering would instead rank NaN LAST
+  // and diverge from the row_number window this aggregator must
+  // replicate (a zero vector's cosine is 0/0 = NaN).
   private val ord: Ordering[(Double, Long)] =
-    Ordering.by { case (s, id) => (-s, id) }
+    new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 

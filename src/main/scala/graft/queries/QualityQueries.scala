@@ -526,13 +526,10 @@ object QualityQueries {
          z AS (
            SELECT event_type,
              CASE WHEN c = 20
-                   AND CAST(sq AS DOUBLE) / c
-                       - (CAST(sm AS DOUBLE) / c)
-                         * (CAST(sm AS DOUBLE) / c) > 0
+                   AND CAST(sq * c - sm * sm AS DOUBLE) / (c * c) > 0
                   THEN (value - CAST(sm AS DOUBLE) / c)
-                       / sqrt(CAST(sq AS DOUBLE) / c
-                              - (CAST(sm AS DOUBLE) / c)
-                                * (CAST(sm AS DOUBLE) / c))
+                       / sqrt(CAST(sq * c - sm * sm AS DOUBLE)
+                              / (c * c))
              END AS z
            FROM s)
          SELECT event_type, count(*) AS n_events,

@@ -58,9 +58,14 @@ object StreamAnomaly {
               if (buf.length == window) {
                 val q = buf.map(v => BigDecimal.decimal(v)
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP))
-                val mean = q.sum.toDouble / window
-                val variance =
-                  q.map(d => d * d).sum.toDouble / window - mean * mean
+                val sm = q.sum
+                val sq = q.map(d => d * d).sum
+                val mean = sm.toDouble / window
+                // exact-decimal numerator — same formula as the
+                // batch rollingZ and its oracle (no E[x²] − E[x]²
+                // double cancellation)
+                val variance = (sq * window - sm * sm).toDouble /
+                  (window.toLong * window)
                 if (variance > 0)
                   Some((e.value - mean) / math.sqrt(variance))
                 else None

@@ -90,4 +90,28 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(got(2L) == Some(3.0), s"pA z: ${got(2L)}")
     assert(got(1L) == Some(5.0), s"pB z: ${got(1L)}")
   }
+
+  test("rollingZ scores large-offset series (exact-decimal variance)") {
+    // values ~1e7 with σ ~1e-3: the E[x²] − E[x]² double form
+    // cancels to var = 0 (both terms ~1e14, true difference ~1e-6 —
+    // below double's 15-16 significant digits) and silently leaves
+    // every row unscored; the exact-decimal numerator must score
+    import org.apache.spark.sql.functions._
+    val base = 1.0e7
+    val rows = (1 to 30).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"),
+        "t", base + (i % 3) * 0.001)
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "event_type", "value")
+    val scored = graft.operators.Anomaly.rollingZ(df,
+        col("event_type"), Seq(col("ts"), col("event_id")),
+        col("value"))
+      .select(col("event_id"), col("z")).collect()
+    val zs = scored.filter(!_.isNullAt(1))
+    assert(zs.length == 10,
+      s"rows 21-30 must score (got ${zs.length}): var cancellation?")
+    zs.foreach(r => assert(!r.getDouble(1).isNaN))
+  }
 }

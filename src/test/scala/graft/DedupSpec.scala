@@ -146,6 +146,24 @@ class DedupSpec extends SparkSpec {
     assert(p2 == d2)
   }
 
+  test("connectedComponents: null-endpoint pairs dropped by BOTH paths") {
+    // a pair with a null endpoint is not an edge; previously the
+    // driver path skipped it while the distributed path self-labeled
+    // the non-null node — the size switch changed RESULTS
+    val pairs = Seq(
+      (Some(5L), Option.empty[Long]),
+      (Option.empty[Long], Some(6L)),
+      (Some(1L), Some(2L)))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == Map(1L -> 1L, 2L -> 1L), s"driver: $driver")
+    assert(dist == driver, s"paths diverge: $dist vs $driver")
+  }
+
   test("minhashLshIncremental == full-corpus LSH restricted to cross-side") {
     // batch-vs-index must find exactly the pairs the full self-join
     // finds between the two sides — banding and verification are the

@@ -77,4 +77,13 @@ class ImageCodecSpec extends SparkSpec {
     assert(metas.map(_.doc_id).sorted.toSeq == Seq(1L, 2L, 3L),
       "text payloads must fall out of the image decode path")
   }
+
+  test("resize handles a zero-length payload (no sequence crash)") {
+    val empty = MediaRecord(99L, "text", Array.emptyByteArray)
+    val out = Multimodal.resize(Seq(empty).toDS(), factor = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("orig_bytes") == 0)
+    assert(out.head.getAs[Int]("resized_bytes") == 0)
+  }
 }

@@ -28,6 +28,24 @@ class JoinExtSpec extends SparkSpec {
       "L3" -> None))
   }
 
+  test("asOf: right rows with null key/ts never match (asOfStatic contract)") {
+    // a null-ts right row sorts first in the ascending window; its
+    // payload must NOT attach to left rows that precede every real
+    // right row
+    val left = Seq((1L, mkTs("2024-01-01 09:00:00"), "early"))
+      .toDF("k", "ts", "ltag")
+    val right = Seq(
+      (Some(1L), Option.empty[java.sql.Timestamp], 666L),
+      (Option.empty[Long], Option(mkTs("2024-01-01 08:00:00")), 777L),
+      (Some(1L), Option(mkTs("2024-01-01 10:00:00")), 100L))
+      .toDF("k", "ts", "rid")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("rid"))
+      .select($"ltag", $"rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(got == Map("early" -> None),
+      s"null-ts/key right rows leaked a match: $got")
+  }
+
   test("asOf preserves genuinely-null payload fields via struct wrap") {
     val left = Seq((1L, mkTs("2024-01-01 10:00:00"))).toDF("k", "ts")
     val right = Seq((1L, mkTs("2024-01-01 09:00:00"),

@@ -217,6 +217,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator ranks NaN like the window's desc sort (largest)") {
+    // a zero vector's cosine is 0/0 = NaN; Spark's desc sort treats
+    // NaN as the LARGEST value, and the aggregated formulation must
+    // agree with the row_number window it claims to replicate
+    import graft.operators.{ScoredNeighbor, TopKAggregator}
+    val agg = new TopKAggregator(2)
+    val buf = Seq(
+      ScoredNeighbor(1L, 10L, 0.5),
+      ScoredNeighbor(1L, 11L, Double.NaN),
+      ScoredNeighbor(1L, 12L, 0.9)
+    ).foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(buf)
+    assert(out.map(_._2) == Seq(11L, 12L),
+      s"NaN must rank first (Spark desc semantics): $out")
+  }
+
+  test("annLsh derives the plane dimensionality from the corpus") {
+    // >64-dim vectors: a hardcoded dim would bucket on a 64-prefix
+    // and silently collapse recall. Plant near-identical pairs in a
+    // 96-dim corpus and require the ANN to find them.
+    val dim = 96
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i) % 17) - 8).toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 5).map(i => (1000L + i, vec(i)
+      .updated(0, vec(i).head + 0.01f)))
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = dups.toDF("vec_id", "embedding")
+    val hits = Similarity.annLsh(corpus, queries, "vec_id",
+        "embedding", k = 3)
+      .filter($"rank" === 1)
+      .select($"q_id", $"id").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach { i =>
+      assert(hits.get(1000L + i).contains(i.toLong),
+        s"near-identical 96-dim pair $i not found: $hits")
+    }
+  }
+
   test("q_embed_centroid_shift: halves partition labels; shift bounded") {
     val rows = SparkEntry.queries("q_embed_centroid_shift")(
       spark, sf()).collect()
