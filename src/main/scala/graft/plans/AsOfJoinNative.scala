@@ -185,13 +185,22 @@ case class AsOfOnMarker(eq: Expression, leftTs: Expression,
   */
 object RewriteSqlAsOfJoin
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.EqualTo
-  import org.apache.spark.sql.catalyst.plans.LeftOuter
-  import org.apache.spark.sql.catalyst.plans.logical.Join
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, LeftOuter, Some(m: AsOfOnMarker), _)
-        if j.resolved =>
+    // Inner is matched too: on the plain-session (enableSql) path the
+    // rewrite runs AFTER the main optimizer, and EliminateOuterJoin
+    // may already have converted the marker join LeftOuter→Inner
+    // (a null-filtering predicate above the join licenses it). The
+    // as-of LEFT result plus an IsNotNull(right key) filter IS the
+    // inner as-of (unmatched rows carry an all-null right side, and
+    // null keys never match) — also giving a direct `INNER JOIN ...
+    // ON asof_on(...)` statement the semantics it asks for instead
+    // of an unevaluable-marker planning crash.
+    case j @ Join(l, r, jt, Some(m: AsOfOnMarker), _)
+        if j.resolved && (jt == LeftOuter || jt == Inner) =>
       def fromSides(a: Expression, b: Expression, what: String)
           : (Attribute, Attribute) = (a, b) match {
         case (x: Attribute, y: Attribute)
@@ -207,7 +216,8 @@ object RewriteSqlAsOfJoin
           s"asof_on: first argument must be left.key = right.key, got $other")
       }
       val (lts, rts) = fromSides(m.leftTs, m.rightTs, "the timestamps")
-      AsOfJoinPlan(l, r, lk, rk, lts, rts)
+      val asOf = AsOfJoinPlan(l, r, lk, rk, lts, rts)
+      if (jt == Inner) Filter(IsNotNull(rk), asOf) else asOf
   }
 }
 

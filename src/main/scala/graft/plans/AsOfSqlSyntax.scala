@@ -41,7 +41,8 @@ object AsOfSyntax {
   /** Tokens that always end an ON condition at the same paren depth. */
   private val HardTerm = Set("JOIN", "WHERE", "GROUP", "HAVING", "WINDOW",
     "QUALIFY", "ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
-    "MINUS", "FETCH", "SORT", "CLUSTER", "DISTRIBUTE", ",", ";")
+    "MINUS", "FETCH", "SORT", "CLUSTER", "DISTRIBUTE", "PIVOT", "UNPIVOT",
+    ",", ";")
 
   /** Tokens that end it only when introducing a join (`LEFT JOIN`,
     * `CROSS LATERAL`, ...) — `left(s, 2)` the FUNCTION must not.
@@ -55,8 +56,11 @@ object AsOfSyntax {
     else if (HardTerm(t.up)) true
     else if (JoinPrefix(t.up)) {
       val nxt = if (i + 1 < toks.length) toks(i + 1).up else ""
+      // any join-prefix chain terminates (NATURAL INNER JOIN, CROSS
+      // LATERAL, ...), as does LATERAL VIEW — a lone prefix word
+      // followed by '(' is a function call (left(s, 2)) and must not
       nxt == "JOIN" || nxt == "OUTER" || nxt == "SEMI" || nxt == "ANTI" ||
-        nxt == "LATERAL" || (JoinPrefix(t.up) && nxt == "LEFT")
+        nxt == "VIEW" || JoinPrefix(nxt)
     } else false
   }
 

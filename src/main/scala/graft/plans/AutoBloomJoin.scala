@@ -105,8 +105,14 @@ object AutoBloomJoin extends Rule[LogicalPlan]
                 hasSelectiveFilter(build) && !alreadyBloomed(probe)
               if (!worth) None
               else Some(Filter(BloomMightContainExpr(
+                // explicit timeZoneId: this Cast is injected into an
+                // already-optimized plan, so no ResolveTimeZone pass
+                // will ever fill it in — a timestamp probe key would
+                // otherwise crash at execution (needsTimeZone → None.get)
                 org.apache.spark.sql.catalyst.expressions.Cast(
-                  probeKey, org.apache.spark.sql.types.StringType),
+                  probeKey, org.apache.spark.sql.types.StringType,
+                  Some(org.apache.spark.sql.internal.SQLConf.get
+                    .sessionLocalTimeZone)),
                 bloomSubquery(build, buildKey, words), words, Hashes), probe))
             }
             val injected =

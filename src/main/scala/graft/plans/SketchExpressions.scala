@@ -48,11 +48,6 @@ object Sketches {
     mix((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
   }
 
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** Engine-portable 60-bit string hash: the first 15 hex characters
     * of md5, read base-16 — i.e. exactly what ANSI SQL computes as
     * `('0x' || substring(md5(s), 1, 15))::BIGINT` (DuckDB) or
@@ -60,17 +55,12 @@ object Sketches {
     * the value inside a signed 64-bit integer in every engine, so the
     * sketches built on it can be re-derived bit-for-bit by the DuckDB
     * oracle. md5 costs ~3× murmur per shingle but is paid once per
-    * shingle, off the per-slot hot loop.
+    * shingle, off the per-slot hot loop. Digest + nibble extraction
+    * delegate to [[BloomHash]] — ONE definition of the portability
+    * recipe, not two that can drift.
     */
-  @inline private[plans] def md5Hash60(s: UTF8String): Long = {
-    val md = md5Local.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >>> 4)
-  }
+  @inline private[plans] def md5Hash60(s: UTF8String): Long =
+    BloomHash.hi60(BloomHash.digest(s))
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 

@@ -18,7 +18,11 @@ object PartitionedEvents {
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"target/fixtures/events_by_day$tag"
-    if (!written.contains(dir) && !new java.io.File(path).exists()) {
+    // _SUCCESS, not bare-directory existence: a crashed partial
+    // write would otherwise be silently reused forever (the sibling
+    // fixtures all guard the same way); overwrite mode heals it
+    if (!written.contains(dir) &&
+        !new java.io.File(path, "_SUCCESS").exists()) {
       graft.Tables(spark, dir, "events")
         .withColumn("dt", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("dt").parquet(path)

@@ -354,24 +354,40 @@ class TrackPointReader(file: String, required: StructType,
   // a missing/null field fails any numeric comparison (SQL
   // three-valued logic: NULL op x is not TRUE) — never NPEs, and the
   // result can't depend on whether a pushed IsNotNull on the same
-  // column happens to be evaluated first
-  private def num(node: JsonNode, field: String,
-      cmp: Double => Boolean): Boolean = {
-    val v = node.get(field)
-    v != null && !v.isNull && cmp(v.asDouble())
+  // column happens to be evaluated first.
+  //
+  // Long/long comparisons stay in LONG arithmetic: Spark trusts a
+  // pushed filter completely (only the declared residual is
+  // re-checked), and rounding both sides to double would equate
+  // longs that differ beyond 2^53 — `entity_id = 9007199254740993`
+  // must not match 9007199254740992.
+  private def cmp(node: JsonNode, field: String, v: java.lang.Number)(
+      test: Int => Boolean): Boolean = {
+    val n = node.get(field)
+    n != null && !n.isNull && {
+      val c = v match {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte
+            if n.isIntegralNumber =>
+          java.lang.Long.compare(n.asLong(), v.longValue())
+        case _ =>
+          java.lang.Double.compare(n.asDouble(), v.doubleValue())
+      }
+      test(c)
+    }
   }
 
   private def keep(node: JsonNode): Boolean = pushed.forall {
     case GreaterThanOrEqual(a, v: java.lang.Number) =>
-      num(node, a, _ >= v.doubleValue())
+      cmp(node, a, v)(_ >= 0)
     case GreaterThan(a, v: java.lang.Number) =>
-      num(node, a, _ > v.doubleValue())
+      cmp(node, a, v)(_ > 0)
     case LessThanOrEqual(a, v: java.lang.Number) =>
-      num(node, a, _ <= v.doubleValue())
+      cmp(node, a, v)(_ <= 0)
     case LessThan(a, v: java.lang.Number) =>
-      num(node, a, _ < v.doubleValue())
+      cmp(node, a, v)(_ < 0)
     case EqualTo(a, v: java.lang.Number) =>
-      num(node, a, _ == v.doubleValue())
+      cmp(node, a, v)(_ == 0)
     case IsNotNull(a) =>
       val v = node.get(a); v != null && !v.isNull
     case _ => true

@@ -40,7 +40,19 @@ final class WebhookReceiver(spoolDir: java.io.File,
     s"spool prefix must be visible: '$prefix'")
 
   private val mapper = new ObjectMapper
-  private val nFiles = new java.util.concurrent.atomic.AtomicInteger(0)
+  // resume AFTER the highest already-spooled index: a restarted
+  // receiver starting at 0 would atomically rename ONTO committed
+  // part- files — the file-count watermark then sees an unchanged
+  // listing, the new body is never ingested, and the old one is gone
+  private val nFiles = new java.util.concurrent.atomic.AtomicInteger({
+    val existing = Option(spoolDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith(prefix) &&
+        n.drop(prefix.length).forall(_.isDigit) &&
+        n.length > prefix.length)
+      .map(_.drop(prefix.length).toInt)
+    if (existing.isEmpty) 0 else existing.max + 1
+  })
   private val server = HttpServer.create(
     new java.net.InetSocketAddress(
       java.net.InetAddress.getLoopbackAddress, 0), 16)
@@ -81,22 +93,32 @@ final class WebhookReceiver(spoolDir: java.io.File,
       val n: com.fasterxml.jackson.databind.JsonNode =
         mapper.readTree(parser)
       val clean = parser.nextToken() == null // no trailing garbage
+      // range-checked against the decode schema's physical types
+      // (entityId IntegerType, time LongType): an integral value the
+      // schema can't hold would be nulled by PERMISSIVE from_json —
+      // the silent post-200 loss this gate exists to prevent
       clean && n != null && n.isObject &&
         n.path("entityId").isIntegralNumber &&
-        n.path("trackPoint").path("time").isIntegralNumber
+        n.path("entityId").canConvertToInt &&
+        n.path("trackPoint").path("time").isIntegralNumber &&
+        n.path("trackPoint").path("time").canConvertToLong
     } finally parser.close()
   } catch { case _: Exception => false }
 
   private def spool(body: String): Unit = {
     val i = nFiles.getAndIncrement()
-    val tmp = new java.io.File(spoolDir, f".$prefix$i%05d.tmp")
+    // 9 digits: the listing must stay lexicographically monotone
+    // (the offset watermark slices a name-sorted listing by index —
+    // a narrower pad would insert file 100000 BEFORE 99999 and shift
+    // every committed range)
+    val tmp = new java.io.File(spoolDir, f".$prefix$i%09d.tmp")
     // flatten BOTH newline flavors: Hadoop's line reader splits on
     // lone CR too, so a CRLF pretty-printed body would otherwise
     // spool as several malformed JSON fragments after a 200
     java.nio.file.Files.write(tmp.toPath,
       body.replace('\n', ' ').replace('\r', ' ').getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(spoolDir, f"$prefix$i%05d").toPath,
+      new java.io.File(spoolDir, f"$prefix$i%09d").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 

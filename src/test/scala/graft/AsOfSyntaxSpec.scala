@@ -46,6 +46,54 @@ class AsOfSyntaxSpec extends SparkSpec {
     assert(sub.contains("ON asof_cond( p.k = e.k AND p.ts >= e.ts) )"))
   }
 
+  test("ON condition terminates before NATURAL / LATERAL VIEW / PIVOT") {
+    // NATURAL followed by another join-prefix word (INNER/CROSS/...)
+    // previously got swallowed INTO the asof condition
+    val nat = AsOfSyntax.rewrite(
+      "SELECT * FROM p ASOF JOIN e ON p.k = e.k AND p.ts >= e.ts " +
+        "NATURAL INNER JOIN c")
+    assert(nat.contains(
+      "ON asof_cond( p.k = e.k AND p.ts >= e.ts ) NATURAL INNER JOIN c"),
+      s"NATURAL INNER swallowed: $nat")
+    val lat = AsOfSyntax.rewrite(
+      "SELECT * FROM p ASOF JOIN e ON p.k = e.k AND p.ts >= e.ts " +
+        "LATERAL VIEW explode(xs) t AS x")
+    assert(lat.contains(
+      "ON asof_cond( p.k = e.k AND p.ts >= e.ts ) LATERAL VIEW"),
+      s"LATERAL VIEW swallowed: $lat")
+    val piv = AsOfSyntax.rewrite(
+      "SELECT * FROM p ASOF JOIN e ON p.k = e.k AND p.ts >= e.ts " +
+        "PIVOT (sum(v) FOR s IN ('a'))")
+    assert(piv.contains(
+      "ON asof_cond( p.k = e.k AND p.ts >= e.ts ) PIVOT"),
+      s"PIVOT swallowed: $piv")
+  }
+
+  test("INNER JOIN with the asof_on marker == ASOF JOIN") {
+    // the marker rewrite must accept Inner joins: on a plain session
+    // EliminateOuterJoin can convert the LeftOuter marker join to
+    // Inner before the rewrite runs (a null-filtering predicate
+    // licenses it), and a user can also write INNER directly
+    events()
+    val viaMarker = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts AS err_ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id
+      FROM p JOIN e ON asof_on(p.user_id = e.user_id, p.ts, e.err_ts)
+      ORDER BY p.event_id""").collect()
+    val viaAsof = spark.sql("""
+      WITH p AS (SELECT event_id, user_id, ts FROM asof_syn_events
+                 WHERE event_type = 'purchase'),
+           e AS (SELECT user_id, ts AS err_ts, event_id AS err_id
+                 FROM asof_syn_events WHERE event_type = 'error')
+      SELECT p.event_id, e.err_id
+      FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.ts >= e.err_ts
+      ORDER BY p.event_id""").collect()
+    assert(viaMarker.nonEmpty && viaMarker.sameElements(viaAsof))
+  }
+
   test("ASOF LEFT JOIN via SQL == the asof_on marker path") {
     events()
     val syntax = spark.sql("""

@@ -116,6 +116,18 @@ class QualifySpec extends SparkSpec {
     // a column named exclude stays a column
     val s = "SELECT exclude FROM t WHERE exclude > 1"
     assert(graft.plans.ExcludeSyntax.rewrite(s) === s)
+    // ...including as a MULTIPLICATION operand after '*'
+    val m = "SELECT price * exclude FROM t"
+    assert(graft.plans.ExcludeSyntax.rewrite(m) === m)
+    val m2 = "SELECT (a + b) * exclude FROM t"
+    assert(graft.plans.ExcludeSyntax.rewrite(m2) === m2)
+    // star positions that MUST rewrite: after SELECT, ',', and '.'
+    assert(graft.plans.ExcludeSyntax.rewrite(
+      "SELECT a, * EXCLUDE (b) FROM t") ===
+      "SELECT a, * EXCEPT (b) FROM t")
+    assert(graft.plans.ExcludeSyntax.rewrite(
+      "SELECT DISTINCT * EXCLUDE (b) FROM t") ===
+      "SELECT DISTINCT * EXCEPT (b) FROM t")
     Tables.registerViews(spark, sf())
     val cols = spark.sql(
       "SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders LIMIT 1")

@@ -119,6 +119,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("DSv2 source: pushed long comparisons keep 64-bit precision") {
+    // Spark trusts an accepted pushed filter completely (no re-check
+    // beyond the declared residual), so the reader must compare
+    // longs in LONG arithmetic: 2^53 and 2^53+1 round to the SAME
+    // double, and a double-based pushed EqualTo would match both
+    val dir =
+      java.nio.file.Files.createTempDirectory("tp_prec").toFile
+    val big = 9007199254740992L // 2^53
+    val rows = Seq(big, big + 1).map(id =>
+      s"""{"entity_id": $id, "event_id": 1, "name": "u",""" +
+        s""" "ts": 1000, "lon": 1.0, "lat": 2.0,""" +
+        """ "emergency": false}""")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000").toPath,
+      rows.mkString("\n").getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.TrackPointSource")
+      .option("path", dir.getAbsolutePath).load()
+      .filter(col("entity_id") === (big + 1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"EqualTo(entity_id,${big + 1})"),
+      s"equality not pushed:\n$plan")
+    val got = df.select(col("entity_id")).as[Long].collect().toSeq
+    assert(got == Seq(big + 1),
+      s"pushed compare lost precision beyond 2^53: $got")
+  }
+
   test("DSv2 source: aggregate pushdown fires and matches the plain path") {
     val path = graft.sources.TrackPointFixture.ensure(spark, sf())
     def src = spark.read.format("graft.sources.TrackPointSource")

@@ -260,7 +260,16 @@ class StreamingSourceSpec extends SparkSpec {
       assert(postTo(ra.port).statusCode() == 200)
       assert(postTo(rb.port).statusCode() == 200)
       val names = shared.listFiles().map(_.getName).sorted.toSeq
-      assert(names == Seq("a-00000", "b-00000"), s"spool: $names")
+      assert(names == Seq("a-000000000", "b-000000000"),
+        s"spool: $names")
+      // restart resumes AFTER the committed spool, never onto it
+      val ra2 = new WebhookReceiver(shared, prefix = "a-")
+      try {
+        assert(postTo(ra2.port).statusCode() == 200)
+        val after = shared.listFiles().map(_.getName).sorted.toSeq
+        assert(after == Seq("a-000000000", "a-000000001",
+          "b-000000000"), s"restart overwrote the spool: $after")
+      } finally ra2.close()
     } finally { ra.close(); rb.close() }
 
     // DEBUG mode = Type.Any(): any body accepted (task.ts:110)
