@@ -60,8 +60,7 @@ object AnalyticsQueries {
     */
   private def sampleSorted(s: SparkSession, dir: String,
       k: Int = 256): DataFrame = {
-    val h = conv(substring(md5(col("event_id").cast("string")),
-      1, 15), 16, 10).cast("long")
+    val h = Portable.h60(col("event_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
     Tables(s, dir, "events")
@@ -1339,8 +1338,9 @@ object AnalyticsQueries {
           col("value").cast("decimal(18,6)").as("rev"))
       val cohorts = purchases.groupBy(col("user_id"))
         .agg(min(col("wk")).as("c0"))
+      // cohorts is one row per user — plain count, no distinct plan
       val sized = cohorts.groupBy(col("c0").as("cohort_wk"))
-        .agg(countDistinct(col("user_id")).as("cohort_size"))
+        .agg(count(lit(1)).as("cohort_size"))
       val grid = purchases.join(cohorts, "user_id")
         .groupBy(col("c0").as("cohort_wk"),
           (col("wk") - col("c0")).as("wk_offset"))

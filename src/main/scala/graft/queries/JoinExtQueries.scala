@@ -346,8 +346,7 @@ object JoinExtQueries {
     "q_agg_distinct_kmv" -> { (s, dir) =>
       val k = 64
       val h = t(s, dir, "orders").select(col("o_orderstatus"),
-        expr("cast(conv(substring(md5(cast(o_custkey as string)),1,15)" +
-          ",16,10) as bigint)").as("h"))
+        Portable.h60(col("o_custkey")).as("h"))
         .distinct()
       val w = Window.partitionBy("o_orderstatus").orderBy("h")
       h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

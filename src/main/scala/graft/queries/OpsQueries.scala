@@ -30,14 +30,13 @@ import graft.Tables
   */
 object OpsQueries {
 
-  private val two60 = 1152921504606846976.0 // 2^60
+  private val two60 = Portable.two60
 
-  /** Portable 60-bit hash: first 15 hex chars of md5 — the same
-    * engine-portable idiom as the KMV/LSH/sampling families.
+  /** Portable 60-bit hash — see [[Portable.h60]] (the former local
+    * copy interpolated Column.toString into SQL text, which breaks
+    * for any composite expression).
     */
-  private def h60(c: org.apache.spark.sql.Column) =
-    expr(s"cast(conv(substring(md5(cast(${c.toString} as string)),1,15)" +
-      ",16,10) as bigint)")
+  private def h60(c: org.apache.spark.sql.Column) = Portable.h60(c)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

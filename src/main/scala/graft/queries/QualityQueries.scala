@@ -426,8 +426,8 @@ object QualityQueries {
     // Ingest row-count anomaly monitor — the operational DQ check
     // that catches a broken producer before any content check can:
     // daily row counts per event_type scored against the TRAILING
-    // 7-day window (mean/stddev via exact integer sums — counts are
-    // integers so Σ and Σ² are exact without DECIMAL), |z| > 3
+    // 7-day window (Σ exact in long; Σ² DECIMAL-widened — n² wraps
+    // 64 bits once a daily count passes ~3e9), |z| > 3
     // flags. The window runs over the |types|×|days| daily
     // aggregate, never fact rows. Emits only scored days (≥3 prior
     // days of history) to keep the readout stable as the calendar
@@ -442,7 +442,13 @@ object QualityQueries {
       val scored = daily
         .withColumn("k", count(col("n")).over(w))
         .withColumn("s1", sum(col("n")).over(w))
-        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        // n² in DECIMAL, not long: a (type, day) count past ~3e9
+        // would wrap n*n in 64-bit and clamp every variance to the
+        // greatest(·, 1) floor — silent mass false-positives at the
+        // 100 TB target (DuckDB sums in int128, so parity would
+        // break too)
+        .withColumn("s2",
+          sum((col("n") * col("n")).cast("decimal(38,0)")).over(w))
         .where(col("k") >= 3)
       val mean = col("s1").cast("double") / col("k")
       val variance = col("s2").cast("double") / col("k") -

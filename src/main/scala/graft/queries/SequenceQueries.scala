@@ -33,6 +33,37 @@ object SequenceQueries {
 
   private val touchTypes = Seq("click", "view", "signup")
 
+  /** Distinct (basket, item) incidence of the order fact table. */
+  private def basketTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"),
+        col("l_partkey").as("item")).distinct()
+
+  /** Apriori-pruned co-occurring pairs with supports as payload —
+    * shared by the rule miner and the item-cosine recommender.
+    * Item supports ride a FULL-PARTITION window and travel through
+    * the pair join as payload columns — a first cut built three
+    * separate broadcast legs (itemN, n_a, n_b) whose renamed
+    * subtrees Catalyst could NOT dedupe, re-running the
+    * scan+distinct per leg; measured 4.1 s → this shape at sf0.1.
+    * Output: (item_a < item_b, n_a, n_b, n_ab ≥ minSup).
+    */
+  private def supportedPairs(baskets: DataFrame,
+      minSup: Int): DataFrame = {
+    val withN = baskets.withColumn("n_item",
+        count(lit(1)).over(Window.partitionBy(col("item"))))
+      .where(col("n_item") >= minSup)
+    val a = withN.select(col("basket"), col("item").as("item_a"),
+      col("n_item").as("n_a"))
+    val b = withN.select(col("basket"), col("item").as("item_b"),
+      col("n_item").as("n_b"))
+    a.join(b, Seq("basket"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSup)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Last-touch attribution: each purchase is credited to the
@@ -185,26 +216,8 @@ object SequenceQueries {
     // basket total.
     "q_cooccur_rules" -> { (s, dir) =>
       val minSup = 3
-      val baskets = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")).distinct()
-      // item supports as a FULL-PARTITION window, carried through
-      // the pair join as payload columns — a first cut built three
-      // separate broadcast legs (itemN, n_a, n_b) whose renamed
-      // subtrees Catalyst could NOT dedupe, re-running the
-      // scan+distinct per leg; measured 4.1 s → this shape at sf0.1
-      val withN = baskets.withColumn("n_item",
-          count(lit(1)).over(Window.partitionBy(col("item"))))
-        .where(col("n_item") >= minSup)
-      val a = withN.select(col("basket"), col("item").as("item_a"),
-        col("n_item").as("n_a"))
-      val b = withN.select(col("basket"), col("item").as("item_b"),
-        col("n_item").as("n_b"))
-      val pairs = a.join(b, Seq("basket"))
-        .where(col("item_a") < col("item_b"))
-        .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= minSup)
+      val baskets = basketTable(s, dir)
+      val pairs = supportedPairs(baskets, minSup)
       val nBaskets = baskets.select(col("basket")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       pairs
@@ -229,22 +242,9 @@ object SequenceQueries {
     // integers — IEEE-identical across engines, so ordering and the
     // top-3 cut replay exactly.
     "q_recsys_item_cosine" -> { (s, dir) =>
-      val minSup = 3
-      val baskets = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")).distinct()
-      val withN = baskets.withColumn("n_item",
-          count(lit(1)).over(Window.partitionBy(col("item"))))
-        .where(col("n_item") >= minSup)
-      val a = withN.select(col("basket"), col("item").as("item_a"),
-        col("n_item").as("n_a"))
-      val b = withN.select(col("basket"), col("item").as("item_b"),
-        col("n_item").as("n_b"))
-      val pairs = a.join(b, Seq("basket"))
-        .where(col("item_a") < col("item_b"))
-        .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 3)
+      // same support/pair construction AND the same threshold as
+      // q_cooccur_rules — one shared builder, no lockstep editing
+      val pairs = supportedPairs(basketTable(s, dir), minSup = 3)
       // expand to both directions so every item ranks its neighbors
       val directed = pairs.select(col("item_a").as("item"),
           col("item_b").as("neighbor"), col("n_ab"),

@@ -82,8 +82,14 @@ object SourceQueries {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .filter(length(col("text")) > 0)
+      // in-plan planted-copy offset (the docsWithDups precedent): a
+      // fixed constant collides with real ids once the corpus grows
+      val off = Tables(s, dir, "documents")
+        .agg((max(col("doc_id")) + 1).as("off"))
       val aug = d.unionByName(d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"),
+          col("text")))
       val hashes = Multimodal.avgHash(
         Multimodal.fromDocuments(aug), bits = 32)
       val banded = hashes.select(col("doc_id"), col("phash"),
@@ -274,8 +280,9 @@ object SourceQueries {
            SELECT doc_id, text FROM documents
            WHERE length(text) > 0
            UNION ALL
-           SELECT doc_id + 100000 AS doc_id, text FROM documents
-           WHERE doc_id < 20 AND length(text) > 0),
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+             AS doc_id, text
+           FROM documents WHERE doc_id < 20 AND length(text) > 0),
          ch AS (
            SELECT doc_id, length(text) AS n,
              unnest(string_split(text, '')) AS c,

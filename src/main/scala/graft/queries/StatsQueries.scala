@@ -167,8 +167,7 @@ object StatsQueries {
     "q_theil_sen" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val k = 48
-      val h = expr("cast(conv(substring(md5(cast(event_id as string))" +
-        ",1,15),16,10) as bigint)")
+      val h = Portable.h60(col("event_id"))
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("h"), col("event_id"))
       val sample = Tables(s, dir, "events")
@@ -351,8 +350,12 @@ object StatsQueries {
         sum(col("cnt")).as("n"),
         sum(col("cnt_t")).as("n_t"),
         sum(col("cnt_t") * col("avg_rank")).as("r_t"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-          .as("tie_sum"))
+        // cnt³ in DECIMAL: a tie block past ~2.1e6 rows wraps the
+        // 64-bit cube (values sit on a bounded 2-decimal grid, so
+        // blocks grow linearly with the corpus) — DECIMAL keeps the
+        // tie correction exact and matches DuckDB's HUGEINT sum
+        sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .cast("decimal(38,0)")).as("tie_sum"))
       val nC = col("n") - col("n_t")
       val u = col("r_t") - col("n_t") * (col("n_t") + lit(1)) / lit(2.0)
       val mu = nC * col("n_t") / lit(2.0)
@@ -412,29 +415,44 @@ object StatsQueries {
     // distribution summary (L-scale, L-skewness t₃, L-kurtosis t₄)
     // hydrology and robust-stats pipelines prefer over classical
     // moments (finite for heavy tails, bounded |t₃|,|t₄| < 1).
-    // Estimated via probability-weighted moments: ranks from one
-    // per-type sort window, values DECIMAL-quantized so every
-    // integer-weighted sum Σ x·(r−1)…(r−k) is EXACT (and, like the
-    // gini rank trick, tie-invariant: tied blocks contribute
-    // x·Σf(r), a closed sum). Only the final b-to-λ algebra runs in
-    // doubles, pinned at round(4).
+    // Estimated via probability-weighted moments over the TIE-BLOCK
+    // aggregate (the mannwhitney/ks discipline): the fact table
+    // collapses to (type, distinct value, cnt) first, a cumulative
+    // count window assigns each block its rank interval [s+1, s+c],
+    // and the integer-weighted sums Σ x·(r−1)…(r−k) come from the
+    // hockey-stick closed form Σ_{m=s}^{e−1} m^(k) =
+    // (e^(k+1) − s^(k+1))/(k+1) — EXACT decimal arithmetic, and
+    // tie-invariant by construction. A row_number over every fact
+    // row (the earlier shape) sorts the whole type partition through
+    // one task; the block form sorts only the distinct-value domain.
+    // Only the final b-to-λ algebra runs in doubles, round(4).
     "q_l_moments" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("x"), col("event_id"))
-      val ranked = Tables(s, dir, "events")
-        .select(col("event_type"), col("event_id"),
+      val blocks = Tables(s, dir, "events")
+        .select(col("event_type"),
           col("value").cast("decimal(18,6)").as("x"))
-        .withColumn("r", row_number().over(w).cast("long"))
-      val g = ranked.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).cast("decimal(38,6)").as("s0"),
-        sum((col("x") * (col("r") - 1)).cast("decimal(30,6)"))
+        .groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = blocks.withColumn("cum", sum(col("cnt")).over(w))
+      // block rank interval: m = r−1 runs over [st, e−1]
+      val e = col("cum").cast("decimal(38,0)")
+      val st = (col("cum") - col("cnt")).cast("decimal(38,0)")
+      def ff(a: org.apache.spark.sql.Column, k: Int) =
+        (0 until k).map(i => a - lit(i)).reduce(_ * _)
+      val sum1 = ((ff(e, 2) - ff(st, 2)) / 2).cast("decimal(38,0)")
+      val sum2 = ((ff(e, 3) - ff(st, 3)) / 3).cast("decimal(38,0)")
+      val sum3 = ((ff(e, 4) - ff(st, 4)) / 4).cast("decimal(38,0)")
+      val g = cum.groupBy(col("event_type")).agg(
+        sum(col("cnt")).as("n"),
+        sum((col("x") * col("cnt")).cast("decimal(30,6)"))
+          .cast("decimal(38,6)").as("s0"),
+        sum((col("x") * sum1).cast("decimal(30,6)"))
           .cast("decimal(38,6)").as("s1"),
-        sum((col("x") * ((col("r") - 1) * (col("r") - 2)))
-          .cast("decimal(30,6)")).cast("decimal(38,6)").as("s2"),
-        sum((col("x") * ((col("r") - 1) * (col("r") - 2) *
-          (col("r") - 3))).cast("decimal(30,6)"))
+        sum((col("x") * sum2).cast("decimal(30,6)"))
+          .cast("decimal(38,6)").as("s2"),
+        sum((col("x") * sum3).cast("decimal(30,6)"))
           .cast("decimal(38,6)").as("s3"))
       val n = col("n")
       val b0 = col("s0").cast("double") / n
@@ -552,9 +570,8 @@ object StatsQueries {
     "q_bootstrap_ci" -> { (s, dir) =>
       val B = 32
       // inverse CDF of Poisson(1) at the md5-uniform u
-      val u = expr("cast(conv(substring(md5(concat(" +
-        "cast(event_id as string), '_', cast(b as string))),1,15)" +
-        ",16,10) as bigint) / 1152921504606846976.0")
+      val u = Portable.h60(concat(col("event_id").cast("string"),
+        lit("_"), col("b").cast("string"))) / lit(Portable.two60)
       val w = when(u < 0.36787944117144233, 0)
         .when(u < 0.7357588823428847, 1)
         .when(u < 0.9196986029286058, 2)
@@ -710,12 +727,15 @@ object StatsQueries {
         .where(col("u") > col("t2"))
         .groupBy(col("variant"), col("user_id"))
         .agg(min(col("u")).as("t3"))
+      // t1/t2/t3 are already one row per (variant, user): plain
+      // count — a countDistinct here would plan an extra Expand +
+      // distinct-aggregate shuffle for identical values
       val s1 = t1.groupBy(col("variant"))
-        .agg(countDistinct(col("user_id")).as("n_signup"))
+        .agg(count(lit(1)).as("n_signup"))
       val s2 = t2.groupBy(col("variant"))
-        .agg(countDistinct(col("user_id")).as("n_click"))
+        .agg(count(lit(1)).as("n_click"))
       val s3 = t3.groupBy(col("variant"))
-        .agg(countDistinct(col("user_id")).as("n_purchase"))
+        .agg(count(lit(1)).as("n_purchase"))
       s1.join(s2, Seq("variant"), "left")
         .join(s3, Seq("variant"), "left")
         .select(col("variant"), col("n_signup"),

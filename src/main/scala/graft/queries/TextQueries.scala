@@ -19,12 +19,19 @@ object TextQueries {
     Tables(s, dir, "documents")
 
   /** documents ∪ planted copies of doc_id<20 (id-shifted) — gives the
-    * exact-dedup queries real duplicate groups to find.
+    * exact-dedup queries real duplicate groups to find. The shift is
+    * an IN-PLAN offset (max(doc_id)+1, one-row broadcast — the
+    * erCorpus precedent): a fixed constant would silently collide
+    * with real ids once the corpus outgrows it, corrupting the
+    * min(doc_id) canonical groups with the oracle agreeing on the
+    * same wrong answer.
     */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val off = d.agg((max(col("doc_id")) + 1).as("off"))
     d.unionByName(d.filter(col("doc_id") < 20)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("text")))
   }
 
   /** Shared quality sub-expressions (mirrored in oracle SQL). */
@@ -755,10 +762,15 @@ object TextQueries {
         sum(col("b")).as("tb"))
       val ea = col("ta") * (col("a") + col("b")) / (col("ta") + col("tb"))
       val eb = col("tb") * (col("a") + col("b")) / (col("ta") + col("tb"))
-      val termA = when(col("a") > 0,
-        col("a") * log(col("a") / ea)).otherwise(lit(0.0))
-      val termB = when(col("b") > 0,
-        col("b") * log(col("b") / eb)).otherwise(lit(0.0))
+      // ln is NOT bit-portable across libm implementations — the
+      // repo contract (bm25/perplexity) quantizes every ln before it
+      // can decide an ordering or a rounding boundary
+      val termA = when(col("a") > 0, col("a") *
+        log(col("a") / ea).cast("decimal(18,8)").cast("double"))
+        .otherwise(lit(0.0))
+      val termB = when(col("b") > 0, col("b") *
+        log(col("b") / eb).cast("decimal(18,8)").cast("double"))
+        .otherwise(lit(0.0))
       counts.crossJoin(broadcast(tot))
         .select(col("word"), col("a").as("n_target"),
           col("b").as("n_rest"),
@@ -772,10 +784,12 @@ object TextQueries {
     // scorer). One (doc, word) aggregate feeds everything: doc length
     // as a doc-window sum, document frequency as a word-window count
     // (both windows run over the aggregate, never positions), corpus
-    // size as a one-row broadcast. tf·idf = (c/len)·ln(N/df) is a
-    // per-row quotient of integers — IEEE-identical across engines —
-    // so the per-doc row_number cut (WindowGroupLimit-pruned)
-    // replays exactly.
+    // size as a one-row broadcast. tf·idf = (c/len)·ln(N/df): the
+    // quotients are IEEE-identical across engines, and the ln —
+    // which is NOT bit-portable across libm builds — is
+    // DECIMAL(18,8)-quantized before it can decide the per-doc
+    // row_number cut (WindowGroupLimit-pruned) or a round(·,6)
+    // boundary.
     "q_text_tfidf" -> { (s, dir) =>
       val g = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " "))
@@ -789,7 +803,8 @@ object TextQueries {
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val scored = g.crossJoin(broadcast(n))
         .withColumn("tfidf", (col("c") / col("doc_len")) *
-          log(col("n_docs") / col("df")))
+          log(col("n_docs") / col("df"))
+            .cast("decimal(18,8)").cast("double"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("word"))
       scored.withColumn("rank", row_number().over(w))
@@ -995,8 +1010,9 @@ object TextQueries {
       """WITH aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000 AS doc_id, text FROM documents
-           WHERE doc_id < 20),
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+             AS doc_id, text
+           FROM documents WHERE doc_id < 20),
          keep AS (
            SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
          d AS (
@@ -1177,8 +1193,9 @@ object TextQueries {
       """WITH aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000 AS doc_id, text FROM documents
-           WHERE doc_id < 20)
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+             AS doc_id, text
+           FROM documents WHERE doc_id < 20)
          SELECT md5(text) AS text_md5, count(*) AS n_copies,
            min(doc_id) AS canonical_id
          FROM aug GROUP BY md5(text) HAVING count(*) > 1
@@ -1188,8 +1205,9 @@ object TextQueries {
       """WITH aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000 AS doc_id, text FROM documents
-           WHERE doc_id < 20)
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+             AS doc_id, text
+           FROM documents WHERE doc_id < 20)
          SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
          ORDER BY doc_id""",
 
@@ -1722,10 +1740,12 @@ object TextQueries {
            SELECT word, a, b,
              2.0 * (
                (CASE WHEN a > 0
-                 THEN a * ln(a / (ta * (a + b) / (ta + tb)))
+                 THEN a * CAST(CAST(ln(a / (ta * (a + b) / (ta + tb)))
+                   AS DECIMAL(18,8)) AS DOUBLE)
                  ELSE 0.0 END) +
                (CASE WHEN b > 0
-                 THEN b * ln(b / (tb * (a + b) / (ta + tb)))
+                 THEN b * CAST(CAST(ln(b / (tb * (a + b) / (ta + tb)))
+                   AS DECIMAL(18,8)) AS DOUBLE)
                  ELSE 0.0 END)) AS llr
            FROM counts, tot)
          SELECT word, a AS n_target, b AS n_rest,
@@ -1747,7 +1767,8 @@ object TextQueries {
          n AS (SELECT count(*) AS n_docs FROM documents),
          scored AS (
            SELECT doc_id, word, c, doc_len, df,
-             (c / doc_len) * ln(n_docs / df) AS tfidf
+             (c / doc_len) * CAST(CAST(ln(n_docs / df)
+               AS DECIMAL(18,8)) AS DOUBLE) AS tfidf
            FROM gw, n),
          rk AS (
            SELECT doc_id, word, c, df, tfidf,
@@ -1792,8 +1813,9 @@ object TextQueries {
       """WITH aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000 AS doc_id, text FROM documents
-           WHERE doc_id < 20),
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+             AS doc_id, text
+           FROM documents WHERE doc_id < 20),
          toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM aug),
          sh0 AS (

@@ -188,8 +188,7 @@ object VectorQueries {
     // of the kept ids proving the exact selection).
     "q_sample_balanced" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val h = expr("cast(conv(substring(md5(cast(vec_id as string))" +
-        ",1,15),16,10) as bigint)")
+      val h = Portable.h60(col("vec_id"))
       val e = emb(s, dir).select(col("vec_id"), col("label"),
         h.as("h"))
       val nMin = e.groupBy(col("label")).count()

@@ -47,7 +47,9 @@ object StreamRowcount {
       val k = win.size
       if (k >= 3) {
         val s1 = win.sum
-        val s2 = win.map(x => x * x).sum
+        // BigInt squares — the batch query's DECIMAL(38,0) Σ²
+        // widening (long n*n wraps past ~3e9/day)
+        val s2 = win.map(x => BigInt(x) * BigInt(x)).sum
         val mean = s1.toDouble / k
         val variance = s2.toDouble / k - mean * mean
         val z = (counts(d) - mean) / math.sqrt(math.max(variance, 1.0))

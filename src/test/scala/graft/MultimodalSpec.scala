@@ -85,17 +85,22 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
       assert(r.getAs[Long]("hamming") <= 3)
     }
-    // every planted exact copy (id < 20 duplicated at id+100000)
-    // must be found with hamming 0 — identical bytes, identical hash
+    // every planted exact copy (id < 20 duplicated at id+offset,
+    // offset = max(doc_id)+1 in-plan) must be found with hamming 0 —
+    // identical bytes, identical hash
     val found = rows.filter(r => r.getAs[Long]("hamming") == 0L)
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val off = Tables(spark, sf(), "documents")
+      .agg(org.apache.spark.sql.functions
+        .max(org.apache.spark.sql.functions.col("doc_id")))
+      .head().getLong(0) + 1
     val planted = Tables(spark, sf(), "documents")
       .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
       .select("doc_id").collect().map(_.getLong(0))
     assert(planted.nonEmpty)
     planted.foreach { id =>
-      assert(found.contains((id, id + 100000)),
-        s"planted copy pair ($id, ${id + 100000}) missed")
+      assert(found.contains((id, id + off)),
+        s"planted copy pair ($id, ${id + off}) missed")
     }
   }
 }
