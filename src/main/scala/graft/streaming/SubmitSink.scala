@@ -73,15 +73,25 @@ object SubmitSink {
       batch.select(col(keyCol)).write.mode(SaveMode.Append)
         .parquet(stateDir)
     case StateFirst =>
+      // EAGER lineage cut, not persist(): the state write below runs
+      // recacheByPath on stateDir, which recomputes any cached plan
+      // that READS stateDir — a persist()'d anti-join re-evaluates
+      // against the keys it just wrote and comes back EMPTY, so the
+      // submit write silently loses every clean batch after the
+      // first (caught by ServeSpec end-to-end; SinkOrderingSpec now
+      // pins the clean-second-batch leg). localCheckpoint
+      // materializes the anti-joined batch BEFORE the state write
+      // and replaces the plan with the materialized partitions, so
+      // nothing downstream can re-read stateDir. Executor loss
+      // between the writes fails the batch → streaming retry →
+      // replay is guarded off by the state log: still at-most-once.
       val fresh = processedKeys(batch.sparkSession, stateDir, keyCol)
         .fold(batch)(seen =>
           batch.join(seen, Seq(keyCol), "left_anti"))
-        .persist()
-      try {
-        fresh.select(col(keyCol)).write.mode(SaveMode.Append)
-          .parquet(stateDir)
-        failpoint()
-        fresh.write.mode(SaveMode.Append).parquet(submitDir)
-      } finally fresh.unpersist()
+        .localCheckpoint()
+      fresh.select(col(keyCol)).write.mode(SaveMode.Append)
+        .parquet(stateDir)
+      failpoint()
+      fresh.write.mode(SaveMode.Append).parquet(submitDir)
   }
 }

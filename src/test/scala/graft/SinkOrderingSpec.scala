@@ -63,6 +63,15 @@ class SinkOrderingSpec extends SparkSpec {
     val q3 = start() // recovery: offsets uncommitted → batch replays
     try q3.processAllAvailable() finally q3.stop()
 
+    // a CLEAN batch after state already exists — the regression leg
+    // for the recacheByPath loss: StateFirst's anti-joined batch
+    // must survive its own state write (persist() did not — the
+    // state append recomputed the cached plan against the
+    // just-written keys and submitted EMPTY)
+    feed("c.json", Seq(5L, 6L))
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+
     val submits = spark.read.parquet(submitDir)
       .groupBy($"entityId").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -79,8 +88,10 @@ class SinkOrderingSpec extends SparkSpec {
     // write, and REPLAYED: present (no loss) and duplicated
     assert(r.submitCounts(3L) == 2 && r.submitCounts(4L) == 2,
       s"expected the killed batch re-sent exactly twice: ${r.submitCounts}")
-    assert(r.stateKeys == Set(1L, 2L, 3L, 4L),
+    assert(r.stateKeys == Set(1L, 2L, 3L, 4L, 5L, 6L),
       s"state must catch up on replay: ${r.stateKeys}")
+    assert(r.submitCounts(5L) == 1 && r.submitCounts(6L) == 1,
+      s"clean post-crash batch must submit once: ${r.submitCounts}")
   }
 
   test("state-before-submit (webhook, task.ts:149->151): crash loses, never duplicates") {
@@ -92,8 +103,13 @@ class SinkOrderingSpec extends SparkSpec {
     assert(!r.submitCounts.contains(3L) && !r.submitCounts.contains(4L),
       s"state-first must NOT re-send after the state landed: " +
         s"${r.submitCounts}")
-    assert(r.stateKeys == Set(1L, 2L, 3L, 4L),
+    assert(r.stateKeys == Set(1L, 2L, 3L, 4L, 5L, 6L),
       s"state should have recorded the killed batch: ${r.stateKeys}")
+    // the clean batch AFTER state exists must flow — the
+    // recacheByPath regression lost exactly this leg
+    assert(r.submitCounts(5L) == 1 && r.submitCounts(6L) == 1,
+      s"clean second batch lost (recacheByPath regression): " +
+        s"${r.submitCounts}")
     assert(r.submitCounts.values.forall(_ == 1L),
       s"state-first must never duplicate: ${r.submitCounts}")
   }
