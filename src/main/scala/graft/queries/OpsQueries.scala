@@ -250,9 +250,62 @@ object OpsQueries {
             .as("total_value"),
           max(col("age_days")).cast("long").as("max_age"))
         .orderBy(col("o_orderstatus"), col("age_bucket"))
+    },
+
+    // Deterministic global shuffle → fixed-size training shards —
+    // the export step every training pipeline ends with: rows must
+    // land in a reproducible pseudo-random order, cut into shards of
+    // exactly `shardSize`, with NO global sort. The shuffle order is
+    // the portable md5 hex of doc_id; global rank is recovered from
+    // 256 hash-prefix buckets (first 2 hex chars — prefix order is
+    // consistent with full-string order): per-bucket counts
+    // prefix-sum into rank offsets (unpartitioned window over the
+    // ≤256-row bucket aggregate — constant-bounded domain, the
+    // audited exception), and row_number runs WITHIN buckets only.
+    // The widest serial sort is |docs|/256 at any SF; each doc
+    // crosses the wire once for the bucket window and once for the
+    // shard rollup. Readout: per-shard doc count / char volume /
+    // hash span (every shard exactly shardSize docs except the
+    // tail — the property OpsSpec pins).
+    "q_shuffle_shards" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val shardSize = 64
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt",
+          conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      val counts = docs.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      val offsets = counts.withColumn("off",
+        coalesce(sum(col("c")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wIn = Window.partitionBy(col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+      docs.join(broadcast(offsets.select(col("bkt"), col("off"))),
+          Seq("bkt"))
+        .withColumn("rnk", col("off") + row_number().over(wIn))
+        .withColumn("shard",
+          floor((col("rnk") - 1) / shardSize).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("shard_chars"),
+          min(col("h")).as("min_hash"), max(col("h")).as("max_hash"))
+        .orderBy(col("shard"))
     })
 
   val oracles: Map[String, String] = Map(
+
+    "q_shuffle_shards" ->
+      """WITH ranked AS (
+           SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+           FROM documents)
+         SELECT CAST(floor((rnk - 1) / 64) AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+           min(h) AS min_hash, max(h) AS max_hash
+         FROM ranked GROUP BY 1 ORDER BY 1""",
 
     "q_snapshot_diff" ->
       """WITH v1 AS (

@@ -131,4 +131,32 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_shuffle_shards: recovers the exact global shuffle order with no global sort") {
+    val rows = q("q_shuffle_shards").collect()
+    val nDocs = Tables(spark, sf(), "documents").count()
+    // shards are contiguous 0..n-1; every shard is exactly 64 docs
+    // except the tail; doc count conserves
+    assert(rows.map(_.getAs[Long]("shard")).toSeq ==
+      (0L until rows.length).toSeq)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.init.foreach(r => assert(r.getAs[Long]("n_docs") == 64L))
+    assert(rows.last.getAs[Long]("n_docs") <= 64L)
+    // the hash spans tile: shard i's max_hash < shard i+1's min_hash
+    // — the bucket-offset rank IS the global md5 order, proven
+    // without ever running a global sort
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[String]("max_hash") < b.getAs[String]("min_hash"),
+        s"shard spans overlap: ${a} vs ${b}")
+      case _ => ()
+    }
+    // plan gate: the doc-domain window is PARTITIONED (bkt); the
+    // only unpartitioned window runs on the ≤256-row bucket
+    // aggregate — so no Sort node ever sees the full doc domain in
+    // one partition
+    val p = withoutAqe(q("q_shuffle_shards")
+      .queryExecution.executedPlan.toString)
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"expected the per-bucket partitioned window:\n$p")
+  }
 }
