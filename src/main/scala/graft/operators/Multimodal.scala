@@ -266,11 +266,19 @@ object Multimodal {
     }
     if (in == null) None
     else {
-      val fmt = in.getFormat
-      val bytes = in.readAllBytes()
-      in.close()
-      if (fmt.getSampleSizeInBits != 16) None
-      else Some((fmt, bytes))
+      // the data read must sit under the same corrupt-record catch
+      // as the header parse: a truncated-but-header-valid payload
+      // throws HERE, and an unhandled throw kills the task, not the
+      // record; close in finally so the failure path can't leak the
+      // stream
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        if (fmt.getSampleSizeInBits != 16) None
+        else Some((fmt, bytes))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally in.close()
     }
   }
 

@@ -131,8 +131,16 @@ object Similarity {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // measure the dimensionality (the annPq idiom) — a hardcoded
     // dim would silently bucket wider embeddings on a prefix of
-    // their components and collapse recall with no error
-    val dim = v.select(size(col("vec"))).first().getInt(0)
+    // their components and collapse recall with no error. An empty
+    // or null-vector corpus has no dimensionality to measure: any
+    // positive stand-in works because there is nothing to bucket —
+    // the joins below produce the correct empty result instead of
+    // first() throwing on an empty probe.
+    val dim = v.where(col("vec").isNotNull)
+      .select(size(col("vec"))).take(1) match {
+      case Array(r) if r.getInt(0) > 0 => r.getInt(0)
+      case _ => 1
+    }
     val planes = rademacherPlanes(dim, tables * bitsPerTable)
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), posexplode(

@@ -445,10 +445,14 @@ object QualityQueries {
         // n² in DECIMAL, not long: a (type, day) count past ~3e9
         // would wrap n*n in 64-bit and clamp every variance to the
         // greatest(·, 1) floor — silent mass false-positives at the
-        // 100 TB target (DuckDB sums in int128, so parity would
-        // break too)
-        .withColumn("s2",
-          sum((col("n") * col("n")).cast("decimal(38,0)")).over(w))
+        // 100 TB target (DuckDB sums in int128, and the streaming
+        // twin squares in BigInt, so parity would break too). The
+        // cast must precede the multiply — casting the Long product
+        // wraps first.
+        .withColumn("s2", sum({
+          val n = col("n").cast("decimal(38,0)")
+          n * n
+        }).over(w))
         .where(col("k") >= 3)
       val mean = col("s1").cast("double") / col("k")
       val variance = col("s2").cast("double") / col("k") -

@@ -352,10 +352,14 @@ object StatsQueries {
         sum(col("cnt_t") * col("avg_rank")).as("r_t"),
         // cnt³ in DECIMAL: a tie block past ~2.1e6 rows wraps the
         // 64-bit cube (values sit on a bounded 2-decimal grid, so
-        // blocks grow linearly with the corpus) — DECIMAL keeps the
-        // tie correction exact and matches DuckDB's HUGEINT sum
-        sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-          .cast("decimal(38,0)")).as("tie_sum"))
+        // blocks grow linearly with the corpus) — the cast must land
+        // BEFORE the multiplies (casting the Long product would wrap
+        // first and widen the wreckage); DECIMAL keeps the tie
+        // correction exact and matches DuckDB's HUGEINT sum
+        sum({
+          val c = col("cnt").cast("decimal(38,0)")
+          c * c * c - c
+        }).as("tie_sum"))
       val nC = col("n") - col("n_t")
       val u = col("r_t") - col("n_t") * (col("n_t") + lit(1)) / lit(2.0)
       val mu = nC * col("n_t") / lit(2.0)
@@ -446,13 +450,19 @@ object StatsQueries {
       val sum3 = ((ff(e, 4) - ff(st, 4)) / 4).cast("decimal(38,0)")
       val g = cum.groupBy(col("event_type")).agg(
         sum(col("cnt")).as("n"),
-        sum((col("x") * col("cnt")).cast("decimal(30,6)"))
+        // full-width (38,6) intermediates: the old (30,6) narrowing
+        // cast nulled any block term past ~1e24 (x·sum3 gets there
+        // around 5e5 rows per type) and sum() then silently DROPPED
+        // those blocks — (38,6) is the product's natural type, so
+        // the cast only documents it; overflow now surfaces as an
+        // explicit null result, not a quietly wrong statistic
+        sum((col("x") * col("cnt")).cast("decimal(38,6)"))
           .cast("decimal(38,6)").as("s0"),
-        sum((col("x") * sum1).cast("decimal(30,6)"))
+        sum((col("x") * sum1).cast("decimal(38,6)"))
           .cast("decimal(38,6)").as("s1"),
-        sum((col("x") * sum2).cast("decimal(30,6)"))
+        sum((col("x") * sum2).cast("decimal(38,6)"))
           .cast("decimal(38,6)").as("s2"),
-        sum((col("x") * sum3).cast("decimal(30,6)"))
+        sum((col("x") * sum3).cast("decimal(38,6)"))
           .cast("decimal(38,6)").as("s3"))
       val n = col("n")
       val b0 = col("s0").cast("double") / n

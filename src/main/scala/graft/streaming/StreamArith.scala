@@ -28,6 +28,10 @@ private[graft] object StreamArith {
   def dec6(v: Double): BigDecimal =
     BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
 
+  /** HALF_UP at 6 decimals as a double — round4's sibling readout
+    * grid (uplift SE). */
+  def round6(v: Double): Double = dec6(v).toDouble
+
   // per-thread digest (hot path: one call per record) — the
   // SketchExpressions idiom, never a per-record getInstance
   private val md5Local =

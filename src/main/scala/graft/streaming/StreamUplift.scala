@@ -36,10 +36,7 @@ case class UpliftState(nC: Long, nT: Long, rC: Long, rT: Long)
 object StreamUplift {
 
   private def round4(v: Double): Double = StreamArith.round4(v)
-
-  private def round6(v: Double): Double =
-    BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+  private def round6(v: Double): Double = StreamArith.round6(v)
 
   private[graft] def readout(key: String, st: UpliftState)
       : UpliftEstimate = {

@@ -49,13 +49,26 @@ object SubmitSink {
     * duplicate sends. A real read error propagates for the same
     * reason: "could not read the log" must fail the batch, not
     * masquerade as "nothing processed yet".
+    *
+    * "Exists" means COMMITTED DATA FILES, not the directory: a crash
+    * during the very first state write leaves the dir holding only
+    * `_temporary` scaffolding (FileOutputCommitter creates the dir
+    * at job setup), and `spark.read.parquet` on that throws
+    * "unable to infer schema" — which would crash-loop the stream
+    * forever on replay. An uncommitted dir IS "nothing processed
+    * yet"; only files outside the `_`/`.` marker namespace count.
     */
   private def processedKeys(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, keyCol: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
+    val committed = fs.exists(path) &&
+      fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (committed)
       Some(spark.read.parquet(stateDir)
         .select(col(keyCol)).distinct())
     else None

@@ -40,13 +40,24 @@ class AudioCodecSpec extends SparkSpec {
     MediaRecord(1L, "audio/wav", wav(sine(8000, 100, 0.5), 8000f)),
     MediaRecord(2L, "audio/wav", wav(Array.fill(4000)(0.25), 16000f)),
     MediaRecord(3L, "application/octet-stream",
-      Array[Byte](9, 9, 9, 9, 9, 9, 9, 9))) // corrupt
+      Array[Byte](9, 9, 9, 9, 9, 9, 9, 9)), // corrupt
+    // header-valid but truncated mid-data: the RIFF header parses
+    // (getAudioInputStream succeeds) and the PCM read stops at the
+    // real EOF — decode must survive (the read sits under the same
+    // corrupt-record catch as the header parse, for decoder SPIs
+    // that throw instead) and report the SAMPLES PRESENT, not the
+    // header's declared length
+    MediaRecord(4L, "audio/wav",
+      wav(sine(8000, 100, 0.5), 8000f).take(60)))
 
   test("decodeWav: real format header + RMS; corrupt rows dropped") {
     val got = Multimodal.decodeWav(records.toDS())
       .collect().sortBy(_.doc_id)
-    assert(got.map(_.doc_id).toSeq == Seq(1L, 2L),
+    assert(got.map(_.doc_id).toSeq == Seq(1L, 2L, 4L),
       "corrupt payload must be dropped, decodables kept")
+    // truncated record: 60 bytes − 44-byte header = 8 int16 samples
+    assert(got(2).n_samples == 8L,
+      s"truncated WAV should decode its present samples: ${got(2)}")
     val s1 = got(0)
     assert(s1.sample_rate == 8000 && s1.channels == 1 &&
       s1.n_samples == 8000)
@@ -76,7 +87,8 @@ class AudioCodecSpec extends SparkSpec {
     // doc 2: constant positive signal never crosses zero
     val w2 = win(2L)
     assert(w2.length == 7 && w2.forall(_.zero_crossings == 0))
-    // corrupt doc emits nothing
-    assert(!win.contains(3L))
+    // corrupt doc emits nothing; truncated doc (8 samples) has no
+    // full window and emits nothing — but kills no task
+    assert(!win.contains(3L) && !win.contains(4L))
   }
 }

@@ -113,4 +113,23 @@ class SinkOrderingSpec extends SparkSpec {
     assert(r.submitCounts.values.forall(_ == 1L),
       s"state-first must never duplicate: ${r.submitCounts}")
   }
+
+  test("StateFirst: uncommitted state dir (crash during first write) reads as nothing-processed") {
+    // a kill mid-way through the FIRST state write leaves the dir
+    // existing with only _temporary scaffolding — replay must treat
+    // that as an empty log (the batch flows), not crash-loop on
+    // "unable to infer schema"
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-uncommitted-$p").toString
+    val stateDir = tmp("state") + "/st"
+    val submitDir = tmp("submit") + "/out"
+    assert(new java.io.File(stateDir, "_temporary/0").mkdirs())
+    val batch = Seq((1L, 10.0), (2L, 20.0))
+      .toDF("entityId", "course")
+    SubmitSink.processBatch(batch, "entityId",
+      SubmitSink.StateFirst, submitDir, stateDir)
+    assert(spark.read.parquet(submitDir).count() == 2,
+      "batch must submit against an uncommitted state dir")
+    assert(spark.read.parquet(stateDir).distinct().count() == 2)
+  }
 }
