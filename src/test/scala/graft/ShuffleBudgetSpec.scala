@@ -235,4 +235,22 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(rows > 0 && rows < n * 64,
       s"power iteration shuffled matrix-scale data: $rows")
   }
+
+  test("shuffle-shard ranking shuffles each doc O(1) times, never a global sort") {
+    val n = Tables(spark, sf(), "documents").count()
+    val rows = shuffledRecords {
+      SparkEntry.queries("q_shuffle_shards")(spark, sf()).collect()
+    }
+    // budget: docs cross once into the bucket window and once into
+    // the shard rollup, plus the ≤256-row count/offset aggregates
+    // (×2 for map-side partials in the worst case). A global-sort
+    // row_number would put every doc through a single-partition
+    // exchange — same row count but unbounded per-task payload; the
+    // plan gate in OpsSpec pins the partitioned window, this gate
+    // pins the total wire volume staying linear with a small
+    // constant.
+    info(s"shuffle-shards moved $rows rows for $n docs")
+    assert(rows > 0 && rows <= 3 * n + 2048,
+      s"shard ranking shuffle outgrew the two-pass budget: $rows")
+  }
 }
