@@ -272,7 +272,14 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightSchema.length)
       new Iterator[InternalRow] {
-        // lookahead right row (copied: child iterators reuse buffers)
+        // lookahead right row — an UNCOPIED reference into the child
+        // iterator's reused buffer. Safe because the buffer only
+        // mutates on rIter.next(), and the `if (rCur == null)` guard
+        // means we never call next() while rCur is live. Only the
+        // row that must OUTLIVE the lookahead (lastMatch) is copied,
+        // so the merge pays one copy per retained match instead of
+        // one per right row (most right rows are skipped: passed key
+        // groups, null keys, future timestamps).
         private var rCur: InternalRow = _
         private var lastMatch: InternalRow = _
         private var lastMatchKey: Any = _
@@ -284,7 +291,7 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
           if (lKey != null && lTs != null) {
             var scan = true
             while (scan && (rCur != null || rIter.hasNext)) {
-              if (rCur == null) rCur = rIter.next().copy()
+              if (rCur == null) rCur = rIter.next()
               val rKey =
                 if (rCur.isNullAt(rKeyOrd)) null else rCur.get(rKeyOrd, keyDt)
               if (rKey == null) {
@@ -298,9 +305,10 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
                     else rCur.get(rTsOrd, tsDt)
                   if (rTs == null) rCur = null
                   else if (tsCmp.compare(rTs, lTs) <= 0) {
-                    // newest-so-far match for this key (rCur is
-                    // already a defensive copy)
-                    lastMatch = rCur
+                    // newest-so-far match for this key — the ONE
+                    // place a right row outlives the lookahead, so
+                    // the ONE place that pays a copy
+                    lastMatch = rCur.copy()
                     lastMatchKey = InternalRow.copyValue(rKey)
                     rCur = null
                   } else scan = false // future right row: keep for later

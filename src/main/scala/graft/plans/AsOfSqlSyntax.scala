@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   *
   * Like DuckDB, a relation actually NAMED `asof` in join position is
   * ambiguous; the lexer leaves `ASOF` alone when it directly follows
-  * `FROM`, `,` or `(` (where it can only be a relation name).
+  * `FROM`, `,`, `AS` or an opening paren (where it can only be a
+  * relation name or alias).
   */
 object AsOfSyntax {
 
@@ -130,17 +131,25 @@ object AsOfSyntax {
   def rewrite(sql: String): String = {
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("ASOF")) return sql
     val toks = lex(sql)
-    final case class Edit(pos: Int, del: Int, ins: String)
+    import SqlEdits.Edit
     val edits = List.newBuilder[Edit]
     var k = 0
     while (k < toks.length) {
       val t = toks(k)
       val nxt = if (k + 1 < toks.length) toks(k + 1).up else ""
       val prev = if (k > 0) toks(k - 1).up else "FROM"
+      // "directly follows (": the lexer emits no '(' token, so the
+      // open paren shows up as a DEPTH STEP against the previous
+      // token — comparing prev's text to "(" was dead code and let
+      // a relation named asof in subquery-join position be mangled
+      val afterOpenParen = k > 0 && t.depth > toks(k - 1).depth
       val isAsofJoin = t.up == "ASOF" &&
         (nxt == "JOIN" ||
           (nxt == "LEFT" && k + 2 < toks.length && toks(k + 2).up == "JOIN"))
-      if (isAsofJoin && prev != "FROM" && prev != "," && prev != "(") {
+      // relation-name positions (FROM x / , x / ( x / AS x): ASOF
+      // there can only be a table/alias named asof — leave it alone
+      if (isAsofJoin && prev != "FROM" && prev != "," && prev != "AS" &&
+          !afterOpenParen) {
         // locate this join's ON at the same depth
         var m = k + (if (nxt == "LEFT") 3 else 2)
         var onIdx = -1
@@ -171,14 +180,7 @@ object AsOfSyntax {
       }
       k += 1
     }
-    val es = edits.result()
-    if (es.isEmpty) sql
-    else {
-      val sb = new StringBuilder(sql)
-      es.sortBy(-_.pos).foreach(ed =>
-        sb.replace(ed.pos, ed.pos + ed.del, ed.ins))
-      sb.toString
-    }
+    SqlEdits(sql, edits.result())
   }
 }
 

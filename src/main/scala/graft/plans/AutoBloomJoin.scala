@@ -53,6 +53,12 @@ object AutoBloomJoin extends Rule[LogicalPlan]
     case Filter(cond, _) =>
       splitConjunctivePredicates(cond).exists {
         case _: IsNotNull => false
+        // an injected bloom is not USER selectivity: counting it
+        // would let one injection license a reverse second bloom on
+        // a side that carries no real filter — a full extra scan of
+        // the probe side (including the first bloom's subquery) for
+        // no pruning value
+        case c if c.exists(_.isInstanceOf[BloomMightContainExpr]) => false
         case _ => true
       }
     case _ => false

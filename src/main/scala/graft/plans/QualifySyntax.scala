@@ -38,7 +38,7 @@ object QualifySyntax {
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("QUALIFY"))
       return sql
     val toks = AsOfSyntax.lex(sql)
-    final case class Edit(pos: Int, del: Int, ins: String)
+    import SqlEdits.Edit
     val edits = List.newBuilder[Edit]
     var k = 0
     while (k < toks.length) {
@@ -87,14 +87,7 @@ object QualifySyntax {
       }
       k += 1
     }
-    val es = edits.result()
-    if (es.isEmpty) sql
-    else {
-      val sb = new StringBuilder(sql)
-      es.sortBy(-_.pos).foreach(ed =>
-        sb.replace(ed.pos, ed.pos + ed.del, ed.ins))
-      sb.toString
-    }
+    SqlEdits(sql, edits.result())
   }
 }
 
@@ -122,7 +115,7 @@ object DistinctOnSyntax {
     val up = sql.toUpperCase(java.util.Locale.ROOT)
     if (!up.contains("DISTINCT") || !up.contains("ON")) return sql
     val toks = AsOfSyntax.lex(sql)
-    final case class Edit(pos: Int, del: Int, ins: String)
+    import SqlEdits.Edit
     val edits = List.newBuilder[Edit]
     var k = 0
     while (k < toks.length) {
@@ -184,14 +177,7 @@ object DistinctOnSyntax {
       }
       k += 1
     }
-    val es = edits.result()
-    if (es.isEmpty) sql
-    else {
-      val sb = new StringBuilder(sql)
-      es.sortBy(-_.pos).foreach(ed =>
-        sb.replace(ed.pos, ed.pos + ed.del, ed.ins))
-      sb.toString
-    }
+    SqlEdits(sql, edits.result())
   }
 }
 

@@ -347,29 +347,8 @@ case class NearestCellsExpr(child: Expression,
   @transient private lazy val carr: Array[Array[Double]] =
     cents.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
-    val n = vec.numElements()
-    val m = carr.length
-    val cos = new Array[Double](m)
-    var c = 0
-    while (c < m) {
-      val cent = carr(c)
-      val d = math.min(n, cent.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < d) {
-        val x = cent(i)
-        val y = vec.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      cos(c) = dot / math.sqrt(na * nb)
-      c += 1
-    }
-    val idx = Array.range(0, m).sortBy(i => (-cos(i), i))
-    new GenericArrayData(idx.map(i => i: Any))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsExpr.rankCells(carr, input)
 
   override protected def withNewChildInternal(c: Expression): NearestCellsExpr =
     copy(child = c)
@@ -392,8 +371,24 @@ case class NearestCellsBcastExpr(child: Expression,
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val carr = bcast.value
+  override def nullSafeEval(input: Any): Any =
+    NearestCellsExpr.rankCells(bcast.value, input)
+
+  override protected def withNewChildInternal(
+      c: Expression): NearestCellsBcastExpr = copy(child = c)
+}
+
+object NearestCellsExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** The ONE cosine-rank body both variants evaluate (literal and
+    * broadcast centroids differ only in where the matrix comes
+    * from); the oracle-parity contract — same formula, same
+    * associativity, ties by ascending index — lives here once, so a
+    * future numeric fix cannot desynchronize the two.
+    */
+  private[plans] def rankCells(carr: Array[Array[Double]],
+      input: Any): GenericArrayData = {
     val vec = input.asInstanceOf[ArrayData]
     val n = vec.numElements()
     val m = carr.length
@@ -416,13 +411,6 @@ case class NearestCellsBcastExpr(child: Expression,
     val idx = Array.range(0, m).sortBy(i => (-cos(i), i))
     new GenericArrayData(idx.map(i => i: Any))
   }
-
-  override protected def withNewChildInternal(
-      c: Expression): NearestCellsBcastExpr = copy(child = c)
-}
-
-object NearestCellsExpr {
-  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def nearest_cells(vec: Column, cents: Array[Array[Double]]): Column =
     column(NearestCellsExpr(expression(vec),
       cents.map(_.toIndexedSeq).toSeq))

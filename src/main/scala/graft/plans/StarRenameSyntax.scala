@@ -49,7 +49,7 @@ object StarRenameSyntax {
       while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
       p
     }
-    final case class Edit(pos: Int, del: Int, ins: String)
+    import SqlEdits.Edit
     val edits = List.newBuilder[Edit]
     toks.zipWithIndex.foreach { case (t, ti) =>
       if (t.up == "RENAME") {
@@ -99,14 +99,7 @@ object StarRenameSyntax {
         }
       }
     }
-    val es = edits.result()
-    if (es.isEmpty) sql
-    else {
-      val sb = new StringBuilder(sql)
-      es.sortBy(-_.pos).foreach(ed =>
-        sb.replace(ed.pos, ed.pos + ed.del, ed.ins))
-      sb.toString
-    }
+    SqlEdits(sql, edits.result())
   }
 }
 
@@ -175,6 +168,7 @@ object RewriteStarRename extends Rule[LogicalPlan] {
         }
         val used = scala.collection.mutable.Set.empty[ExprId]
         val added = scala.collection.mutable.Map.empty[ExprId, Attribute]
+        val srcRemap = scala.collection.mutable.Map.empty[ExprId, Attribute]
         val newList = proj.projectList.flatMap {
           case Alias(StarRenameMarker(_), _) => None
           case attr: Attribute
@@ -184,10 +178,23 @@ object RewriteStarRename extends Rule[LogicalPlan] {
               markers.find(_._2 == attr.exprId).get
             used += srcId
             val fresh = Alias(attr, newName)()
-            added += srcId -> fresh.toAttribute
+            srcRemap += srcId -> fresh.toAttribute
             added += markerId -> fresh.toAttribute
             Some(fresh)
           case other => Some(other)
+        }
+        // old-id → renamed-attribute redirection exists for OUTER
+        // references whose column was consumed by the rename — but
+        // when the explicit-re-reference contract keeps the source
+        // attribute in the output (`SELECT * RENAME (a AS x), a`),
+        // that id is still a live, reachable column and redirecting
+        // it would silently rename the outer query's `a` to `x`.
+        // Only ids that vanished from the output get remapped.
+        val outIds = newList.collect {
+          case attr: Attribute => attr.exprId
+        }.toSet
+        srcRemap.foreach { case (srcId, at) =>
+          if (!outIds.contains(srcId)) added += srcId -> at
         }
         markers.collect { case (n, id, _) if !used.contains(id) => n }
           match {

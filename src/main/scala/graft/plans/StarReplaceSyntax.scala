@@ -50,7 +50,7 @@ object StarReplaceSyntax {
       while (p < sql.length && Character.isWhitespace(sql.charAt(p))) p += 1
       p
     }
-    final case class Edit(pos: Int, del: Int, ins: String)
+    import SqlEdits.Edit
     val edits = List.newBuilder[Edit]
     toks.zipWithIndex.foreach { case (t, ti) =>
       if (t.up == "REPLACE") {
@@ -106,14 +106,7 @@ object StarReplaceSyntax {
         }
       }
     }
-    val es = edits.result()
-    if (es.isEmpty) sql
-    else {
-      val sb = new StringBuilder(sql)
-      es.sortBy(-_.pos).foreach(ed =>
-        sb.replace(ed.pos, ed.pos + ed.del, ed.ins))
-      sb.toString
-    }
+    SqlEdits(sql, edits.result())
   }
 }
 

@@ -46,6 +46,39 @@ class AsOfSyntaxSpec extends SparkSpec {
     assert(sub.contains("ON asof_cond( p.k = e.k AND p.ts >= e.ts) )"))
   }
 
+  test("chained ASOF JOINs: the boundary edits compose, both rewrite") {
+    // the first join's close-paren insert lands at exactly the
+    // second join's ASOF-delete position — the stable pos-only sort
+    // applied the insert first and the delete then swallowed it plus
+    // half the keyword (")" lost, a stray "OF" left behind)
+    val got = AsOfSyntax.rewrite(
+      "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts " +
+        "ASOF JOIN c ON a.k = c.k AND a.ts >= c.ts")
+    assert(!got.contains("OF "), s"corrupted rewrite: $got")
+    assert(got.contains("JOIN b ON asof_cond( a.k = b.k AND a.ts >= b.ts ) ") &&
+      got.contains("JOIN c ON asof_cond( a.k = c.k AND a.ts >= c.ts)"),
+      s"got: $got")
+    // and the chained query actually runs end-to-end
+    events()
+    val df = spark.sql(
+      """SELECT q.event_id FROM asof_syn_events q
+         ASOF JOIN asof_syn_events b ON q.user_id = b.user_id AND q.ts >= b.ts
+         ASOF JOIN asof_syn_events c ON q.user_id = c.user_id AND q.ts >= c.ts
+         LIMIT 5""")
+    assert(df.count() == 5)
+  }
+
+  test("relation-name positions survive: AS asof alias, asof after open paren") {
+    // aliased relation named asof: a plain equi-join, not ASOF syntax
+    val s1 = "SELECT * FROM p AS asof JOIN e ON asof.k = e.k"
+    assert(AsOfSyntax.rewrite(s1) === s1)
+    // relation named asof directly after an opening paren (the lexer
+    // emits no '(' token — the paren shows as a depth step, which
+    // the old `prev != "("` comparison could never see)
+    val s2 = "SELECT * FROM a JOIN (asof JOIN b ON asof.k = b.k) ON a.k = b.k"
+    assert(AsOfSyntax.rewrite(s2) === s2)
+  }
+
   test("ON condition terminates before NATURAL / LATERAL VIEW / PIVOT") {
     // NATURAL followed by another join-prefix word (INNER/CROSS/...)
     // previously got swallowed INTO the asof condition

@@ -265,4 +265,25 @@ class QualifySpec extends SparkSpec {
     assert(twice.getMessage.contains("renamed twice"),
       s"got: ${twice.getMessage}")
   }
+
+  test("star-RENAME: outer references to an explicitly kept column stay on it") {
+    Tables.registerViews(spark, sf())
+    // the kept o_totalprice is still a live output column of the
+    // subquery, so the outer reference must bind to IT — not be
+    // silently redirected (and renamed) to the renamed attribute
+    val df = spark.sql(
+      """SELECT o_totalprice FROM (
+           SELECT * RENAME (o_totalprice AS price), o_totalprice
+           FROM orders) ORDER BY o_totalprice LIMIT 3""")
+    assert(df.columns.toSeq == Seq("o_totalprice"),
+      s"outer column renamed: ${df.columns.mkString(",")}")
+    assert(df.count() == 3)
+    // and when the source column was CONSUMED by the rename, outer
+    // references to the NEW name work through the remap
+    val consumed = spark.sql(
+      """SELECT price FROM (
+           SELECT * RENAME (o_totalprice AS price) FROM orders)
+         ORDER BY price LIMIT 3""")
+    assert(consumed.columns.toSeq == Seq("price") && consumed.count() == 3)
+  }
 }
