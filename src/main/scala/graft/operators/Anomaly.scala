@@ -36,13 +36,21 @@ object Anomaly {
       .withColumn("__sq", sum(dv * dv).over(w))
       .withColumn("__c", count(dv).over(w))
       .withColumn("__mean", col("__s").cast("double") / col("__c"))
-      // variance via the EXACT decimal numerator (c·Σx² − (Σx)²)/c²:
-      // the E[x²] − E[x]² form subtracts two near-equal doubles and
+      // variance via the decimal numerator (c·Σx² − (Σx)²)/c²: the
+      // E[x²] − E[x]² form subtracts two near-equal doubles and
       // cancels catastrophically for large-offset series (values
       // ~1e7 with σ ~1e-3 compute __var = 0 and silently leave every
-      // row unscored); the decimal difference is exact, so only one
-      // well-conditioned double division remains. Oracle and
-      // streaming twin replay the identical formula.
+      // row unscored); the decimal difference avoids that failure
+      // mode entirely. Precision envelope, stated honestly: the two
+      // products exceed decimal(38) at full scale 12, so Spark's
+      // precision-loss rule rounds them at scale 6 — the numerator
+      // is exact down to 1e-6·c, which leaves series with
+      // σ ≲ 1e-4 unscored (__var rounds to ≤ 0). That floor is the
+      // INPUT's own 1e-6 quantization grid writ large: sub-grid
+      // dispersion is below the operator's measurement resolution
+      // by construction, not silently mis-scored. Oracle and
+      // streaming twin replay the identical formula; the readout
+      // rounds at 1e-4, absorbing the shared quantization.
       .withColumn("__var",
         (col("__sq") * col("__c") - col("__s") * col("__s"))
           .cast("double") / (col("__c") * col("__c")))

@@ -39,8 +39,13 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
     val lp = left.withColumn("__side", lit(1))
     val unioned = lp.unionByName(rp, allowMissingColumns = true)
+    // payload as the final sort key makes equal-(ts, side) right
+    // rows a TOTAL order: last() then deterministically attaches the
+    // max payload — the same winner asOfStatic's sorted index picks
+    // (rightmost entry at a tied ts) — instead of whichever row the
+    // physical sort happened to place last in that run
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__asof_payload"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val attached = unioned.withColumn("__asof_match",
       last(col("__asof_payload"), ignoreNulls = true).over(w))

@@ -139,7 +139,13 @@ object Clustering {
   def semDedupPrune(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, iters: Int = 2,
       threshold: Double = 0.35): DataFrame = {
-    val full = kmeansAssignFull(emb, idCol, vecCol, k, iters)
+    // three consumers (self-join sides a/b + the final left join)
+    // reference the corpus×centroid assignment — cache it eagerly or
+    // the O(n·k) distance evaluation runs three times (the
+    // shingleSets/lshBandKeys precedent in Dedup)
+    val full = graft.CachedPlans.cache(
+      kmeansAssignFull(emb, idCol, vecCol, k, iters))
+    full.count()
     val dropped = full.as("a")
       .join(full.as("b"),
         col("a.cid") === col("b.cid") && col("b.id") < col("a.id") &&

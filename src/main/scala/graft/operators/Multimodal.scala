@@ -83,9 +83,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       // A real decoder would initialize its codec HERE, once per
-      // partition, then stream the batch through it.
-      it.map { m =>
-        val bytes = m.payload
+      // partition, then stream the batch through it. A null payload
+      // (null source text) is a corrupt record → dropped, matching
+      // the codec tiers — not an NPE that kills the task.
+      it.flatMap { m => Option(m.payload).map { bytes =>
         val hist = new Array[Double](bins)
         var sum = 0L
         var i = 0
@@ -98,7 +99,7 @@ object Multimodal {
         val n = bytes.length
         MediaFeatures(m.doc_id, n, sum % 1000000007L,
           (if (n > 0) hist.map(_ / n) else hist).toSeq)
-      }
+      } }
     }
   }
 
@@ -120,8 +121,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val bytes = m.payload
+      // null payload = corrupt record → dropped (codec-tier contract)
+      it.flatMap { m => Option(m.payload).map { bytes =>
         val n = bytes.length
         val seg = new Array[Long](bits)
         var i = 0
@@ -143,7 +144,7 @@ object Multimodal {
           b += 1
         }
         (m.doc_id, hash)
-      }
+      } }
     }.toDF("doc_id", "phash")
   }
 
@@ -257,12 +258,16 @@ object Multimodal {
     */
   private def decodePcm16(payload: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    // NonFatal, not just the two declared exception types: a NULL
+    // payload (fromDocuments over a null text row) NPEs inside the
+    // provider's header read, and a malformed header can throw any
+    // RuntimeException — all of them are corrupt RECORDS, none may
+    // kill the task (the decodeImages contract)
     val in = try {
       javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => null
-      case _: java.io.IOException => null
+      case scala.util.control.NonFatal(_) => null
     }
     if (in == null) None
     else {
@@ -307,8 +312,13 @@ object Multimodal {
             sumSq += s * s
             i += 1
           }
+          // n_samples reports FRAMES (interleaved count / channels)
+          // — "8000 samples of stereo" must not read as 16000; RMS
+          // stays over all interleaved samples (total cross-channel
+          // energy, channel-count invariant for balanced signals)
+          val ch = math.max(fmt.getChannels, 1)
           AudioMeta(m.doc_id, fmt.getSampleRate.toInt,
-            fmt.getChannels, n,
+            fmt.getChannels, n / ch,
             if (n == 0) 0.0 else math.sqrt(sumSq / n))
         }
       }
@@ -334,6 +344,12 @@ object Multimodal {
       it.flatMap { m =>
         decodePcm16(m.payload) match {
           case None => Iterator.empty
+          // mono only: windows and zero-crossings are SINGLE-SIGNAL
+          // features — on interleaved stereo, "consecutive samples"
+          // alternate channels and the crossing count is meaningless
+          // (a real pipeline downmixes before windowing); emitting
+          // silently-wrong numbers is worse than skipping the record
+          case Some((fmt, _)) if fmt.getChannels != 1 => Iterator.empty
           case Some((fmt, bytes)) =>
             val be = fmt.isBigEndian
             val n = bytes.length / 2
@@ -365,6 +381,15 @@ object Multimodal {
     * standing in for a real resampler, with the production shape
     * (binary in → smaller binary out, map-side, payload never
     * shuffled). Returns the resized payload plus before/after sizes.
+    *
+    * ASCII-payload contract (same as the phash oracle's, documented
+    * there too): the checksum reads each kept byte through
+    * `ascii(cast(b as string))`, which decodes the byte as UTF-8 —
+    * exact for payloads whose bytes are all < 0x80 (this tier's
+    * domain: `fromDocuments` text), 65533-aliased above it, where
+    * DuckDB's blob→varchar cast errors instead. A binary tier for
+    * real media bytes belongs in the codec functions
+    * ([[decodeImages]] etc.), not this oracle-portable stub.
     */
   def resize(media: Dataset[MediaRecord], factor: Int): DataFrame =
     media.toDF().select(col("doc_id"),

@@ -30,6 +30,19 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Dimensionality of the first NON-DEGENERATE vector (non-null,
+    * non-empty — a leading empty array must not silently set dim=1
+    * for a 64-dim corpus and collapse every bucket to component 0's
+    * sign), or None for a corpus with no usable vectors. Callers
+    * fall back to a harmless positive stand-in on None: with nothing
+    * to bucket, the downstream joins produce the correct empty
+    * result — the point is that probing an empty corpus must not
+    * throw.
+    */
+  private def measuredDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).take(1).headOption.map(_.getInt(0))
+
   /** Score every (query, candidate) pair: broadcast nested-loop join
     * + codegen'd double-precision cosine. Excludes self-pairs.
     */
@@ -128,19 +141,17 @@ object Similarity {
       multiProbe: Int = 1): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= 1,
       "only Hamming radius 0 or 1 probing is implemented")
+    // degenerate corpus vectors (null/empty) are excluded outright:
+    // they can never be a meaningful neighbor, and a zero-norm
+    // cosine evaluates NaN — which Spark's descending sort ranks
+    // ABOVE every real score, so one empty vector would win rank 1
+    // for any query it shares a bucket with
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .where(col("vec").isNotNull && size(col("vec")) > 0)
     // measure the dimensionality (the annPq idiom) — a hardcoded
     // dim would silently bucket wider embeddings on a prefix of
-    // their components and collapse recall with no error. An empty
-    // or null-vector corpus has no dimensionality to measure: any
-    // positive stand-in works because there is nothing to bucket —
-    // the joins below produce the correct empty result instead of
-    // first() throwing on an empty probe.
-    val dim = v.where(col("vec").isNotNull)
-      .select(size(col("vec"))).take(1) match {
-      case Array(r) if r.getInt(0) > 0 => r.getInt(0)
-      case _ => 1
-    }
+    // their components and collapse recall with no error
+    val dim = measuredDim(v, "vec").getOrElse(1)
     val planes = rademacherPlanes(dim, tables * bitsPerTable)
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), posexplode(
@@ -347,7 +358,9 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 8,
       codebookK: Int = 16): DataFrame = {
     val spark = vecs.sparkSession
-    val dim = vecs.select(size(col(vecCol))).first().getInt(0)
+    // m is a valid stand-in on an empty corpus (dim % m == 0 holds
+    // and every downstream stage is empty-safe)
+    val dim = measuredDim(vecs, vecCol).getOrElse(m)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
     def subVecs(df: DataFrame, idAs: String): DataFrame =

@@ -23,12 +23,24 @@ object Skew {
 
   /** groupBy(key) with sum/count decomposed through a salt stage.
     * Result is identical to the unsalted aggregate (oracle-checked
-    * by q_salted_agg).
+    * by q_salted_agg) for any salt source — decomposable aggregates
+    * are reassociation-free by definition.
+    *
+    * The default salt spreads by ROW (monotonically_increasing_id:
+    * partition id ‖ row-in-partition), not by value: the common hot
+    * key carries FEW DISTINCT VALUES (constant price, count-style
+    * v=1), and a value-derived salt would put all its rows in one
+    * bucket — silently un-mitigating exactly the skew the operator
+    * exists for, with no correctness signal (the result stays
+    * right, only the distribution regresses). Pass `saltSrc` to pin
+    * a deterministic per-row source (an id column) when plan-stable
+    * salting matters.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-      salts: Int): DataFrame = {
+      salts: Int, saltSrc: Option[Column] = None): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(col(valueCol)), lit(salts)))
+      pmod(hash(saltSrc.getOrElse(monotonically_increasing_id())),
+        lit(salts)))
     val partial = salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -208,7 +208,10 @@ object JoinExtQueries {
     "q_salted_agg" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .withColumn("v", col("value").cast("decimal(12,2)"))
-      graft.operators.Skew.saltedSumCount(ev, "user_id", "v", salts = 8)
+      // salt from the row id, not the value: a hot user whose rows
+      // share one value must still spread over all 8 buckets
+      graft.operators.Skew.saltedSumCount(ev, "user_id", "v",
+        salts = 8, saltSrc = Some(col("event_id")))
         .select(col("user_id"),
           round(col("sum_v").cast("double"), 2).as("sum_v"), col("cnt"))
         .orderBy(col("user_id"))

@@ -13,8 +13,9 @@ import graft.operators.{MediaRecord, Multimodal}
 class AudioCodecSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Mono PCM16LE WAV from the given [-1, 1] samples. */
-  private def wav(samples: Array[Double], rate: Float): Array[Byte] = {
+  /** PCM16LE WAV from the given [-1, 1] interleaved samples. */
+  private def wav(samples: Array[Double], rate: Float,
+      channels: Int = 1): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -24,9 +25,11 @@ class AudioCodecSpec extends SparkSpec {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      true, false)
     val in = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (samples.length / channels).toLong)
     val buf = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(in,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
@@ -90,5 +93,30 @@ class AudioCodecSpec extends SparkSpec {
     // corrupt doc emits nothing; truncated doc (8 samples) has no
     // full window and emits nothing — but kills no task
     assert(!win.contains(3L) && !win.contains(4L))
+  }
+
+  test("stereo WAV: decodeWav reports frames; windowAudio skips non-mono") {
+    import graft.operators.MediaRecord
+    // 2000 frames of stereo: loud left, quiet INVERTED right — the
+    // interleaved stream alternates sign nearly every sample, so a
+    // channel-blind zero-crossing count would read ~windowSamples
+    // while neither channel crosses zero
+    val frames = 2000
+    val inter = new Array[Double](frames * 2)
+    (0 until frames).foreach { i =>
+      inter(2 * i) = 0.5; inter(2 * i + 1) = -0.1
+    }
+    val stereo = Seq(MediaRecord(9L, "audio/wav",
+      wav(inter, 8000f, channels = 2))).toDS()
+    val meta = Multimodal.decodeWav(stereo).collect()
+    assert(meta.length == 1 && meta.head.channels == 2)
+    assert(meta.head.n_samples == frames,
+      s"n_samples must count FRAMES, got ${meta.head.n_samples}")
+    // RMS over interleaved samples = total cross-channel energy
+    val want = math.sqrt((0.5 * 0.5 + 0.1 * 0.1) / 2)
+    assert(math.abs(meta.head.rms - want) < 1e-3, s"${meta.head.rms}")
+    // single-signal features are undefined on interleaved stereo —
+    // the record is skipped, not scored with meaningless numbers
+    assert(Multimodal.windowAudio(stereo, 500, 250).collect().isEmpty)
   }
 }

@@ -28,6 +28,24 @@ class JoinExtSpec extends SparkSpec {
       "L3" -> None))
   }
 
+  test("asOf: tied right timestamps attach a deterministic payload (max, as asOfStatic)") {
+    val left = Seq((1L, mkTs("2024-01-01 12:00:00"), "L"))
+      .toDF("k", "ts", "ltag")
+    // two right rows at the SAME (key, ts): without payload in the
+    // window sort this was whichever row the physical sort placed
+    // last — run-to-run nondeterministic and divergent from
+    // asOfStatic's sorted index (rightmost tied entry = max payload)
+    val right = Seq(
+      (1L, mkTs("2024-01-01 11:00:00"), 100L),
+      (1L, mkTs("2024-01-01 11:00:00"), 900L))
+      .toDF("k", "ts", "rid")
+    (1 to 3).foreach { _ =>
+      val got = AsOfJoin.asOf(left, right.repartition(4), "k", "ts",
+        Seq("rid")).select($"rid").as[Long].collect().toSeq
+      assert(got == Seq(900L), s"tie must resolve to max payload: $got")
+    }
+  }
+
   test("asOf: right rows with null key/ts never match (asOfStatic contract)") {
     // a null-ts right row sorts first in the ascending window; its
     // payload must NOT attach to left rows that precede every real

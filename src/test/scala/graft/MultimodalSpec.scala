@@ -34,6 +34,22 @@ class MultimodalSpec extends SparkSpec {
         "contract the phash oracle relies on")
   }
 
+  test("null payloads are dropped by every byte tier, not task-fatal") {
+    import graft.operators.MediaRecord
+    // fromDocuments over a null text row yields payload = null
+    // (encode(null) is null) — one corrupt record must not kill a
+    // 100 TB pass in any tier
+    val recs = Seq(
+      MediaRecord(1L, "text/plain", "hello world".getBytes("UTF-8")),
+      MediaRecord(2L, "text/plain", null)).toDS()
+    assert(Multimodal.extractFeatures(recs).collect()
+      .map(_.doc_id).toSeq == Seq(1L))
+    assert(Multimodal.avgHash(recs).select($"doc_id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(Multimodal.decodeWav(recs).collect().map(_.doc_id).isEmpty)
+    assert(Multimodal.windowAudio(recs, 4, 2).collect().isEmpty)
+  }
+
   test("feature extraction is deterministic and shape-stable") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)

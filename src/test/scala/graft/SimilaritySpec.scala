@@ -255,6 +255,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN families: empty corpus returns empty, degenerate leading vectors skipped") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val qs = Seq((1L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    // the dim probe used first()/getInt and threw on an empty corpus
+    assert(Similarity.annLsh(empty, qs, "vec_id", "embedding", 3)
+      .count() == 0)
+    assert(Similarity.annPq(empty, qs, "vec_id", "embedding", 3,
+      m = 4, codebookK = 2).count() == 0)
+    // a LEADING empty-array vector must not set dim=1 for the corpus
+    // (planes on component 0's sign = silent recall collapse): the
+    // probe skips degenerate rows, so the planted near-identical
+    // pair is still found
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 16).map(j => (((i * 31 + j) % 13) - 6).toFloat)))
+    val withEmpty = ((-1L, Seq.empty[Float]) +: base)
+      .toDF("vec_id", "embedding").coalesce(1)
+    val q2 = Seq((1000L, base.head._2.updated(0,
+      base.head._2.head + 0.01f))).toDF("vec_id", "embedding")
+    val hit = Similarity.annLsh(withEmpty, q2, "vec_id", "embedding",
+      k = 1).select($"id").as[Long].collect()
+    assert(hit.toSeq == Seq(0L), s"degenerate row skewed dim: ${hit.toSeq}")
+  }
+
   test("q_embed_centroid_shift: halves partition labels; shift bounded") {
     val rows = SparkEntry.queries("q_embed_centroid_shift")(
       spark, sf()).collect()
