@@ -70,6 +70,15 @@ object GraphQueries {
       .select(col("sa"), col("sb"))
   }
 
+  /** Degree table of an undirected (sa, sb) edge list: one row per
+    * node `v` with its incident-edge count named `cnt`. Shared by the
+    * triangle census, the degree distribution, and the k-core peel so
+    * the oracles' common `deg` CTE tracks a single definition.
+    */
+  private def degreeTable(e: DataFrame, cnt: String): DataFrame =
+    e.select(col("sa").as("v")).unionAll(e.select(col("sb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as(cnt))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Triangle census of the co-supply graph: nodes, edges, wedges
@@ -86,9 +95,7 @@ object GraphQueries {
       // at sf0.1; same eager-count precedent as q_dedup_clusters_lsh)
       val e = graft.CachedPlans.cache(coSupplyEdges(s, dir))
       e.count()
-      val deg = e.select(col("sa").as("v")).unionAll(
-          e.select(col("sb").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val deg = degreeTable(e, "deg")
       // orient each edge from the (deg, id)-smaller endpoint
       val da = deg.select(col("v").as("sa"), col("deg").as("dega"))
       val db = deg.select(col("v").as("sb"), col("deg").as("degb"))
@@ -134,9 +141,7 @@ object GraphQueries {
     // in both engines.
     "q_graph_degree_dist" -> { (s, dir) =>
       val e = coSupplyEdges(s, dir)
-      val deg = e.select(col("sa").as("v")).unionAll(
-          e.select(col("sb").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val deg = degreeTable(e, "deg")
       deg.withColumn("bucket",
           (length(bin(col("deg"))) - 1).cast("long"))
         .groupBy(col("bucket"))
@@ -165,8 +170,8 @@ object GraphQueries {
           col("c_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
       import org.apache.spark.sql.expressions.Window
-      val edges = edges0.withColumn("outw",
-        sum(col("w")).over(Window.partitionBy(col("src")))).cache()
+      val edges = graft.CachedPlans.cache(edges0.withColumn("outw",
+        sum(col("w")).over(Window.partitionBy(col("src")))))
       val nodes = nation.select(col("n_nationkey").as("node"),
         col("n_name"))
       var pr = nodes.select(col("node"), col("n_name"),
@@ -243,10 +248,6 @@ object GraphQueries {
       val k = 3
       val base = graft.CachedPlans.cache(coSupplyEdges(s, dir))
       base.count()
-      def degrees(e: org.apache.spark.sql.DataFrame) =
-        e.select(col("sa").as("v")).unionAll(
-            e.select(col("sb").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("d"))
       def stats(r: Int, deg: org.apache.spark.sql.DataFrame) =
         deg.agg(lit(r).cast("long").as("round"),
           count(lit(1)).as("n_nodes"),
@@ -263,7 +264,7 @@ object GraphQueries {
       // Checkpointing node-sized state is exactly what an iterative
       // graph engine does between supersteps.
       var edges = base
-      var deg = degrees(edges).localCheckpoint()
+      var deg = degreeTable(edges, "d").localCheckpoint()
       val out = scala.collection.mutable.ArrayBuffer(stats(0, deg))
       for (r <- 1 to 3) {
         val keep = deg.where(col("d") >= k).select(col("v"))
@@ -272,7 +273,7 @@ object GraphQueries {
             "left_semi")
           .join(broadcast(keep.select(col("v").as("sb"))), Seq("sb"),
             "left_semi")
-        deg = degrees(edges).localCheckpoint()
+        deg = degreeTable(edges, "d").localCheckpoint()
         out += stats(r, deg)
       }
       out.reduce(_ unionAll _).orderBy(col("round"))
@@ -298,14 +299,13 @@ object GraphQueries {
       // cached like PageRank's edge list: the distance vector
       // references it once per relaxation and the unrolled lineage
       // re-reads it ~2^rounds times without the cache
-      val edges = li
+      val edges = graft.CachedPlans.cache(li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_nationkey").as("src"),
           col("c_nationkey").as("dst"))
-        .agg((lit(1.0) / count(lit(1))).as("cost"))
-        .cache()
+        .agg((lit(1.0) / count(lit(1))).as("cost")))
       val nodes = nation.select(col("n_nationkey").as("node"),
         col("n_name"))
       def merged(a: org.apache.spark.sql.Column,
@@ -470,17 +470,24 @@ object GraphQueries {
          JOIN deg db ON c2.b = db.c
          ORDER BY cn DESC, a, b LIMIT 15""",
 
+    // The peel chain e -> e1 -> e2 -> e3 references every CTE at
+    // least twice (d_i reads e_i twice via UNION ALL; k_{i+1} reads
+    // d_i twice via the IN pair). DuckDB inlines plain CTEs, so the
+    // base pair join would re-execute O(3^rounds) times — at sf0.1
+    // that spilled >35 GB and never finished. AS MATERIALIZED pins
+    // each round to one evaluation (single-evaluation semantics the
+    // Spark side gets from localCheckpoint).
     "q_k_core" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
            FROM lineitem),
-         e0 AS (
+         e0 AS MATERIALIZED (
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
          thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
-         e AS (SELECT sa, sb FROM e0, thr WHERE w >= thr),
-         d0 AS (SELECT v, count(*) AS d FROM (
+         e AS MATERIALIZED (SELECT sa, sb FROM e0, thr WHERE w >= thr),
+         d0 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
              SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
            GROUP BY 1),
          r0 AS (SELECT CAST(0 AS BIGINT) AS round,
@@ -489,9 +496,9 @@ object GraphQueries {
              CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
            FROM d0),
          k1 AS (SELECT v FROM d0 WHERE d >= 3),
-         e1 AS (SELECT sa, sb FROM e
+         e1 AS MATERIALIZED (SELECT sa, sb FROM e
            WHERE sa IN (SELECT v FROM k1) AND sb IN (SELECT v FROM k1)),
-         d1 AS (SELECT v, count(*) AS d FROM (
+         d1 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
              SELECT sa AS v FROM e1 UNION ALL SELECT sb AS v FROM e1)
            GROUP BY 1),
          r1 AS (SELECT CAST(1 AS BIGINT) AS round,
@@ -500,9 +507,9 @@ object GraphQueries {
              CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
            FROM d1),
          k2 AS (SELECT v FROM d1 WHERE d >= 3),
-         e2 AS (SELECT sa, sb FROM e1
+         e2 AS MATERIALIZED (SELECT sa, sb FROM e1
            WHERE sa IN (SELECT v FROM k2) AND sb IN (SELECT v FROM k2)),
-         d2 AS (SELECT v, count(*) AS d FROM (
+         d2 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
              SELECT sa AS v FROM e2 UNION ALL SELECT sb AS v FROM e2)
            GROUP BY 1),
          r2 AS (SELECT CAST(2 AS BIGINT) AS round,
@@ -511,9 +518,9 @@ object GraphQueries {
              CAST(coalesce(min(d), 0) AS BIGINT) AS min_deg
            FROM d2),
          k3 AS (SELECT v FROM d2 WHERE d >= 3),
-         e3 AS (SELECT sa, sb FROM e2
+         e3 AS MATERIALIZED (SELECT sa, sb FROM e2
            WHERE sa IN (SELECT v FROM k3) AND sb IN (SELECT v FROM k3)),
-         d3 AS (SELECT v, count(*) AS d FROM (
+         d3 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
              SELECT sa AS v FROM e3 UNION ALL SELECT sb AS v FROM e3)
            GROUP BY 1),
          r3 AS (SELECT CAST(3 AS BIGINT) AS round,

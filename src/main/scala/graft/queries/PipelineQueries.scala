@@ -91,7 +91,7 @@ object PipelineQueries {
     "tp_scd2_intervals" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("valid_from"), col("event_id"))
-      val sentinel = 253402300800000L // 9999-01-01 UTC, epoch ms
+      val sentinel = 253402300800000L // 10000-01-01T00:00:00Z, epoch ms
       ev(s, dir)
         .select(col("user_id"), col("event_id"),
           unix_millis(col("ts")).as("valid_from"),

@@ -39,6 +39,114 @@ object RelationalQueries {
 
   private def tsLit(s: String): Column = lit(s).cast("timestamp")
 
+  /** Statements BOTH engines run verbatim: the Spark def calls
+    * `s.sql(sameTextSql(name))` and the oracle map points at the
+    * same entry, so "the oracle runs the IDENTICAL statement" is
+    * structural rather than kept in sync by discipline. Only
+    * queries whose text is valid on Spark AND DuckDB 1.0 belong
+    * here (q_sql_pivot / q_sql_unpivot / q_select_rename use
+    * engine-specific sugar and keep hand-written oracles).
+    */
+  private val sameTextSql: Map[String, String] = Map(
+
+    "q_sql_correlated" ->
+      """        SELECT c_custkey, c_name,
+          (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_totalprice > 200000) AS n_big
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""",
+
+    "q_sql_recursive" ->
+      """        WITH RECURSIVE ordered AS (
+          SELECT n_regionkey, n_nationkey,
+            lead(n_nationkey) OVER (PARTITION BY n_regionkey
+              ORDER BY n_nationkey) AS next_key,
+            row_number() OVER (PARTITION BY n_regionkey
+              ORDER BY n_nationkey) AS rn
+          FROM nation),
+        chain AS (
+          SELECT n_regionkey, n_nationkey, next_key, 0 AS depth
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.n_regionkey, o.n_nationkey, o.next_key, c.depth + 1
+          FROM chain c JOIN ordered o
+            ON o.n_regionkey = c.n_regionkey
+           AND o.n_nationkey = c.next_key)
+        SELECT n_regionkey AS region_key, n_nationkey AS nation_key,
+          depth
+        FROM chain ORDER BY region_key, depth""",
+
+    "q_sql_lateral" ->
+      """        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q_sql_window" ->
+      """        SELECT * FROM (
+          SELECT event_type, event_id,
+            CAST(rank() OVER w AS BIGINT) AS rnk,
+            lag(event_id) OVER w AS prev_id,
+            count(*) OVER (PARTITION BY event_type) AS n_type
+          FROM events
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY value DESC, event_id))
+        WHERE rnk <= 5
+        ORDER BY event_type, rnk""",
+
+    "q_grouping_sets" ->
+      """        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""",
+
+    "q_sql_group_by_all" ->
+      """        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+            AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL""",
+
+    "q_select_exclude" ->
+      """        SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders
+        ORDER BY o_orderkey LIMIT 50""",
+
+    "q_select_replace" ->
+      """        SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                          upper(o_orderstatus) AS o_orderstatus)
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    "q_distinct_on" ->
+      """        SELECT DISTINCT ON (user_id) user_id, event_id, value
+        FROM events
+        ORDER BY user_id, value DESC, event_id""",
+
+    "q_window_qualify" ->
+      """        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""")
+
+  /** Shared def body for every [[sameTextSql]] query. */
+  private def sameText(name: String)
+      : (SparkSession, String) => DataFrame = { (s, dir) =>
+    Tables.registerViews(s, dir)
+    s.sql(sameTextSql(name))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 2-D skyline (Pareto frontier): parts no other part dominates
@@ -88,21 +196,7 @@ object RelationalQueries {
     // predicates are exact (literal-vs-stored compare, string
     // equality, integer count), so the identical SQL is its own
     // DuckDB oracle.
-    "q_sql_correlated" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT c_custkey, c_name,
-          (SELECT count(*) FROM orders o
-           WHERE o.o_custkey = c.c_custkey
-             AND o.o_totalprice > 200000) AS n_big
-        FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
-          AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderstatus = 'P')
-        ORDER BY c_custkey""")
-    },
+    "q_sql_correlated" -> sameText("q_sql_correlated"),
 
     // Recursive CTE (Spark 4 WITH RECURSIVE): linked-list walk over
     // per-region nation chains built with lead(). The recursion
@@ -110,63 +204,20 @@ object RelationalQueries {
     // round, like the hand-rolled connected-components loop in
     // Dedup — this is the declarative form. Identical SQL is its own
     // DuckDB oracle (integer-only: no float drift across rounds).
-    "q_sql_recursive" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        WITH RECURSIVE ordered AS (
-          SELECT n_regionkey, n_nationkey,
-            lead(n_nationkey) OVER (PARTITION BY n_regionkey
-              ORDER BY n_nationkey) AS next_key,
-            row_number() OVER (PARTITION BY n_regionkey
-              ORDER BY n_nationkey) AS rn
-          FROM nation),
-        chain AS (
-          SELECT n_regionkey, n_nationkey, next_key, 0 AS depth
-          FROM ordered WHERE rn = 1
-          UNION ALL
-          SELECT o.n_regionkey, o.n_nationkey, o.next_key, c.depth + 1
-          FROM chain c JOIN ordered o
-            ON o.n_regionkey = c.n_regionkey
-           AND o.n_nationkey = c.next_key)
-        SELECT n_regionkey AS region_key, n_nationkey AS nation_key,
-          depth
-        FROM chain ORDER BY region_key, depth""")
-    },
+    "q_sql_recursive" -> sameText("q_sql_recursive"),
 
     // Correlated LATERAL join (top-2-per-key as the inner table):
     // Spark decorrelates the per-row subquery into a ranked join —
     // PlanSpec-style proof that it never degenerates to per-row
     // re-execution is the absent CartesianProduct in the plan.
-    "q_sql_lateral" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        FROM customer c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM orders
-          WHERE o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
-    },
+    "q_sql_lateral" -> sameText("q_sql_lateral"),
 
     // Named WINDOW clause (SQL surface): one window definition
     // shared by several functions, exactly the text DuckDB runs.
     // Both rank functions share the same WindowSpec, so Catalyst
     // plans ONE Window node over one exchange — the named-window
     // sugar is also the plan-dedup hint.
-    "q_sql_window" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT * FROM (
-          SELECT event_type, event_id,
-            CAST(rank() OVER w AS BIGINT) AS rnk,
-            lag(event_id) OVER w AS prev_id,
-            count(*) OVER (PARTITION BY event_type) AS n_type
-          FROM events
-          WINDOW w AS (PARTITION BY event_type
-                       ORDER BY value DESC, event_id))
-        WHERE rnk <= 5
-        ORDER BY event_type, rnk""")
-    },
+    "q_sql_window" -> sameText("q_sql_window"),
 
     // Unpivot (pivot's inverse): wide metric columns to long
     // (metric, v) rows — a per-row flatMap, narrow and codegen'd.
@@ -414,30 +465,12 @@ object RelationalQueries {
 
     // GROUPING SETS via the SQL front-end (temp views registered per
     // call) — same Catalyst plan as rollup/cube (Expand + hash agg).
-    "q_grouping_sets" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT coalesce(l_returnflag, 'ALL') AS rf,
-               coalesce(l_linestatus, 'ALL') AS ls,
-               count(*) AS cnt
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY rf, ls""")
-    },
+    "q_grouping_sets" -> sameText("q_grouping_sets"),
 
     // GROUP BY ALL / ORDER BY ALL — the analyst shorthand both
     // engines now speak natively (no parser sugar needed; Spark
     // added both in 3.4/4.0). Same statement text on both engines.
-    "q_sql_group_by_all" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-          round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
-            AS sum_qty
-        FROM lineitem
-        GROUP BY ALL
-        ORDER BY ALL""")
-    },
+    "q_sql_group_by_all" -> sameText("q_sql_group_by_all"),
 
     // SQL PIVOT — Spark's native relational pivot clause (one
     // conditional-aggregate pass under the hood, same plan class as
@@ -485,37 +518,18 @@ object RelationalQueries {
     // into a wrapped subquery + filter + star-EXCEPT. The oracle runs
     // the IDENTICAL statement — DuckDB's native QUALIFY and the
     // injected rewrite must agree row-for-row.
-    "q_window_qualify" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT o_orderstatus, o_orderkey, o_totalprice
-        FROM orders
-        QUALIFY row_number() OVER (PARTITION BY o_orderstatus
-          ORDER BY o_totalprice DESC, o_orderkey) <= 3
-        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""")
-    },
+    "q_window_qualify" -> sameText("q_window_qualify"),
 
     // DISTINCT ON (parser sugar chain: DistinctOnSyntax lowers to a
     // QUALIFY, QualifySyntax lowers that to the wrapped filter) —
     // the latest/best-per-key grammar. Highest-value event per user,
     // deterministically tie-broken; the oracle runs the identical
     // statement through DuckDB's native DISTINCT ON.
-    "q_distinct_on" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT DISTINCT ON (user_id) user_id, event_id, value
-        FROM events
-        ORDER BY user_id, value DESC, event_id""")
-    },
+    "q_distinct_on" -> sameText("q_distinct_on"),
 
     // star-EXCLUDE (DuckDB spelling, mapped to Spark's * EXCEPT by
     // ExcludeSyntax): same statement on both engines.
-    "q_select_exclude" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders
-        ORDER BY o_orderkey LIMIT 50""")
-    },
+    "q_select_exclude" -> sameText("q_select_exclude"),
 
     // star-REPLACE (DuckDB grammar, absent from Spark — parser
     // marker + in-place resolution swap, graft.plans
@@ -523,14 +537,7 @@ object RelationalQueries {
     // replaced columns keep their original star position. The ORDER
     // BY deliberately references a replaced column — both engines
     // must order by the REPLACED value.
-    "q_select_replace" -> { (s, dir) =>
-      Tables.registerViews(s, dir)
-      s.sql("""
-        SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
-                          upper(o_orderstatus) AS o_orderstatus)
-        FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
-    },
+    "q_select_replace" -> sameText("q_select_replace"),
 
     // `SELECT * RENAME` — the third star modifier (DuckDB 1.3+/
     // Snowflake grammar; EXCLUDE and REPLACE above): rename keeps
@@ -761,58 +768,13 @@ object RelationalQueries {
          FROM b JOIN dim ON b.vb IS NOT DISTINCT FROM dim.vb
          GROUP BY bucket_name ORDER BY bucket_name""",
 
-    "q_sql_correlated" ->
-      """SELECT c_custkey, c_name,
-         (SELECT count(*) FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-            AND o.o_totalprice > 200000) AS n_big
-         FROM customer c
-         WHERE EXISTS (SELECT 1 FROM orders o
-                       WHERE o.o_custkey = c.c_custkey)
-           AND NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey
-                             AND o.o_orderstatus = 'P')
-         ORDER BY c_custkey""",
+    "q_sql_correlated" -> sameTextSql("q_sql_correlated"),
 
-    "q_sql_recursive" ->
-      """WITH RECURSIVE ordered AS (
-           SELECT n_regionkey, n_nationkey,
-             lead(n_nationkey) OVER (PARTITION BY n_regionkey
-               ORDER BY n_nationkey) AS next_key,
-             row_number() OVER (PARTITION BY n_regionkey
-               ORDER BY n_nationkey) AS rn
-           FROM nation),
-         chain AS (
-           SELECT n_regionkey, n_nationkey, next_key, 0 AS depth
-           FROM ordered WHERE rn = 1
-           UNION ALL
-           SELECT o.n_regionkey, o.n_nationkey, o.next_key, c.depth + 1
-           FROM chain c JOIN ordered o
-             ON o.n_regionkey = c.n_regionkey
-            AND o.n_nationkey = c.next_key)
-         SELECT n_regionkey AS region_key, n_nationkey AS nation_key,
-           depth
-         FROM chain ORDER BY region_key, depth""",
+    "q_sql_recursive" -> sameTextSql("q_sql_recursive"),
 
-    "q_sql_lateral" ->
-      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-         FROM customer c, LATERAL (
-           SELECT o_orderkey, o_totalprice FROM orders
-           WHERE o_custkey = c.c_custkey
-           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+    "q_sql_lateral" -> sameTextSql("q_sql_lateral"),
 
-    "q_sql_window" ->
-      """SELECT * FROM (
-           SELECT event_type, event_id,
-             CAST(rank() OVER w AS BIGINT) AS rnk,
-             lag(event_id) OVER w AS prev_id,
-             count(*) OVER (PARTITION BY event_type) AS n_type
-           FROM events
-           WINDOW w AS (PARTITION BY event_type
-                        ORDER BY value DESC, event_id))
-         WHERE rnk <= 5
-         ORDER BY event_type, rnk""",
+    "q_sql_window" -> sameTextSql("q_sql_window"),
 
     "q_unpivot" ->
       """WITH b AS (
@@ -973,13 +935,7 @@ object RelationalQueries {
          round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_p
          FROM events GROUP BY event_type ORDER BY event_type""",
 
-    "q_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-         coalesce(l_linestatus, 'ALL') AS ls,
-         count(*) AS cnt
-         FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-         ORDER BY rf, ls""",
+    "q_grouping_sets" -> sameTextSql("q_grouping_sets"),
 
     "q_sql_pivot" ->
       """SELECT l_returnflag,
@@ -1013,25 +969,13 @@ object RelationalQueries {
          ORDER BY l_returnflag, metric""",
 
     // the Spark query's exact text (both engines native)
-    "q_sql_group_by_all" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
-           AS sum_qty
-         FROM lineitem
-         GROUP BY ALL
-         ORDER BY ALL""",
+    "q_sql_group_by_all" -> sameTextSql("q_sql_group_by_all"),
 
     // the Spark query's exact text: DuckDB's native EXCLUDE
-    "q_select_exclude" ->
-      """SELECT * EXCLUDE (o_totalprice, o_orderdate) FROM orders
-         ORDER BY o_orderkey LIMIT 50""",
+    "q_select_exclude" -> sameTextSql("q_select_exclude"),
 
     // the Spark query's exact text: DuckDB's native REPLACE
-    "q_select_replace" ->
-      """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
-                           upper(o_orderstatus) AS o_orderstatus)
-         FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q_select_replace" -> sameTextSql("q_select_replace"),
 
     // hand-expanded: DuckDB 1.0 predates the RENAME star modifier
     "q_select_rename" ->
@@ -1041,18 +985,10 @@ object RelationalQueries {
          ORDER BY price DESC, o_orderkey LIMIT 50""",
 
     // the Spark query's exact text: DuckDB's native DISTINCT ON
-    "q_distinct_on" ->
-      """SELECT DISTINCT ON (user_id) user_id, event_id, value
-         FROM events
-         ORDER BY user_id, value DESC, event_id""",
+    "q_distinct_on" -> sameTextSql("q_distinct_on"),
 
     // the Spark query's exact text: DuckDB evaluates QUALIFY natively
-    "q_window_qualify" ->
-      """SELECT o_orderstatus, o_orderkey, o_totalprice
-         FROM orders
-         QUALIFY row_number() OVER (PARTITION BY o_orderstatus
-           ORDER BY o_totalprice DESC, o_orderkey) <= 3
-         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
+    "q_window_qualify" -> sameTextSql("q_window_qualify"),
 
     "q_window_dist" ->
       """SELECT o_orderstatus, o_orderkey,
