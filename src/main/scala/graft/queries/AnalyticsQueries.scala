@@ -1958,6 +1958,9 @@ object AnalyticsQueries {
            ON s.event_type = hr.event_type AND s.h = hr.h
          ORDER BY s.event_type, h_us""",
 
+    // err is DECIMAL(18,6); DuckDB 1.0 multiplies DECIMAL(18) operands
+    // in int64 and overflows once |err| > ~3e3 (hit at sf0.1) — the
+    // DECIMAL(28,6) operand casts force the int128 path, same value.
     "q_forecast_backtest" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,
@@ -1987,7 +1990,8 @@ object AnalyticsQueries {
          g AS (
            SELECT event_type, count(*) AS n_eval,
              CAST(sum(abs(err)) AS DECIMAL(28,6)) AS sae,
-             CAST(sum(CAST(err * err AS DECIMAL(38,12)))
+             CAST(sum(CAST(CAST(err AS DECIMAL(28,6))
+               * CAST(err AS DECIMAL(28,6)) AS DECIMAL(38,12)))
                AS DECIMAL(38,12)) AS sse,
              CAST(sum(abs(rev0)) AS DECIMAL(28,6)) AS sa
            FROM e GROUP BY 1)
@@ -2013,6 +2017,9 @@ object AnalyticsQueries {
            CAST(max(lag_days) AS BIGINT) AS max_days
          FROM d GROUP BY 1 ORDER BY o_orderpriority""",
 
+    // q is DECIMAL(18,6); operand casts to DECIMAL(28,6) keep the
+    // square on the int128 path (the int64 mult overflows once a
+    // per-part weekly sum passes ~3e3 — latent at higher SF).
     "q_demand_variability" ->
       """WITH li AS (
            SELECT l_partkey,
@@ -2028,7 +2035,8 @@ object AnalyticsQueries {
          perpart AS (
            SELECT l_partkey,
              CAST(sum(q) AS DECIMAL(28,6)) AS sq,
-             CAST(sum(CAST(q * q AS DECIMAL(38,12)))
+             CAST(sum(CAST(CAST(q AS DECIMAL(28,6))
+               * CAST(q AS DECIMAL(28,6)) AS DECIMAL(38,12)))
                AS DECIMAL(38,12)) AS sq2
            FROM perwk GROUP BY 1),
          cvx AS (
@@ -2094,6 +2102,8 @@ object AnalyticsQueries {
            count(*) AS n_price_points
          FROM cum GROUP BY 1 ORDER BY l_returnflag""",
 
+    // rev is DECIMAL(18,6); operand casts to DECIMAL(28,6) keep the
+    // square on the int128 path (int64 mult overflowed at sf0.1).
     "q_seasonality_strength" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS h,
@@ -2113,7 +2123,8 @@ object AnalyticsQueries {
          tot AS (
            SELECT event_type, count(*) AS n,
              CAST(sum(rev) AS DECIMAL(28,6)) AS sx,
-             CAST(sum(CAST(rev * rev AS DECIMAL(38,12)))
+             CAST(sum(CAST(CAST(rev AS DECIMAL(28,6))
+               * CAST(rev AS DECIMAL(28,6)) AS DECIMAL(38,12)))
                AS DECIMAL(38,12)) AS sx2
            FROM hourly GROUP BY 1)
          SELECT t.event_type, t.n AS n_hours,

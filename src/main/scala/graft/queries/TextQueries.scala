@@ -1355,14 +1355,14 @@ object TextQueries {
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                        for i in range(1, len(t) - 1)]) AS sh
              FROM toks)),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         pairs0 AS (
+         cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs0 AS MATERIALIZED (
            SELECT id_a, id_b FROM (
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                count(*) AS common
@@ -1386,40 +1386,45 @@ object TextQueries {
     // oracle (portable md5 signatures + band slices + exact verify)
     // feeding the same recursive-CTE transitive closure as
     // q_dedup_clusters.
+    // AS MATERIALIZED on the reused CTEs: DuckDB inlines plain
+    // CTEs, and bandk feeds a self-join (everything upstream of it
+    // would run twice) while sh feeds three consumers — measured
+    // 148.7s -> 4.2s at sf0.1. Same latent class as the k_core
+    // oracle; values are unchanged.
     "q_dedup_clusters_lsh" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                        for i in range(1, len(t) - 1)]) AS sh
              FROM toks)),
-         hs AS (
+         hs AS MATERIALIZED (
            SELECT doc_id,
              ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483647 AS h
            FROM sh),
-         sigm AS (
+         sigm AS MATERIALIZED (
            SELECT doc_id, j,
              min((((j * 2654435761) % 2147483646 + 1) * h
                   + ((j * 40503) % 2147483647)) % 2147483647) AS m
            FROM hs CROSS JOIN range(128) r(j) GROUP BY doc_id, j),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, list(m ORDER BY j) AS sig FROM sigm
            GROUP BY doc_id),
-         bandk AS (
+         bandk AS MATERIALIZED (
            SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
            FROM sig CROSS JOIN range(32) r(b)),
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bandk a JOIN bandk b
              ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         com AS (
+         cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         com AS MATERIALIZED (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs0 AS (
+         pairs0 AS MATERIALIZED (
            SELECT c.id_a, c.id_b
            FROM cand c
            JOIN com cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
@@ -1616,7 +1621,7 @@ object TextQueries {
     // the same raw-double cosine threshold feeding the recursive-CTE
     // transitive closure
     "q_dedup_clusters_embed" ->
-      """WITH RECURSIVE pairs0 AS (
+      """WITH RECURSIVE pairs0 AS MATERIALIZED (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id
