@@ -18,6 +18,13 @@ object Verify {
       // (session-UTC), not TIMESTAMP_NTZ — keeps epoch/ms functions
       // applicable and matches DuckDB's naive-timestamp semantics.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Timestamp dumps stay on the INT96 default deliberately:
+      // pyarrow reads INT96 as NAIVE ns, matching DuckDB's naive
+      // micros after value canonicalization (driver-verified).
+      // TIMESTAMP_MICROS would be physically closer but is written
+      // isAdjustedToUTC=true, which reads back tz-AWARE and fails a
+      // value compare against DuckDB's naive timestamps — a worse
+      // divergence than the ns/us width difference.
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
