@@ -336,20 +336,20 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
 
     "q_graph_triangles" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
            FROM lineitem),
-         e0 AS (
+         e0 AS MATERIALIZED (
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
          thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
-         e AS (SELECT sa, sb FROM e0, thr WHERE w >= thr),
-         deg AS (
+         e AS MATERIALIZED (SELECT sa, sb FROM e0, thr WHERE w >= thr),
+         deg AS MATERIALIZED (
            SELECT v, count(*) AS deg FROM (
              SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)
            GROUP BY v),
-         o AS (
+         o AS MATERIALIZED (
            SELECT
              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.sa < e.sb)
                   THEN e.sa ELSE e.sb END AS src,
@@ -398,7 +398,7 @@ object GraphQueries {
          FROM deg GROUP BY 1 ORDER BY bucket""",
 
     "q_graph_pagerank" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
            SELECT s_nationkey AS src, c_nationkey AS dst,
              count(*) AS w
            FROM lineitem
@@ -406,7 +406,7 @@ object GraphQueries {
              JOIN customer ON o_custkey = c_custkey
              JOIN supplier ON l_suppkey = s_suppkey
            GROUP BY 1, 2),
-         e AS (
+         e AS MATERIALIZED (
            SELECT src, dst, w,
              sum(w) OVER (PARTITION BY src) AS outw
            FROM e0),
@@ -416,7 +416,7 @@ object GraphQueries {
            SELECT dst, CAST(sum(CAST(p.pr * e.w / e.outw
              AS DECIMAL(28,14))) AS DECIMAL(28,14)) AS contrib
            FROM e JOIN p0 p ON e.src = p.node GROUP BY dst),
-         p1 AS (
+         p1 AS MATERIALIZED (
            SELECT n.node,
              0.006 + 0.85 * coalesce(c1.contrib::DOUBLE, 0.0) AS pr
            FROM n LEFT JOIN c1 ON n.node = c1.dst),
@@ -424,7 +424,7 @@ object GraphQueries {
            SELECT dst, CAST(sum(CAST(p.pr * e.w / e.outw
              AS DECIMAL(28,14))) AS DECIMAL(28,14)) AS contrib
            FROM e JOIN p1 p ON e.src = p.node GROUP BY dst),
-         p2 AS (
+         p2 AS MATERIALIZED (
            SELECT n.node,
              0.006 + 0.85 * coalesce(c2.contrib::DOUBLE, 0.0) AS pr
            FROM n LEFT JOIN c2 ON n.node = c2.dst),
@@ -441,16 +441,16 @@ object GraphQueries {
          ORDER BY n.n_name""",
 
     "q_link_prediction" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
            FROM lineitem),
-         e0 AS (
+         e0 AS MATERIALIZED (
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
          thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
-         e AS (SELECT sa, sb FROM e0, thr WHERE w >= thr),
-         adj AS (
+         e AS MATERIALIZED (SELECT sa, sb FROM e0, thr WHERE w >= thr),
+         adj AS MATERIALIZED (
            SELECT sa AS c, sb AS v FROM e
            UNION ALL SELECT sb AS c, sa AS v FROM e),
          cand AS (
@@ -461,7 +461,7 @@ object GraphQueries {
            SELECT c.a, c.b, c.cn FROM cand c
            WHERE NOT EXISTS (SELECT 1 FROM e
              WHERE e.sa = c.a AND e.sb = c.b)),
-         deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1)
+         deg AS MATERIALIZED (SELECT c, count(*) AS deg FROM adj GROUP BY 1)
          SELECT c2.a, c2.b, c2.cn,
            round(c2.cn / (da.deg + db.deg - c2.cn)::DOUBLE, 6)
              AS jaccard
@@ -533,7 +533,7 @@ object GraphQueries {
          ORDER BY round""",
 
     "q_graph_shortest_paths" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
              CAST(1.0 AS DOUBLE) / count(*) AS cost
            FROM lineitem l
@@ -550,7 +550,7 @@ object GraphQueries {
            SELECT e.dst, min(d.dist + e.cost) AS cand
            FROM e JOIN d0 d ON e.src = d.node
            WHERE d.dist IS NOT NULL GROUP BY 1),
-         d1 AS (
+         d1 AS MATERIALIZED (
            SELECT d.node,
              CASE WHEN d.dist IS NULL THEN c.cand
                   WHEN c.cand IS NULL THEN d.dist
@@ -560,7 +560,7 @@ object GraphQueries {
            SELECT e.dst, min(d.dist + e.cost) AS cand
            FROM e JOIN d1 d ON e.src = d.node
            WHERE d.dist IS NOT NULL GROUP BY 1),
-         d2 AS (
+         d2 AS MATERIALIZED (
            SELECT d.node,
              CASE WHEN d.dist IS NULL THEN c.cand
                   WHEN c.cand IS NULL THEN d.dist

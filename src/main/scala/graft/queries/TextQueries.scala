@@ -1324,7 +1324,7 @@ object TextQueries {
     "q_dedup_jaccard_pruned" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh0 AS (
+         sh0 AS MATERIALIZED (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1338,7 +1338,7 @@ object TextQueries {
            HAVING count(*) > (SELECT m FROM maxdf)),
          sh AS (
            SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1355,7 +1355,7 @@ object TextQueries {
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS MATERIALIZED (
+         sh AS (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1394,7 +1394,7 @@ object TextQueries {
     "q_dedup_clusters_lsh" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS MATERIALIZED (
+         sh AS (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1404,7 +1404,7 @@ object TextQueries {
            SELECT doc_id,
              ('0x' || substring(md5(sh), 1, 15))::BIGINT % 2147483647 AS h
            FROM sh),
-         sigm AS MATERIALIZED (
+         sigm AS (
            SELECT doc_id, j,
              min((((j * 2654435761) % 2147483646 + 1) * h
                   + ((j * 40503) % 2147483647)) % 2147483647) AS m
@@ -1466,17 +1466,17 @@ object TextQueries {
              min((((j * 2654435761) % 2147483646 + 1) * h
                   + ((j * 40503) % 2147483647)) % 2147483647) AS m
            FROM hs CROSS JOIN range(128) r(j) GROUP BY doc_id, j),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, list(m ORDER BY j) AS sig FROM sigm
            GROUP BY doc_id),
-         bandk AS (
+         bandk AS MATERIALIZED (
            SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
            FROM sig CROSS JOIN range(32) r(b)),
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bandk a JOIN bandk b
              ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          com AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1534,10 +1534,10 @@ object TextQueries {
              min((((j * 2654435761) % 2147483646 + 1) * h
                   + ((j * 40503) % 2147483647)) % 2147483647) AS m
            FROM hs CROSS JOIN range(128) r(j) GROUP BY doc_id, j),
-         sig AS (
+         sig AS MATERIALIZED (
            SELECT doc_id, list(m ORDER BY j) AS sig FROM sigm
            GROUP BY doc_id),
-         bandk AS (
+         bandk AS MATERIALIZED (
            SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
            FROM sig CROSS JOIN range(32) r(b)),
          cand AS (
@@ -1545,7 +1545,7 @@ object TextQueries {
            FROM bandk a JOIN bandk b
              ON a.b = b.b AND a.key = b.key
             AND a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          com AS (
            SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
              count(*) AS common
@@ -1823,7 +1823,7 @@ object TextQueries {
            FROM documents WHERE doc_id < 20),
          toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM aug),
-         sh0 AS (
+         sh0 AS MATERIALIZED (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1837,7 +1837,7 @@ object TextQueries {
            HAVING count(*) > (SELECT m FROM maxdf)),
          sh AS (
            SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
-         cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh
+         cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh
                  GROUP BY doc_id),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
