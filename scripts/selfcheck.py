@@ -7,7 +7,7 @@ Comparison: sort columns by name, compare row count, column names,
 and cell values (exact; floats compared bit-wise after pyarrow read,
 mirroring a hash-based driver as closely as we can).
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -29,7 +29,14 @@ for name in sorted(os.listdir(outdir)):
         skips.append(name)
         continue
     try:
+        t0 = time.time()
         exp = con.sql(oracle[name]).arrow()
+        dt = time.time() - t0
+        # surface latent oracle blowups (exponential CTE re-eval /
+        # spill) even when the values still match — the k_core class
+        if dt > 5.0:
+            print(f"  [slow-oracle] {name}: {dt:.1f}s — check CTE "
+                  f"MATERIALIZED / decimal widths (DESIGN.md round-8)")
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
