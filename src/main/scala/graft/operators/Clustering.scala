@@ -46,7 +46,9 @@ object Clustering {
   private def seedOrder: Seq[Column] =
     Seq(md5(col("id").cast("string")), col("id"))
 
-  /** k seed centroids `(cid ∈ 1..k, c)` by md5-of-id order. */
+  /** k seed centroids `(cid ∈ 1..k, c)` by md5-of-id order. The
+    * unpartitioned window runs AFTER limit(k): k rows, bounded at
+    * any corpus size. */
   private def seeds(v: DataFrame, k: Int): DataFrame =
     v.orderBy(seedOrder: _*).limit(k)
       .select(row_number().over(Window.orderBy(seedOrder: _*)).as("cid"),

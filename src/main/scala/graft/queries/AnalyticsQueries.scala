@@ -1139,6 +1139,8 @@ object AnalyticsQueries {
       val byDecile = assigned.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("rev")).cast("decimal(28,6)").as("decile_rev"))
+      // global windows over the DECILE aggregate: ≤10 rows at any
+      // SF (the fact table was reduced by the broadcast-edges pass)
       val w = Window.partitionBy(lit(1)).orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(lit(1))

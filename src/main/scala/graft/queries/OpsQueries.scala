@@ -129,6 +129,8 @@ object OpsQueries {
             .as("in_a"),
           max(when(col("seg") === "click", 1).otherwise(0))
             .as("in_b"))
+        // unpartitioned window over the MERGED SKETCH (≤2k hashes),
+        // never the event stream — bounded at any corpus size
         .withColumn("rn",
           row_number().over(Window.orderBy(col("h"))))
         .where(col("rn") <= k)

@@ -242,6 +242,7 @@ object StatsQueries {
           round(col("n_obs") / col("n_total"), 6).as("obs_share"),
           round(benford, 6).as("benford_share"),
           round(col("chi2_term"), 4).as("chi2_term"),
+          // global window over the 9-row digit domain — bounded
           round(sum(col("chi2_term")).over(
             Window.partitionBy(lit(1))), 4).as("chi2_total"))
         .orderBy(col("digit"))
@@ -396,6 +397,8 @@ object StatsQueries {
         .withColumn("p_value", lit(2.0) /
           (lit(1.0) + exp(lit(1.5976) * abs(col("t_stat")) *
             (lit(1.0) + lit(0.04417) * col("t_stat") * col("t_stat")))))
+      // global windows over the per-event-type TEST table (one row
+      // per type, 5 at any SF) — the BH ladder needs the total order
       val wOrd = Window.partitionBy(lit(1))
         .orderBy(col("p_value"), col("event_type"))
       val wAll = Window.partitionBy(lit(1))
