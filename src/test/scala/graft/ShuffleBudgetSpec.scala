@@ -88,8 +88,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       Similarity.annIvf(emb, qs, "vec_id", "embedding", 5).count())
     info(s"IVF (defaults) shuffled $ivf rows; pair space is " +
       s"${nQueries * (corpus - 1)}")
-    assert(ivf > 0 && ivf < nQueries * (corpus - 1),
-      s"IVF dedup shuffle reached the scored pair space: $ivf")
+    // the md5-seeded fixture is deterministic: 2065 rows measured
+    // (distinct candidates + per-partition partials). The bound sits
+    // ~10% above that — losing map-side partial aggregation (every
+    // duplicate candidate crossing the wire) must fail, which the
+    // raw pair-space bound (2495) could not guarantee
+    assert(ivf > 0 && ivf < 2300,
+      s"IVF dedup shuffle outgrew the distinct-candidate wire: $ivf " +
+        s"(pair space ${nQueries * (corpus - 1)})")
   }
 
   test("decontamination shuffles hit counts, never the train n-gram stream") {
@@ -232,8 +238,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // 64-row norm/normalize rounds — O(dim·partitions·iters), far
     // below corpus×dim (the matrix never crosses an exchange)
     info(s"power iteration shuffled $rows rows for $n×64 matrix")
-    assert(rows > 0 && rows < n * 64,
-      s"power iteration shuffled matrix-scale data: $rows")
+    // measured 262 rows (dim-sized partials + 64-row rounds). The
+    // bound must be BELOW one matrix row-crossing per iteration
+    // (3·n = 1500) or the property in the name cannot fail — n·64
+    // counted cells while the metric counts rows, 20× past the
+    // violation it claims to exclude
+    assert(rows > 0 && rows < n,
+      s"power iteration shuffled row-scale data: $rows (n=$n)")
   }
 
   test("shuffle-shard ranking shuffles each doc O(1) times, never a global sort") {

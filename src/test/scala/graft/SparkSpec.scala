@@ -45,6 +45,32 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * ObjectHashAggregate's per-key buffers are untracked on-heap
     * state, which is exactly why a whale key is dangerous there.)
     */
+  /** (max single-task, total) shuffle read bytes across `f` — the
+    * skew-ratio form of "no task receives an unbounded payload":
+    * max/total stays near 1/partitions when work is spread, and
+    * approaches the dominant stage's share of the wire when one
+    * task serializes it.
+    */
+  def shuffleReadSkew(f: => Unit): (Long, Long) = {
+    val peak = new java.util.concurrent.atomic.AtomicLong
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          val b = te.taskMetrics.shuffleReadMetrics.totalBytesRead
+          peak.accumulateAndGet(b, Math.max(_, _))
+          total.addAndGet(b)
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      (peak.get, total.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   def maxTaskShuffleReadBytes(f: => Unit): Long = {
     val peak = new java.util.concurrent.atomic.AtomicLong
     val l = new org.apache.spark.scheduler.SparkListener {

@@ -17,6 +17,20 @@ class StreamingSpec extends SparkSpec {
   private def ts(min: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
 
+  /** Final state per key as the SINK observed it: the LAST
+    * non-evicted update emitted for each key. Memory-sink rows
+    * accumulate in batch order and each key emits at most once per
+    * batch, so the last emission IS the stored state. (A maxBy(ts)
+    * reconstruction would mask the stale-clobber bug these gates
+    * exist for: a broken operator that re-emits an OLDER point still
+    * has the newer one in the emission history, so maxBy picks the
+    * right answer from a wrong stream.)
+    */
+  private def lastByKey(out: Seq[DeviceUpdate]): Map[Long, DeviceUpdate] =
+    out.zipWithIndex.filter(!_._1.evicted)
+      .groupBy(_._1.entityId)
+      .map { case (k, vs) => k -> vs.maxBy(_._2)._1 }
+
   private def runUpdates(input: MemoryStream[TrackPoint],
       ds: org.apache.spark.sql.Dataset[DeviceUpdate], name: String)(
       feed: (() => Unit) => Unit): Seq[DeviceUpdate] = {
@@ -41,8 +55,7 @@ class StreamingSpec extends SparkSpec {
         TrackPoint(2, ts(0), false, 99.0))
       sync()
     }
-    val latest = out.filter(!_.evicted).groupBy(_.entityId)
-      .map { case (k, v) => k -> v.maxBy(_.ts.getTime).course }
+    val latest = lastByKey(out).map { case (k, u) => k -> u.course }
     assert(latest == Map(1L -> 11.0, 2L -> 20.0),
       s"stale update must not clobber newer state: $out")
   }
@@ -120,10 +133,9 @@ class StreamingSpec extends SparkSpec {
         input.addData(chunk.toSeq); sync()
       }
     }
-    val streamed = out.filter(!_.evicted).groupBy(_.entityId)
-      .map { case (k, us) =>
-        k -> { val b = us.maxBy(_.ts.getTime); (b.ts.getTime, b.course) }
-      }
+    val streamed = lastByKey(out).map { case (k, u) =>
+      k -> ((u.ts.getTime, u.course))
+    }
     val batch = graft.operators.TrackPipeline
       .latestPerKey(rows.toSeq.toDF("entityId", "ts", "isEmergency",
         "course"), "entityId", "ts", "course")
@@ -158,8 +170,7 @@ class StreamingSpec extends SparkSpec {
       val v2 = runUpdates(i2,
         TrackStream.latestWithTtlV2(i2.toDS(), retentionMs = 30 * 60000),
         "t_tws") { sync => feed(i2, sync) }
-      val latest = v2.filter(!_.evicted).groupBy(_.entityId)
-        .map { case (k, v) => k -> v.maxBy(_.ts.getTime).course }
+      val latest = lastByKey(v2).map { case (k, u) => k -> u.course }
       assert(latest == Map(1L -> 11.0, 2L -> 20.0, 3L -> 31.0),
         s"v2 last-write-wins mismatch: $v2")
       assert(v2.exists(u => u.entityId == 1 && u.evicted) &&
@@ -350,6 +361,13 @@ class StreamingSpec extends SparkSpec {
     assert(seen.contains(2L), s"run 1 should count 2: $seen")
     // new data for the SAME window arrives while the query is down
     writeFile("b.json", Seq(point(3, 3, 30.0)))
+    // delete the already-processed file: a fresh (checkpoint-
+    // ignoring) restart would now list only b.json and emit cnt=1,
+    // so cnt=3 below can ONLY come from recovered state + new data.
+    // With a.json still present, a fresh restart would re-read it
+    // and also emit 3 — the gate could not fail.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(srcDir, "a.json"))
     seen.clear()
     val q2 = start()
     try {
