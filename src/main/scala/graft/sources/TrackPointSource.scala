@@ -80,7 +80,8 @@ class TrackPointTable(path: String) extends Table with SupportsRead {
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new TrackPointScanBuilder(path)
+    new TrackPointScanBuilder(path,
+      Option(options.get("min_ts")).map(_.toLong))
 }
 
 /** One aggregate accepted by the source: kind ∈ max|min|count, with
@@ -90,7 +91,19 @@ class TrackPointTable(path: String) extends Table with SupportsRead {
   */
 private[sources] case class PushedAgg(kind: String, col: String)
 
-class TrackPointScanBuilder(path: String) extends ScanBuilder
+/** @param minTs the reference's `noEarlierThan` gate as a source
+  *   OPTION (`.option("min_ts", epochMs)`): synthesized into the
+  *   pushed-filter set at build() so the reader drops older rows in
+  *   BOTH batch and streaming. This is not redundant with
+  *   `pushFilters`: Spark's V2 filter pushdown rule rewrites only
+  *   batch `DataSourceV2Relation`s — a micro-batch stream's
+  *   ScanBuilder never sees `pushFilters`, so a config-driven gate
+  *   is the only way the predicate reaches a streaming reader
+  *   (matching the reference, where `noEarlierThan` is config, not
+  *   query syntax).
+  */
+class TrackPointScanBuilder(path: String, minTs: Option[Long] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -155,7 +168,8 @@ class TrackPointScanBuilder(path: String) extends ScanBuilder
   }
 
   override def build(): Scan =
-    new TrackPointScan(path, aggSchema.getOrElse(required), pushed,
+    new TrackPointScan(path, aggSchema.getOrElse(required),
+      pushed ++ minTs.map(v => GreaterThanOrEqual("ts", v): Filter),
       aggGroups, aggs)
 }
 
@@ -208,9 +222,14 @@ object TrackPointScan {
   * Spark checkpoints the offset range per micro-batch and replays
   * only uncommitted ranges.
   *
-  * Pushed filters ride along: V2 pushdown runs for micro-batch scans
-  * too, so the reference's `noEarlierThan` predicate drops rows
-  * inside the reader in streaming exactly as in batch.
+  * Source-side filtering in streaming comes from the `min_ts`
+  * OPTION, not `pushFilters`: Spark's V2 filter-pushdown rule
+  * rewrites batch relations only, so a micro-batch ScanBuilder never
+  * receives query predicates — the reference's `noEarlierThan` gate
+  * is config-driven for exactly this reason, and the option
+  * synthesizes the same `ts >= v` Filter into the shared reader
+  * path. (DataFrame-level filters still apply post-scan, so
+  * correctness never depends on the option.)
   */
 class TrackPointMicroBatchStream(path: String, required: StructType,
     pushed: Array[Filter])
