@@ -29,7 +29,11 @@ class BucketingSpec extends SparkSpec {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
       val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin") || plan.contains("Join"), plan)
+      // specifically a shuffle-class equi-join (the old
+      // `|| contains("Join")` disjunct was satisfied by any join
+      // node, including a degenerate nested-loop)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
       // the downstream groupBy(c_mktsegment) legitimately shuffles;
       // the JOIN KEYS must not — bucketing satisfies the join's
       // distribution requirement directly

@@ -66,16 +66,47 @@ class OpsSpec extends SparkSpec {
     assert(ok(r.getAs[Double]("est_purchase_users"), a), s"$r vs a=$a")
     assert(ok(r.getAs[Double]("est_click_users"), b), s"$r vs b=$b")
     assert(ok(r.getAs[Double]("est_union"), union), s"$r vs u=$union")
-    // intersection compounds two estimators — allow a wider band
+    // intersection compounds two estimators, but the old 2·tol·union
+    // band (±0.76·union) admitted an estimator returning 0 or nearly
+    // the whole union — binomial jackknife SE at the observed overlap
+    // fraction, 3σ, is the principled width (~0.19·union here)
+    val pHat = math.max(0.05, math.min(0.95, inter / union))
+    val interBand = 3.0 * math.sqrt(pHat * (1 - pHat) / 64) * union
     assert(math.abs(r.getAs[Double]("est_intersection") - inter)
-      <= 2 * tol * union + 1e-9, s"$r vs i=$inter")
+      <= interBand + 1e-9,
+      s"$r vs i=$inter (band ±$interBand)")
   }
 
-  test("q_l_diversity: at-risk rows bounded by group rows; min diversity ≥ 1") {
-    q("q_l_diversity").collect().foreach { r =>
-      assert(r.getAs[Long]("n_low_diversity") <= r.getAs[Long]("n_groups"))
-      assert(r.getAs[Double]("min_diversity") >= 1.0)
-    }
+  test("q_l_diversity: rows replay an independent driver-side recount") {
+    // the old bounds (n_low_diversity <= n_groups, min_diversity
+    // >= 1) hold by construction of ANY groupBy — wrong l, wrong QI
+    // bucketing, or a swapped sensitive column all stayed green.
+    // Recount every output cell from the raw rows in plain Scala.
+    val raw = Tables(spark, sf(), "events")
+      .select(col("event_type"),
+        floor(col("value") / 10).cast("long").as("vb"),
+        expr("unix_micros(ts) div 604800000000").as("wk"),
+        col("user_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = raw.groupBy(t => (t._1, t._2, t._3)).toSeq
+      .map { case ((et, _, _), rs) =>
+        (et, rs.length.toLong, rs.map(_._4).distinct.length.toLong)
+      }
+      .groupBy(_._1).map { case (et, gs) =>
+        et -> ((gs.length.toLong,
+          gs.count(_._3 < 3).toLong,
+          gs.filter(_._3 < 3).map(_._2).sum,
+          gs.map(_._3).min.toDouble))
+      }
+    val got = q("q_l_diversity").collect().map(r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_low_diversity"),
+        r.getAs[Long]("n_rows_at_risk"),
+        r.getAs[Double]("min_diversity")))).toMap
+    assert(got == expected,
+      s"l-diversity mismatch:\n got $got\n exp $expected")
   }
 
   test("q_duplicate_payments: tolerance bounds hold; pairs canonical") {
@@ -158,5 +189,22 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString)
     assert(p.contains("windowspecdefinition(bkt"),
       s"expected the per-bucket partitioned window:\n$p")
+    // the plan shape alone cannot catch DATA degeneracy (a bucket
+    // derivation collapsing to a constant keeps the same plan but
+    // routes every doc through one window task): the per-task skew
+    // ratio is the measured form, as in ScalingSpec's pareto gate
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val (peak, total) = try {
+      spark.conf.set(key, "16")
+      withoutAqe {
+        shuffleReadSkew { q("q_shuffle_shards").count() }
+      }
+    } finally spark.conf.set(key, prev)
+    info(f"shuffle-shards widest task reads $peak%dB of $total%dB " +
+      f"(${peak.toDouble / total}%.2f)")
+    assert(total > 0 && peak.toDouble / total < 0.3,
+      f"one task serialized the shard ranking: " +
+        f"${peak.toDouble / total}%.2f of the wire")
   }
 }
