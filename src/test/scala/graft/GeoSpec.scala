@@ -191,5 +191,11 @@ class GeoSpec extends SparkSpec {
         s"centroid lon outside bbox: $r")
       assert(r.getAs[Double]("bbox_area") >= 0)
     }
+    // non-degeneracy: the per-entity identities above hold for ANY
+    // aggregation — tracks genuinely move, so a coordinate-formula
+    // regression that freezes every entity at a point must fail
+    // (exact values are pinned by the DuckDB oracle)
+    assert(rows.exists(_.getAs[Double]("bbox_area") > 0),
+      "every track degenerate to a point — coordinates inert")
   }
 }

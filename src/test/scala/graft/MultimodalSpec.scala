@@ -67,6 +67,12 @@ class MultimodalSpec extends SparkSpec {
     val lens = Tables(spark, sf(), "documents")
       .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS n")
       .as[(Long, Int)].collect().toMap
+    // every doc long enough for one frame MUST appear — iterating
+    // only over byDoc would let silent per-doc dropout pass
+    assert(byDoc.keySet == lens.filter(_._2 >= 64).keySet,
+      s"docs dropped or invented by the sampler: " +
+        s"${byDoc.keySet.diff(lens.keySet)} / " +
+        s"${lens.filter(_._2 >= 64).keySet.diff(byDoc.keySet)}")
     byDoc.foreach { case (id, n) =>
       assert(n == (lens(id) - 64) / 32 + 1, s"doc $id")
     }

@@ -198,6 +198,12 @@ class QualitySpec extends SparkSpec {
       assert(scored <= math.max(0, n - 20), s"over-scored: $row")
       assert(anom <= scored, s"more anomalies than scored rows: $row")
     }
+    // non-vacuity floor: a regression that nulls every z (variance
+    // floor, count predicate) zeroes n_scored everywhere and every
+    // bound above still holds — the fixture has types with far more
+    // than 20 events, so something must be scored
+    assert(r.map(_.getAs[Long]("n_scored")).sum > 0,
+      "no rows scored anywhere — the gates above are vacuous")
   }
 
   test("q_dedup_survivorship: format-valid record wins every cluster") {
@@ -221,10 +227,25 @@ class QualitySpec extends SparkSpec {
     val rows = SparkEntry.queries("q_dq_rowcount_anomaly")(spark, sf())
       .collect()
     assert(rows.nonEmpty)
+    // pin the title's invariant structurally: the scored days must
+    // be EXACTLY each type's calendar days with >= 3 predecessors
+    // (the old test never compared against the calendar, so a
+    // weakened history predicate went green)
+    val calendar = Tables(spark, sf(), "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string")
+        .as("day"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (et, ds) =>
+        et -> ds.map(_._2).sorted.drop(3).toSet
+      }
     rows.groupBy(_.getAs[String]("event_type")).foreach {
       case (et, rs) =>
         // the first 3 calendar days per type can never be scored
         val allDays = rs.map(_.getAs[String]("day")).sorted
+        assert(allDays.toSet == calendar(et),
+          s"$et: scored days ${allDays.toSet} != expected " +
+            s"${calendar(et)}")
         assert(rs.forall(_.getAs[Long]("row_count") > 0), et)
         rs.foreach { r =>
           assert(r.getAs[Double]("trailing_mean") > 0, s"$et $r")

@@ -38,7 +38,14 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     val total = docs.count()
     assert(counts.values.sum == total)
+    // all THREE shares: checking train alone let a split that empties
+    // the valid bucket (e.g. a dropped trainPct offset sending every
+    // non-train row to test) pass as "~80/10/10"
     assert(math.abs(counts("train").toDouble / total - 0.8) < 0.1)
+    assert(math.abs(counts.getOrElse("valid", 0L).toDouble / total
+      - 0.1) < 0.07, s"valid share off: $counts")
+    assert(math.abs(counts.getOrElse("test", 0L).toDouble / total
+      - 0.1) < 0.07, s"test share off: $counts")
     // same doc always lands in the same split
     val a = split.select("doc_id", "split").as[(Long, String)]
       .collect().toMap

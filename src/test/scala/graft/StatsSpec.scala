@@ -52,9 +52,13 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Double]("mad") >= 0)
       assert(out >= 0 && out <= n)
       // n_outliers counts z > 3.5 BEFORE rounding; max_robust_z is
-      // rounded to 4 decimals, so compare against the half-ulp edge.
-      assert((out > 0) == (maxZ > 3.5 - 5e-5),
-        s"count/max disagree: n_outliers=$out max_robust_z=$maxZ")
+      // rounded to 4 decimals, so the edge is ambiguous in BOTH
+      // directions (a true 3.49998 rounds UP to 3.5000) — skip the
+      // half-ulp band around the threshold entirely instead of
+      // shifting it one way
+      if (math.abs(maxZ - 3.5) > 5e-5)
+        assert((out > 0) == (maxZ > 3.5),
+          s"count/max disagree: n_outliers=$out max_robust_z=$maxZ")
     }
   }
 

@@ -48,6 +48,19 @@ class TextScoringSpec extends SparkSpec {
       val ratio = r.getAs[Double]("hapax_ratio")
       assert(ratio >= 0.0 && ratio <= 1.0)
     }
+    // non-degeneracy: every bound above holds by construction of any
+    // (source, word) rollup. The synthetic corpus has a small
+    // vocabulary where every word repeats (zero hapaxes is the
+    // CORRECT answer), so pin the repeat side: a tokenizer
+    // regression that makes tokens unique (offsets/punctuation glued
+    // on) turns every type into a hapax and n_tokens == n_types —
+    // both must fail (values themselves are pinned by the oracle)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hapax") < r.getAs[Long]("n_types"),
+        s"every type a hapax — tokenizer degenerate: $r")
+      assert(r.getAs[Long]("n_tokens") > r.getAs[Long]("n_types"),
+        s"no repeated token anywhere — tokenizer degenerate: $r")
+    }
   }
 
   test("q_quality_logistic: sigmoid bounds, keep-count consistency") {
@@ -64,5 +77,13 @@ class TextScoringSpec extends SparkSpec {
       assert(score > 0.0 && score < 1.0,
         s"mean sigmoid must stay strictly inside (0,1): $r")
     }
+    // non-degeneracy: the gate must actually separate the corpus —
+    // a threshold or weight regression that keeps everything (or
+    // nothing) passes every bound above (exact scores are pinned by
+    // the DuckDB oracle)
+    val keeps = rows.map(_.getAs[Long]("n_keep")).sum
+    val docs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(keeps > 0 && keeps < docs,
+      s"keep gate degenerate: $keeps of $docs kept")
   }
 }
