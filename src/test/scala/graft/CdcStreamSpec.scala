@@ -58,7 +58,21 @@ class CdcStreamSpec extends SparkSpec {
       assert(sOp == op && sVr == v && sMs == ms && sN == n,
         s"key $uid: stream ($sOp,$sVr,$sMs,$sN) != batch ($op,$v,$ms,$n)")
     }
-    // every key absent from the batch snapshot ended deleted
+    // every key absent from the batch snapshot ended deleted — AND
+    // every deleted key must actually appear in the stream's final
+    // emissions (iterating only finalRows let a stream that swallows
+    // deleted keys pass, since q_cdc_apply filters them out of batch)
+    val deleted = all.groupBy(_.user_id).collect {
+      case (uid, es) if es.maxBy(e => (e.ts.getTime, e.event_id)).op
+        == "D" => uid
+    }.toSet
+    assert(deleted.nonEmpty,
+      "fixture has no deleted keys — the delete leg is vacuous")
+    deleted.foreach { uid =>
+      assert(finalRows.contains(uid) && finalRows(uid)._2 == "D",
+        s"deleted key $uid: final stream emission is " +
+          s"${finalRows.get(uid)}, expected op=D")
+    }
     finalRows.foreach { case (uid, row) =>
       if (!batch.contains(uid))
         assert(row._2 == "D", s"key $uid missing from batch but not deleted")

@@ -48,9 +48,30 @@ class CmsStreamSpec extends SparkSpec {
         .map(t => (t._1, t._2) -> t._3).toMap
     } finally q.stop()
 
+    assert(batchCells.nonEmpty, "no sketch cells — parity vacuous")
     assert(streamedCells.size == batchCells.size,
       s"cell counts differ: ${streamedCells.size} vs ${batchCells.size}")
     assert(streamedCells == batchCells, "sketch cells diverge")
+    // independent pin the shared-helper parity cannot give (a bug in
+    // the shared hash/bucket derivation corrupts both sides
+    // identically): CMS point estimates — min over rows of the
+    // key's cell counters — can never undercount a true frequency
+    val truth = keys.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val probes = truth.keys.take(50).toSeq
+    val probeCells = AnalyticsQueries.withDigestHalves(
+        probes.toDF("l_partkey"), col("l_partkey"))
+      .select(col("l_partkey"),
+        posexplode(AnalyticsQueries.cmsCells).as(Seq("j", "bucket")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    probes.foreach { k =>
+      val est = probeCells(k)
+        .map(c => streamedCells.getOrElse(c, 0L)).min
+      assert(est >= truth(k),
+        s"CMS undercounts key $k: est=$est true=${truth(k)}")
+    }
     assert(streamedCells.size <= 4 * 256,
       "state exceeded the d×w bound")
   }

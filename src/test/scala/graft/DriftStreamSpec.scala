@@ -58,6 +58,7 @@ class DriftStreamSpec extends SparkSpec {
         .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
     } finally q.stop()
 
+    assert(batch.nonEmpty, "q_drift_psi returned no rows — vacuous")
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (et, (nRef, nCur, nBins, psi)) =>
       val (_, sRef, sCur, sBins, sPsi) = streamed(et)

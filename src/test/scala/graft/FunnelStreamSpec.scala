@@ -58,6 +58,10 @@ class FunnelStreamSpec extends SparkSpec {
     val streamedFinal = advances.groupBy(_._1)
       .map { case (uid, rows) => uid -> rows.map(_._2).max }
     // every batch stage ≥1 must match; batch stage-0 users emit nothing
+    assert(batch.nonEmpty, "batch funnel returned no users — vacuous")
+    assert(streamedFinal.keySet.subsetOf(batch.keySet),
+      s"stream advanced unknown users: " +
+        s"${streamedFinal.keySet.diff(batch.keySet)}")
     batch.foreach { case (uid, st) =>
       assert(streamedFinal.getOrElse(uid, 0) == st,
         s"user $uid: stream ${streamedFinal.getOrElse(uid, 0)} != batch $st")

@@ -24,7 +24,12 @@ class GeoStreamSpec extends SparkSpec {
       .select(col("user_id").as("entityId"), col("event_id").as("eventId"),
         col("ts"), col("lat"), col("lon"))
       .as[GeoPing].collect().toSeq
-      .sortBy(p => (p.ts.getTime, p.eventId)) // in-order feed contract
+      // full-µs order (getTime truncates to ms): the operator's
+      // cross-batch state sequences enter/exit at µs precision, so a
+      // ms-sorted feed would break the in-order contract on sub-ms
+      // ties (same fix as AnomalyStreamSpec)
+      .sortBy(p => (p.ts.getTime * 1000 + p.ts.getNanos / 1000 % 1000,
+        p.eventId))
 
   private def stationSeq: Seq[(Double, Double)] =
     Tables(spark, sf("0.001"), "nation")

@@ -23,18 +23,21 @@ class IncrementalAggStreamSpec extends SparkSpec {
       .select(col("event_type"), col("value"))
       .as[(String, Double)].collect().toSeq
 
-    val batch = Tables(spark, sf(), "events")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)"))
-          .cast("decimal(18,6)").as("sum_value"))
+    // the batch side is q_agg_incremental ITSELF — the query whose
+    // stored-partial/delta merge this spec claims to gate. (An
+    // earlier version recomputed the rollup inline with the same
+    // expressions as the stream side, so a regression in the query's
+    // snapshot+delta merge could never fail the parity.)
+    val batch = SparkEntry.queries("q_agg_incremental")(spark, sf())
       .collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getDecimal(2).toPlainString)).toMap
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toMap
+    assert(batch.nonEmpty, "q_agg_incremental returned no groups")
 
     val input = MemoryStream[(String, Double)]
     val latest = scala.collection.concurrent.TrieMap
-      .empty[String, (Long, String)]
+      .empty[String, (Long, Double)]
     val q = input.toDF().toDF("event_type", "value")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -43,8 +46,10 @@ class IncrementalAggStreamSpec extends SparkSpec {
       .writeStream.outputMode(OutputMode.Update)
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         df.collect().foreach { r =>
-          latest(r.getString(0)) =
-            (r.getLong(1), r.getDecimal(2).toPlainString)
+          // the query's output surface: DECIMAL state, round(double)
+          latest(r.getString(0)) = (r.getLong(1),
+            BigDecimal(r.getDecimal(2)).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
         ()
       }
@@ -58,7 +63,7 @@ class IncrementalAggStreamSpec extends SparkSpec {
     } finally q.stop()
 
     assert(latest.toMap == batch,
-      s"streaming state diverged from the batch rollup:\n" +
+      s"streaming state diverged from q_agg_incremental:\n" +
         s"stream ${latest.toMap}\nbatch  $batch")
   }
 }

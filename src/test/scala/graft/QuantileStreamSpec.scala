@@ -47,6 +47,8 @@ class QuantileStreamSpec extends SparkSpec {
         .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
     } finally q.stop()
 
+    assert(batch.nonEmpty,
+      "q_agg_quantile_sketch returned no rows — vacuous")
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (et, (n, p50, p90)) =>
       val (_, sn, s50, s90) = streamed(et)

@@ -51,6 +51,8 @@ class SessionStreamSpec extends SparkSpec {
     val lastSeq = batch.keys.groupBy(_._1)
       .map { case (u, ks) => u -> ks.map(_._2).max }
     val expected = batch.filter { case ((u, s), _) => s < lastSeq(u) }
+    assert(expected.nonEmpty,
+      "no closed sessions in the fixture — parity below is vacuous")
 
     val got = streamed
       .map(s => (s.user_id, s.session_seq) ->

@@ -46,6 +46,11 @@ class TopKStreamSpec extends SparkSpec {
         }
     } finally q.stop()
 
+    // non-vacuity + coverage: a stream that stops emitting (overall
+    // or for one event_type) must fail here, not skip the loop below
+    assert(streamed.nonEmpty, "stream emitted nothing")
+    assert(streamed.keySet == distinctItems.keySet,
+      s"stream keys ${streamed.keySet} != batch ${distinctItems.keySet}")
     streamed.foreach { case (et, rows) =>
       assert(distinctItems(et) <= 512, "fixture outgrew capacity")
       rows.foreach { case (_, item, est, err, _) =>
@@ -81,12 +86,17 @@ class TopKStreamSpec extends SparkSpec {
       Seq(a, b).foreach { chunk =>
         input.addData(chunk); q.processAllAvailable()
       }
-      spark.table("tksink2")
-        .as[(String, String, Long, Long, Int)].collect()
-        .zipWithIndex.groupBy(_._1._2)
-        .map { case (_, rs) => rs.maxBy(_._2)._1 } // final emission
-        .toSeq
+      // the FINAL batch's emission is the sketch's end state: the
+      // k=8 rows with the highest sink indexes. Taking each item's
+      // last emission across the WHOLE run would count an item
+      // evicted after batch 1 as retained — the retention guarantee
+      // is about the final sketch, not "emitted at least once".
+      val all = spark.table("tksink2")
+        .as[(String, String, Long, Long, Int)].collect().zipWithIndex
+      val cut = all.map(_._2).max - 8
+      all.filter(_._2 > cut).map(_._1).toSeq
     } finally q.stop()
+    assert(rows.size == 8, s"final emission should carry k=8 rows: $rows")
 
     val byItem = rows.map(r => r._2 -> r).toMap
     // every item with true count > n/capacity must be retained
