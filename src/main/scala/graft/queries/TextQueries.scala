@@ -18,6 +18,67 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The q_dedup_substring_spans pipeline over any (doc_id, text)
+    * corpus: per doc, the fraction of its 10-token spans shared with
+    * at least one OTHER doc. `private[graft]` so PropertiesSpec can
+    * drive the SHIPPED pipeline with a constructed corpus (verbatim
+    * copies must score 1.0, globally unique docs must be absent) —
+    * an inline test copy would pin nothing about this code.
+    */
+  private[graft] def substringSpanFracs(corpus: DataFrame): DataFrame = {
+    val sp = graft.CachedPlans.cache(corpus
+      .select(col("doc_id"),
+        explode(wordShingles(col("text"), 10)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h")))
+    val shared = sp.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    val nsp = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    sp.join(shared, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      .join(nsp, "doc_id")
+      .select(col("doc_id"), col("n_dup_spans"), col("n_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4)
+          .as("dup_span_frac"))
+  }
+
+  /** The q_text_bm25 scoring pipeline over any corpus and query-term
+    * table: top-10 (query_id, rank, doc_id, score). `private[graft]`
+    * so PropertiesSpec can pin the ghost-term invariant (an
+    * unmatched term never changes ranking) on the SHIPPED math.
+    */
+  private[graft] def bm25Rank(corpus: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val gl = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(((col("n_docs") - col("df")).cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+      .cast("decimal(18,6)").cast("double")
+    val tfPart = (col("tf").cast("double") * 2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), col("tok") === col("term"))
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(gl))
+      .select(col("query_id"), col("doc_id"),
+        (idf * tfPart).cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score").cast("double"), 4).as("score"))
+  }
+
   /** documents ∪ planted copies of doc_id<20 (id-shifted) — gives the
     * exact-dedup queries real duplicate groups to find. The shift is
     * an IN-PLAN offset (max(doc_id)+1, one-row broadcast — the
@@ -428,34 +489,7 @@ object TextQueries {
       val qterms = Seq((1, "spark"), (1, "hash"), (1, "join"),
         (2, "window"), (2, "agg"), (2, "query"),
         (3, "fast"), (3, "scan"), (3, "filter")).toDF("query_id", "term")
-      val toks = docs(s, dir).select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val gl = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs")
-      val idf = log(((col("n_docs") - col("df")).cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5) + 1.0)
-        .cast("decimal(18,6)").cast("double")
-      val tfPart = (col("tf").cast("double") * 2.2) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      tf.join(broadcast(qterms), col("tok") === col("term"))
-        .join(dfreq, "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(gl))
-        .select(col("query_id"), col("doc_id"),
-          (idf * tfPart).cast("decimal(18,6)").as("contrib"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("contrib")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          round(col("score").cast("double"), 4).as("score"))
+      bm25Rank(docs(s, dir), qterms)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -577,21 +611,7 @@ object TextQueries {
     // distinct-doc count ≥ 2. Same inverted-index shape (and the
     // same df-bounded scale envelope) as the Jaccard family.
     "q_dedup_substring_spans" -> { (s, dir) =>
-      val sp = graft.CachedPlans.cache(docs(s, dir)
-        .select(col("doc_id"),
-          explode(wordShingles(col("text"), 10)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("h")))
-      val shared = sp.distinct()
-        .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-        .filter(col("ndocs") >= 2)
-      val nsp = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-      sp.join(shared, "h")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
-        .join(nsp, "doc_id")
-        .select(col("doc_id"), col("n_dup_spans"), col("n_spans"),
-          round(col("n_dup_spans").cast("double") / col("n_spans"), 4)
-            .as("dup_span_frac"))
-        .orderBy(col("doc_id"))
+      substringSpanFracs(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // Incremental dedup — the production ingest path: a new batch

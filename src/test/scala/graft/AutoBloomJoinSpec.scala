@@ -39,8 +39,20 @@ class AutoBloomJoinSpec extends SparkSpec {
 
   test("off by default: no bloom filter in the plan") {
     withoutAqe {
-      val plan = urgentJoin().queryExecution.optimizedPlan.toString
-      assert(!plan.contains("bloom_might_contain"))
+      // relax every OTHER guard (ratio, broadcast) so the enabled
+      // flag is the DECIDING conjunct — with session defaults the
+      // ratio/broadcast guards block injection anyway and a flipped
+      // enabled default could not fail this test
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.graft.autoBloom.minProbeRatio", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = urgentJoin().queryExecution.optimizedPlan.toString
+        assert(!plan.contains("bloom_might_contain"))
+      } finally {
+        spark.conf.unset("spark.graft.autoBloom.minProbeRatio")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
     }
   }
 
@@ -78,12 +90,18 @@ class AutoBloomJoinSpec extends SparkSpec {
     withoutAqe {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.graft.autoBloom.enabled", "true")
+      // relax the ratio guard so the broadcast-threshold conjunct is
+      // the one that decides (the session-default ratio of 4 already
+      // blocks injection on this ~2x data, which made deleting the
+      // broadcast guard undetectable)
+      spark.conf.set("spark.graft.autoBloom.minProbeRatio", "2")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
       try {
         val plan = urgentJoin().queryExecution.optimizedPlan.toString
         assert(!plan.contains("bloom_might_contain"))
       } finally {
         spark.conf.unset("spark.graft.autoBloom.enabled")
+        spark.conf.unset("spark.graft.autoBloom.minProbeRatio")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       }
     }
@@ -112,8 +130,19 @@ class AutoBloomJoinSpec extends SparkSpec {
         val df = Tables(spark, sf(), "lineitem")
           .select($"l_orderkey", $"l_quantity")
           .join(urgent, $"l_orderkey" === $"o_orderkey", "left_semi")
-        val plan = df.queryExecution.optimizedPlan.toString
-        assert(plan.contains("bloom_might_contain"))
+        // the filter must sit below the PROBE (lineitem) exchange —
+        // contains() over the whole plan also passed a wrong-side
+        // injection, which a semi join cannot expose via results
+        // (blooms have no false negatives)
+        val exec = df.queryExecution.executedPlan
+        val factExchange = exec.collect {
+          case e: ShuffleExchangeExec
+            if e.toString.contains("l_orderkey") => e
+        }
+        assert(factExchange.exists(_.child.collect {
+          case f: FilterExec
+            if f.condition.toString.contains("bloom_might_contain") => f
+        }.nonEmpty), s"no bloom filter below the probe exchange:\n$exec")
         val want = withAutoBloom(false) {
           Tables(spark, sf(), "lineitem")
             .select($"l_orderkey", $"l_quantity")

@@ -23,9 +23,15 @@ class CompactionSpec extends SparkSpec {
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
   }
 
+  /** Order-independent checksum over EVERY column (a product of two
+    * id columns was blind to corruption in ts/type/value/props —
+    * a rewrite projecting them away passed the identity gate).
+    */
   private def checksum(dir: String): (Long, Long) = {
-    val r = spark.read.parquet(dir)
-      .agg(count(lit(1)), sum(col("event_id") * col("user_id")))
+    val df = spark.read.parquet(dir)
+    val r = df
+      .agg(count(lit(1)),
+        sum(hash(df.columns.map(col): _*).cast("long")))
       .head
     (r.getLong(0), r.getLong(1))
   }
@@ -82,6 +88,7 @@ class CompactionSpec extends SparkSpec {
     assert(eroded == total,
       s"arrival-ordered layout should scan everything: $eroded != $total")
 
+    val beforeZ = checksum(dir)
     val stats = Compaction.compact(spark, dir,
       targetBytes = (dirBytes(dir) + 15) / 16, // pack 48 -> 16 clustered files
       clusterBy = Some("morton"))
@@ -95,6 +102,10 @@ class CompactionSpec extends SparkSpec {
     // 3× so the test pins "skipping restored", not a sampling seed
     assert(packed * 3 <= eroded,
       s"clusterBy compaction should restore >=3x skipping: $packed vs $eroded")
-    assert(spark.read.parquet(dir).count() == total)
+    // full-column identity, not just the row count — a clusterBy
+    // rewrite that drops one row and duplicates another (or mangles
+    // a column) must fail here
+    assert(checksum(dir) == beforeZ,
+      "clusterBy compaction changed the data")
   }
 }

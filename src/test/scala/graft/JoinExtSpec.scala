@@ -194,8 +194,12 @@ class JoinExtSpec extends SparkSpec {
         "user_id", "ts", Seq("p_err"))
       .filter($"l_value" > 50.0 && $"p_err".isNotNull)
       .select($"l_id", $"p_err".as("err_id"))
-    assert(filtered.collect().toSet == viaComposition.collect().toSet)
+    // multiset compare (exceptAll both ways): toSet masked a
+    // pushdown regression that DUPLICATES rows
     assert(filtered.count() > 0)
+    assert(filtered.exceptAll(viaComposition).isEmpty &&
+      viaComposition.exceptAll(filtered).isEmpty,
+      "pushdown result is not row-for-row identical to composition")
   }
 
   test("SQL asof_on (plain session, optimizer-phase rewrite) == API merge") {
@@ -247,7 +251,11 @@ class JoinExtSpec extends SparkSpec {
       .count()
     assert(rows.length.toLong == gridSize,
       s"grid ticks lost in the fill: ${rows.length} != $gridSize")
-    // LOCF sanity: ages are non-negative wherever an observation matched
+    // LOCF sanity: ages are non-negative wherever an observation
+    // matched — and something must match, or the forall is vacuous
+    // (every user's grid starts AT their first observation's hour)
+    assert(rows.exists(r => !r.isNullAt(3)),
+      "no grid tick matched any observation — fill inert")
     assert(rows.forall(r => r.isNullAt(3) || r.getLong(3) >= 0L))
   }
 

@@ -212,19 +212,12 @@ class PropertiesSpec extends SparkSpec {
     val corpus = d
       .unionByName(d.select(($"doc_id" + 500000).as("doc_id"), $"text"))
       .unionByName(uniq)
-    // the q_dedup_substring_spans pipeline, on the constructed corpus
-    val sp = corpus.select($"doc_id",
-        explode(graft.functions.TextFunctions
-          .wordShingles($"text", 10)).as("g"))
-      .select($"doc_id", xxhash64($"g").as("h"))
-    val shared = sp.distinct().groupBy($"h")
-      .agg(count(lit(1)).as("nd")).filter($"nd" >= 2)
-    val nsp = sp.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
-    val res = sp.join(shared, "h").groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_dup"))
-      .join(nsp, "doc_id")
-      .select($"doc_id", ($"n_dup".cast("double") / $"n_spans").as("f"))
-    val fracs = res.as[(Long, Double)].collect().toMap
+    // the SHIPPED q_dedup_substring_spans pipeline on the
+    // constructed corpus (an inline re-implementation here pinned
+    // nothing about the product code)
+    val fracs = graft.queries.TextQueries.substringSpanFracs(corpus)
+      .select($"doc_id", $"dup_span_frac")
+      .as[(Long, Double)].collect().toMap
     d.select($"doc_id").as[Long].collect().foreach { id =>
       assert(fracs.get(id).contains(1.0),
         s"verbatim copy of $id must be fully flagged: ${fracs.get(id)}")
@@ -236,25 +229,13 @@ class PropertiesSpec extends SparkSpec {
 
   test("BM25: adding an unmatched query term never changes doc ranking") {
     val d = Tables(spark, sf(), "documents")
+    // the SHIPPED q_text_bm25 scoring pipeline, parameterized by
+    // query terms (an inline copy of the math here could not fail
+    // for a regression in the product query)
     def top(terms: Seq[String]): Seq[Long] = {
-      // inline BM25 (same math as q_text_bm25) over one query
       val q = terms.map((1, _)).toDF("query_id", "term")
-      val toks = d.select($"doc_id", explode(split($"text", " ")).as("tok"))
-      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-      val gl = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
-      val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-      val avgdl = $"sum_dl".cast("double") / $"n_docs"
-      val idf = log((($"n_docs" - $"df").cast("double") + 0.5) /
-        ($"df".cast("double") + 0.5) + 1.0)
-      val part = ($"tf".cast("double") * 2.2) / ($"tf".cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)))
-      tf.join(broadcast(q), $"tok" === $"term")
-        .join(dfreq, "tok").join(dl, "doc_id").crossJoin(broadcast(gl))
-        .select($"doc_id", (idf * part).as("c"))
-        .groupBy($"doc_id").agg(sum($"c").as("score"))
-        .orderBy($"score".desc, $"doc_id").limit(10)
-        .select($"doc_id").as[Long].collect().toSeq
+      graft.queries.TextQueries.bm25Rank(d, q)
+        .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
     }
     val base = top(Seq("spark", "join"))
     val withGhost = top(Seq("spark", "join", "zzznotaword"))
@@ -277,20 +258,33 @@ class PropertiesSpec extends SparkSpec {
       assert(c >= 1 && (n <= 64 || l >= 17) && l <= 64,
         s"n=$n chunks=$c last=$l violates the boundary contract")
     }
-    // and every real-corpus doc obeys the same closed form
+    // and every real-corpus doc obeys the same closed form — via an
+    // OUTER join with coverage checks: the old inner join let a
+    // chunker that drops docs (or returns nothing) pass with bad==0
     val chunked = graft.queries.TextQueries
       .defs("q_chunk_sliding")(spark, sf())
-    val bad = chunked.groupBy(col("doc_id"))
+    val perDoc = chunked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("chunks"),
-        max(col("chunk_tokens")).as("mx"))
-      .join(Tables(spark, sf(), "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n")), "doc_id")
-      .filter(col("chunks") =!=
-        (lit(1) + greatest(lit(0),
-          ceil((col("n") - lit(64)).cast("double") / 48).cast("int"))))
-      .count()
-    assert(bad == 0, s"$bad docs break the chunk-count closed form")
+        max_by(col("chunk_tokens"), col("chunk_id")).as("last_len"))
+    val joined = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val n = r.getAs[Int]("n")
+      assert(!r.isNullAt(r.fieldIndex("chunks")),
+        s"doc ${r.getAs[Long]("doc_id")} dropped by the chunker")
+      val chunks = r.getAs[Number]("chunks").longValue
+      assert(chunks == expectChunks(n),
+        s"doc ${r.getAs[Long]("doc_id")}: $chunks chunks for $n tokens")
+      // the last chunk must hold 17..64 tokens when n > 64 (never a
+      // degenerate suffix inside the previous chunk's overlap)
+      val last = r.getAs[Number]("last_len").longValue
+      assert(last == lastLen(n),
+        s"doc ${r.getAs[Long]("doc_id")}: last chunk $last != " +
+          s"${lastLen(n)} for $n tokens")
+    }
   }
 
   test("boilerplate ratio bounded; shingle totals match the token count") {
