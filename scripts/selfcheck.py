@@ -19,14 +19,24 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
+seen = set()
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
+    seen.add(name)
     files = glob.glob(f"{d}/*.parquet")
-    got = pq.read_table(files[0]) if files else None
+    # read the whole directory (pyarrow skips _-prefixed files): a
+    # files[0]-only read would silently drop rows if coalesce(1)
+    # ever stops holding
+    got = pq.read_table(d) if files else None
     if name not in oracle:
         skips.append(name)
+        continue
+    if got is None:
+        # Verify's write died mid-job (overwrite deleted the old
+        # output, only _temporary/ remains) — a FAIL, not a crash
+        fails.append((name, "no parquet output in result dir"))
         continue
     try:
         t0 = time.time()
@@ -51,12 +61,23 @@ for name in sorted(os.listdir(outdir)):
     if got.num_rows != exp.num_rows:
         fails.append((name, f"rows differ: spark={got.num_rows} duck={exp.num_rows}"))
         continue
+    def cells_equal(a, b):
+        # NaN == NaN here (a hash-based driver canonicalizes the
+        # bit pattern, and Python's != would false-fail it forever);
+        # -0.0 vs 0.0 DIFFERS (distinct bit patterns under a hash)
+        if isinstance(a, float) and isinstance(b, float):
+            if a != a and b != b:
+                return True
+            if a == 0.0 and b == 0.0:
+                import math
+                return math.copysign(1, a) == math.copysign(1, b)
+        return a == b
     bad = None
     for c in gcols:
         gv = got.column(c).to_pylist()
         ev = exp.column(c).to_pylist()
         for i, (a, b) in enumerate(zip(gv, ev)):
-            if a != b:
+            if not cells_equal(a, b):
                 bad = f"col {c} row {i}: spark={a!r} duck={b!r} (types {type(a).__name__}/{type(b).__name__})"
                 break
         if bad:
@@ -65,6 +86,12 @@ for name in sorted(os.listdir(outdir)):
         fails.append((name, bad))
     else:
         passes.append(name)
+
+# reconcile: an oracle entry with NO result directory means the
+# query threw inside Verify before writing — without this, a crashed
+# query vanishes from the comparison and the gate exits 0
+for name in sorted(set(oracle) - seen):
+    fails.append((name, "oracle present but no result dir (query crashed in Verify?)"))
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
 print(f"SKIP (no oracle) {len(skips)}: {' '.join(skips)}")

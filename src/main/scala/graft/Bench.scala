@@ -60,21 +60,54 @@ object Bench {
     // MEMORY_AND_DISK tables at once), and that storage-memory
     // pressure was a measured chunk of the corpus-vs-solo
     // contention band documented in BASELINE.md.
-    val results = timed.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // A failed query must NOT masquerade as a timing: the old catch
+    // recorded elapsed-time-to-throw (often ~1 ms) as a legitimate
+    // min-of-3, so a breakage read as a large performance win.
+    // Failures are excluded from the timing map, named in a separate
+    // "failed" key (additive — the driver's metric/value/queries
+    // reads are unaffected), and shouted to stderr. NonFatal only:
+    // an OOM must abort the run, not cascade ~0s timings through
+    // the remaining corpus in a corrupted JVM.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = timed.flatMap { case (name, fn) =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: " +
+            s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("")
+              .replaceAll("\\s+", " ").take(200))
+          None
+        }
       }
       graft.CachedPlans.release()
-      name -> times.min
+      if (times.isEmpty) { failed += name; None }
+      else Some(name -> times.min)
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
+    // JSON string escape shared with the name/path interpolations —
+    // locale-pinned float formatting (a de_DE default locale would
+    // print decimal COMMAS and break the driver's parse)
+    def fmt(prec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f",
+        Double.box(v))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map(jstr).mkString("[", ",", "]")}"""
     def entries(rs: Seq[(String, Double)], prec: Int): Seq[String] =
-      rs.map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
+      rs.map { case (k, v) => jstr(k) + ":" + fmt(prec, v) }
     def jsonLine(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs$extra$failedJson,"sf":${jstr(sfDir)},"runs":$runs,"n_queries":${results.size}}"""
 
     // full artifact to file first (every query, full precision) —
     // never truncated

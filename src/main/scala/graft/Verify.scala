@@ -33,10 +33,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // NonFatal only (an OOM must abort, not cascade per-query
+      // failures); the stderr line is single-line and null-safe so a
+      // multi-line AnalysisException plan dump can't corrupt the
+      // driver's line-oriented failure parsing
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] $name failed: " +
+          s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("")
+            .replaceAll("\\s+", " ").take(300))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
