@@ -6,23 +6,31 @@ testdata. Usage: selfcheck.py <sfDir> <outDir>.
 Comparison: sort columns by name, compare row count, column names,
 and cell values (exact; floats compared bit-wise after pyarrow read,
 mirroring a hash-based driver as closely as we can).
+
+Optional 3rd arg: comma-separated query names (mirror of Verify's
+`only` filter). Restricts both the comparison and the crashed-query
+reconcile to those names, so iterating on one query against a partial
+outDir doesn't report every other oracle entry as a spurious FAIL.
 """
-import sys, os, json, glob, time
+import sys, os, json, glob, time, math
 import duckdb
 import pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails, passes, skips = [], [], []
 seen = set()
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
-    if not os.path.isdir(d):
+    if not os.path.isdir(d) or (only is not None and name not in only):
         continue
     seen.add(name)
     files = glob.glob(f"{d}/*.parquet")
@@ -64,13 +72,21 @@ for name in sorted(os.listdir(outdir)):
     def cells_equal(a, b):
         # NaN == NaN here (a hash-based driver canonicalizes the
         # bit pattern, and Python's != would false-fail it forever);
-        # -0.0 vs 0.0 DIFFERS (distinct bit patterns under a hash)
+        # -0.0 vs 0.0 DIFFERS (distinct bit patterns under a hash).
+        # Recurses into list/struct cells (pyarrow to_pylist yields
+        # lists/dicts) so nested floats get the same treatment.
         if isinstance(a, float) and isinstance(b, float):
             if a != a and b != b:
                 return True
             if a == 0.0 and b == 0.0:
-                import math
                 return math.copysign(1, a) == math.copysign(1, b)
+            return a == b
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            return len(a) == len(b) and all(
+                cells_equal(x, y) for x, y in zip(a, b))
+        if isinstance(a, dict) and isinstance(b, dict):
+            return a.keys() == b.keys() and all(
+                cells_equal(v, b[k]) for k, v in a.items())
         return a == b
     bad = None
     for c in gcols:

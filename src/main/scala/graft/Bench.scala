@@ -22,6 +22,36 @@ object Bench {
     * stray output. */
   private val StdoutBudget = 1900
 
+  /** Whole-JVM process CPU seconds. local[32] runs every task thread
+    * in this JVM, so (ΔprocessCpu / Δwall) is the effective core
+    * count the run actually got: ~10-30 on an idle 32-core box,
+    * collapsing toward 1-4 when co-tenant processes steal cores.
+    * That ratio — not wall time alone — is what separates "the query
+    * got slower" from "the box was loaded" (the r8 203s-vs-101s
+    * identical-code spread). -1 if the JMX bean is unavailable. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  /** Fixed calibration probe: a CPU-bound parallel sum over a
+    * constant range, no I/O, no shuffle variability — its idle-box
+    * time is a stable constant for a given JVM/Spark version, so a
+    * probe reading far above its companion run's floor means the box
+    * was contended DURING this bench and the corpus numbers carry
+    * the same inflation. Run before and after the corpus (min-of-3
+    * each) so contention that starts mid-run is visible as pre/post
+    * skew. */
+  private def calibrationProbe(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(id * 3 + 1) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,12 +99,19 @@ object Bench {
     // an OOM must abort the run, not cascade ~0s timings through
     // the remaining corpus in a corrupted JVM.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val calPre = calibrationProbe(spark)
+    val wallStart = System.nanoTime()
+    val cpuStart = processCpuSec()
+    // Each run records (wall, processCpuDelta); the reported pair is
+    // the min-wall run's, so cpu/wall stays internally consistent
+    // (mixing min-wall with another run's cpu would fake ratios).
     val results = timed.flatMap { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
+        val c0 = processCpuSec()
         try {
           fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, processCpuSec() - c0))
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: " +
             s"${e.getClass.getSimpleName}: " +
@@ -85,9 +122,12 @@ object Bench {
       }
       graft.CachedPlans.release()
       if (times.isEmpty) { failed += name; None }
-      else Some(name -> times.min)
+      else Some(name -> times.minBy(_._1))
     }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val cpuCorpus = processCpuSec() - cpuStart
+    val wallCorpus = (System.nanoTime() - wallStart) / 1e9
+    val calPost = calibrationProbe(spark)
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
 
     // JSON string escape shared with the name/path interpolations —
     // locale-pinned float formatting (a de_DE default locale would
@@ -104,15 +144,28 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map(jstr).mkString("[", ",", "]")}"""
+    // Contention self-check (VERDICT r8 #1): calibration probe
+    // timings bracket the corpus, and effective-cores = ΔprocessCpu
+    // / Δwall over the whole corpus. BASELINE.md states the discount
+    // rule a reader applies before calling any delta a regression.
+    val contentionJson =
+      s""","calibration":{"pre":${fmt(3, calPre)},"post":${fmt(3, calPost)}}""" +
+      s""","cpu_wall":{"cpu_sec":${fmt(1, cpuCorpus)},"wall_sec":${fmt(1, wallCorpus)},"eff_cores":${fmt(1, if (wallCorpus > 0) cpuCorpus / wallCorpus else -1.0)}}"""
     def entries(rs: Seq[(String, Double)], prec: Int): Seq[String] =
       rs.map { case (k, v) => jstr(k) + ":" + fmt(prec, v) }
     def jsonLine(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs$extra$failedJson,"sf":${jstr(sfDir)},"runs":$runs,"n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs$extra$failedJson$contentionJson,"sf":${jstr(sfDir)},"runs":$runs,"n_queries":${results.size}}"""
 
-    // full artifact to file first (every query, full precision) —
+    // full artifact to file first (every query, full precision,
+    // plus per-query process-CPU seconds for the min-wall run) —
     // never truncated
+    val wallByName = results.view.mapValues(_._1).toMap
+    val cpuJson = s""","cpu":${entries(
+      results.toSeq.map { case (k, (_, c)) => (k, c) }.sortBy(_._1), 3)
+      .mkString("{", ",", "}")}"""
     val fullJson = jsonLine(
-      entries(results.toSeq.sortBy(_._1), 9).mkString("{", ",", "}"), "")
+      entries(wallByName.toSeq.sortBy(_._1), 9).mkString("{", ",", "}"),
+      cpuJson)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -145,7 +198,7 @@ object Bench {
 
     // stdout contract line: slowest queries first, greedily packed
     // under the driver's capture budget
-    val bySlowest = entries(results.toSeq.sortBy(-_._2), 3)
+    val bySlowest = entries(wallByName.toSeq.sortBy(-_._2), 3)
     val fixedOverhead = jsonLine("{}", s""","queries_omitted":${results.size},"full":"$outPath"""").length
     var used = fixedOverhead
     val kept = bySlowest.takeWhile { e =>
@@ -159,5 +212,16 @@ object Bench {
     println(line)
     graft.CachedPlans.release()
     spark.stop()
+    // A totals-only consumer diffing `value` round-over-round would
+    // read dropped-from-results failures as a speedup; make the
+    // breakage impossible to miss (ADVICE r8): loud marker + nonzero
+    // exit. The JSON line above is already printed, so a driver that
+    // only tails stdout still gets the (partial) numbers.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] *** ${failed.size} QUERIES FAILED — totals cover " +
+        s"only ${results.size} queries: ${failed.mkString(", ")} ***")
+      sys.exit(2)
+    }
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+
+/** Lint: a `Window` with no partition spec serializes its entire
+  * input through ONE task — acceptable only on a bounded
+  * micro-domain (a post-aggregate, a limit, or a literal-sized local
+  * relation), never on a raw table. The six existing sites all
+  * qualify (BH ladder ≤5 rows, χ² total 1 row, Lorenz deciles 10,
+  * KMV merged sketch ≤2k, skyline distinct-price cummax, RRF
+  * pre-limited ≤50 — VERDICT r8 §wrong #2); this gate stops a
+  * seventh unbounded one from landing silently.
+  */
+class GlobalWindowLintSpec extends SparkSpec {
+
+  /** True iff every leaf-to-here path in `p` passes through a
+    * cardinality reducer (Aggregate / Limit / small local relation),
+    * i.e. the subtree feeding a global window cannot be row-scale.
+    * Deduplicate (logical DISTINCT) counts: it rewrites to Aggregate
+    * only later in some paths.
+    */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: GlobalLimit => true
+    case _: LocalLimit => true
+    case _: Deduplicate => true
+    case l: LeafNode => l.maxRows.exists(_ <= 10000)
+    case other =>
+      other.children.nonEmpty && other.children.forall(bounded)
+  }
+
+  private def unboundedGlobalWindows(p: LogicalPlan): Seq[Window] =
+    p.collect {
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+
+  test("lint detects a global window over a raw table (negative control)") {
+    val raw = Tables(spark, sf(), "lineitem")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"))))
+    val flagged = unboundedGlobalWindows(raw.queryExecution.optimizedPlan)
+    assert(flagged.nonEmpty,
+      "the lint must flag a partition-less window over a raw scan — " +
+        "if this passes the corpus sweep below is vacuous")
+    // ... and a post-aggregate global window is allowed
+    val ok = Tables(spark, sf(), "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
+    assert(unboundedGlobalWindows(ok.queryExecution.optimizedPlan).isEmpty,
+      "post-aggregate global windows are the documented allowed shape")
+  }
+
+  test("no corpus query runs a global window over an unbounded input") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf()).queryExecution.optimizedPlan
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan: ${e.getMessage.take(120)}")
+          }
+        val bad = unboundedGlobalWindows(plan)
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.size} global window(s) over " +
+          s"unbounded input — partition it or aggregate first " +
+          s"(first child: ${bad.head.child.nodeName})")
+    }
+    graft.CachedPlans.release()
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -27,23 +27,39 @@ class TopKStreamSpec extends SparkSpec {
 
     val all = ev.as[TKEvent].collect().toSeq.sortBy(_.event_id)
     val input = MemoryStream[TKEvent]
+    // foreachBatch records the batch id with every row: "the final
+    // sketch state" is then literally the rows of each key's last
+    // EMITTING batch — no last-k sink-index arithmetic, which mixed
+    // rows from two batches whenever a batch emitted fewer than k
+    // rows (ADVICE r8)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (String, String, Long, Long, Int))]
     // capacity 512 > any key's distinct users (≤150 at sf0.001)
     val q = StreamTopK.topK(input.toDS(), capacity = 512, k = 5)
-      .writeStream.format("memory").queryName("tksink")
-      .outputMode(OutputMode.Append).start()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.TopKEstimate],
+         batchId: Long) =>
+          val rows = ds.collect()
+          emitted.synchronized {
+            rows.foreach(r => emitted +=
+              batchId -> ((r.event_type, r.item, r.est, r.err, r.rank)))
+          }
+      }
+      .start()
     val streamed = try {
       val (a, rest) = all.splitAt(all.size / 3)
       val (b, c) = rest.splitAt(rest.size / 2)
       Seq(a, b, c).foreach { chunk =>
         input.addData(chunk); q.processAllAvailable()
       }
-      spark.table("tksink")
-        .as[(String, String, Long, Long, Int)].collect()
-        .zipWithIndex.groupBy(_._1._1) // last emission per key wins
-        .map { case (et, rows) =>
-          val lastBatchMax = rows.map(_._2).max
-          et -> rows.filter(_._2 > lastBatchMax - 5).map(_._1)
+      emitted.synchronized {
+        emitted.toSeq.groupBy(_._2._1).map { case (et, rows) =>
+          val lastBatch = rows.map(_._1).max // key's last emitting batch
+          et -> rows.collect { case (b, r) if b == lastBatch => r }
         }
+      }
     } finally q.stop()
 
     // non-vacuity + coverage: a stream that stops emitting (overall
@@ -78,23 +94,34 @@ class TopKStreamSpec extends SparkSpec {
       i -> es.size.toLong
     }
     val input = MemoryStream[TKEvent]
+    // batch-id-tagged sink (see test 1): the sketch's end state is
+    // the rows of the last EMITTING batch id — taking the top-8 sink
+    // indexes instead assumed the final batch emitted exactly k rows
+    // and mixed two batches' rows when it didn't (ADVICE r8)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (String, String, Long, Long, Int))]
     val q = StreamTopK.topK(input.toDS(), capacity = 8, k = 8)
-      .writeStream.format("memory").queryName("tksink2")
-      .outputMode(OutputMode.Append).start()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.TopKEstimate],
+         batchId: Long) =>
+          val rs = ds.collect()
+          emitted.synchronized {
+            rs.foreach(r => emitted +=
+              batchId -> ((r.event_type, r.item, r.est, r.err, r.rank)))
+          }
+      }
+      .start()
     val rows = try {
       val (a, b) = feed.splitAt(feed.size / 2)
       Seq(a, b).foreach { chunk =>
         input.addData(chunk); q.processAllAvailable()
       }
-      // the FINAL batch's emission is the sketch's end state: the
-      // k=8 rows with the highest sink indexes. Taking each item's
-      // last emission across the WHOLE run would count an item
-      // evicted after batch 1 as retained — the retention guarantee
-      // is about the final sketch, not "emitted at least once".
-      val all = spark.table("tksink2")
-        .as[(String, String, Long, Long, Int)].collect().zipWithIndex
-      val cut = all.map(_._2).max - 8
-      all.filter(_._2 > cut).map(_._1).toSeq
+      emitted.synchronized {
+        val lastBatch = emitted.map(_._1).max
+        emitted.collect { case (bid, r) if bid == lastBatch => r }.toSeq
+      }
     } finally q.stop()
     assert(rows.size == 8, s"final emission should carry k=8 rows: $rows")
 
