@@ -391,4 +391,84 @@ class ScalingSpec extends SparkSpec {
     assert(s > 0 && g < 25,
       f"k-core shuffle superlinear — peel wire not bounded: ×$g%.1f")
   }
+
+  // ---- round-9 decades (VERDICT r8 #2): the pair-space joins and
+  // the sketch merge wire not yet pinned by a real ×10 measurement.
+
+  test("decade 1 (real): duplicate-payments join rides Σ per-cust², which is linear in TPC-H") {
+    // the custkey self-join's shuffle is both keyed order streams
+    // (2·|orders|) + the matched pairs + the final sort. TPC-H
+    // scales customers WITH orders (orders-per-cust ~constant ~10),
+    // so Σ|orders-per-cust|² — the pair term — grows LINEARLY with
+    // SF. The gate pins that: shuffle growth must track the order
+    // count, not the ×100 a fixed customer domain would produce.
+    // (At 100 TB the same holds as long as the per-key group stays
+    // bounded — the documented precondition; a power-law cust
+    // domain needs the salted variant first.)
+    //
+    // At test SFs orders fits under the auto-broadcast threshold and
+    // count() folds away the final sort — the wire reads ~1 row and
+    // the gate is vacuous. Force the at-scale plan shape: shuffle
+    // join (broadcast off) + collect() so the matched-pair sort
+    // stream crosses too.
+    def rows(d: String): Long = {
+      graft.CachedPlans.release()
+      shuffledRecords(
+        SparkEntry.queries("q_duplicate_payments")(spark, sf(d)).collect())
+    }
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (s, b) =
+      try (rows("0.01"), rows("0.1"))
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        graft.CachedPlans.release()
+      }
+    val g = b.toDouble / s
+    val ordG = Tables(spark, sf("0.1"), "orders").count().toDouble /
+      Tables(spark, sf("0.01"), "orders").count()
+    info(f"dup-payments shuffle ×$g%.1f across ×$ordG%.1f orders " +
+      f"($s → $b rows)")
+    assert(s > 1000,
+      s"wire implausibly small ($s) — join not in shuffle mode, gate vacuous")
+    assert(g < ordG * 3,
+      f"dup-payments shuffle superlinear: ×$g%.1f vs orders ×$ordG%.1f" +
+        " — per-cust group no longer bounded?")
+  }
+
+  test("decade 1 (real): decontamination wire tracks docs, never the train n-gram stream") {
+    // bench shingles broadcast; the wire is per-contaminated-doc
+    // partials + the bench distinct — linear in docs by design. The
+    // per-SF ShuffleBudgetSpec gate pins level; this pins growth.
+    import graft.operators.Dedup
+    def rows(d: String): Long = {
+      val doc = Tables(spark, sf(d), "documents")
+      shuffledRecords(Dedup.ngramContamination(
+        doc.filter(col("doc_id") % 11 =!= 0),
+        doc.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", 3).count())
+    }
+    val (s, b) = (rows("0.01"), rows("0.1"))
+    val g = b.toDouble / s
+    info(f"decontamination shuffle ×$g%.1f across ×10 docs ($s → $b rows)")
+    assert(s > 0 && g < 30,
+      f"decontamination shuffle superlinear — train-side n-grams " +
+        f"crossing the wire? ×$g%.1f")
+  }
+
+  test("decade 1 (real): CMS merge wire is sketch-sized — input-decade-invariant") {
+    // the sketch's whole point at 100 TB: the exchange carries at
+    // most d×w=1024 live counters per map partition regardless of
+    // input rows. Across a real ×10 of lineitem the wire may grow
+    // only with the map-partition count (more input splits → more
+    // partial sketch emissions), never with the row count. ×4 allows
+    // the sf0.1 file to split into more scan tasks; ×10 (input
+    // tracking) must fail.
+    graft.CachedPlans.release()
+    val (s, b, g) = decade("q_agg_heavy_hitters_cms")
+    graft.CachedPlans.release()
+    info(f"CMS merge wire ×$g%.1f across ×10 lineitems ($s → $b rows)")
+    assert(s > 0 && g < 4,
+      f"CMS merge wire grew with the input, not the sketch: ×$g%.1f")
+  }
 }

@@ -84,18 +84,28 @@ class ShuffleBudgetSpec extends SparkSpec {
     // row per distinct candidate pair, well under queries × corpus
     val corpus = emb.count()
     val nQueries = qs.count()
+    // Derive the bound from the fixture instead of pinning a
+    // measured constant (ADVICE r8): the distinct candidate-pair
+    // count is md5-deterministic and partition-INdependent (k=∞
+    // returns every scored candidate post-dedup), so `distinct +
+    // headroom` survives a Spark-version or split-count change,
+    // while a lost map-side partial aggregation (duplicate
+    // candidates crossing the wire uncollapsed) still fails.
+    val distinct = Similarity.annIvf(emb, qs, "vec_id", "embedding",
+      Int.MaxValue).count()
     val ivf = shuffledRecords(
       Similarity.annIvf(emb, qs, "vec_id", "embedding", 5).count())
-    info(s"IVF (defaults) shuffled $ivf rows; pair space is " +
-      s"${nQueries * (corpus - 1)}")
-    // the md5-seeded fixture is deterministic: 2065 rows measured
-    // (distinct candidates + per-partition partials). The bound sits
-    // ~10% above that — losing map-side partial aggregation (every
-    // duplicate candidate crossing the wire) must fail, which the
-    // raw pair-space bound (2495) could not guarantee
-    assert(ivf > 0 && ivf < 2300,
+    info(s"IVF (defaults) shuffled $ivf rows; $distinct distinct " +
+      s"candidates; pair space is ${nQueries * (corpus - 1)}")
+    // headroom = 5% + 128 rows for per-partition partial duplicates
+    // (measured: 26 partial rows over 2039 distinct at 1 leaf split;
+    // a ×4 split regime stays within ~100)
+    val bound = distinct + distinct / 20 + 128
+    assert(bound < nQueries * (corpus - 1),
+      s"gate lost power: bound $bound reached the pair space — retune")
+    assert(ivf > 0 && ivf < bound,
       s"IVF dedup shuffle outgrew the distinct-candidate wire: $ivf " +
-        s"(pair space ${nQueries * (corpus - 1)})")
+        s"(distinct $distinct, pair space ${nQueries * (corpus - 1)})")
   }
 
   test("decontamination shuffles hit counts, never the train n-gram stream") {
@@ -236,15 +246,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
     // per iteration: component partials (dim × partitions) + the
     // 64-row norm/normalize rounds — O(dim·partitions·iters), far
-    // below corpus×dim (the matrix never crosses an exchange)
-    info(s"power iteration shuffled $rows rows for $n×64 matrix")
-    // measured 262 rows (dim-sized partials + 64-row rounds). The
-    // bound must be BELOW one matrix row-crossing per iteration
-    // (3·n = 1500) or the property in the name cannot fail — n·64
-    // counted cells while the metric counts rows, 20× past the
-    // violation it claims to exclude
-    assert(rows > 0 && rows < n,
-      s"power iteration shuffled row-scale data: $rows (n=$n)")
+    // below corpus×dim (the matrix never crosses an exchange).
+    // Bound derived from the run's ACTUAL partition counts (ADVICE
+    // r8: the old `< n` pinned a measured constant to one
+    // split/partition regime), with a power self-check: if fixture
+    // or partitioning drift ever pushes the derived bound past the
+    // violation it excludes (one matrix row-crossing per iteration,
+    // 3·n), the gate fails loudly asking for a retune instead of
+    // silently losing its teeth.
+    val dim = 64 // embeddings fixture dim (TESTDATA.md)
+    val iters = 3 // pinned in q_embed_power_iteration + its oracle
+    val leafP = Tables(spark, sf(), "embeddings").rdd.getNumPartitions
+    val bound = iters.toLong * (dim * (leafP + 1) + leafP + 10) + dim + 64
+    info(s"power iteration shuffled $rows rows for $n×$dim matrix " +
+      s"(leaf partitions $leafP, derived bound $bound)")
+    assert(bound < 3L * n,
+      s"gate lost power: derived bound $bound ≥ one matrix crossing " +
+        s"per iteration (${3L * n}) — retune for the new partitioning")
+    assert(rows > 0 && rows < bound,
+      s"power iteration wire not dimension-sized: $rows (bound $bound)")
   }
 
   test("shuffle-shard ranking shuffles each doc O(1) times, never a global sort") {
