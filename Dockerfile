@@ -1,0 +1,40 @@
+# Container packaging for the deployable runtime (graft.Serve) —
+# the repo's analogue of the reference's Lambda image
+# (/root/reference/Dockerfile:1-8: base image → COPY → build → CMD
+# entry). Same four-beat shape, Spark-shaped runtime: a builder
+# stage assembles the jar, the runtime stage is the public Apache
+# Spark image and the entry is spark-submit.
+#
+# NOTE: this sandbox has no docker daemon or registry egress — the
+# file is structure-tested (ServePackagingSpec: stage shape, entry
+# class, port contract, entrypoint syntax), not built here.
+
+# ---- build stage: sbt on JDK 17 (public image) ----
+FROM sbtscala/scala-sbt:eclipse-temurin-17.0.10_7_1.9.9_2.13.13 AS build
+WORKDIR /src
+COPY build.sbt ./
+COPY project/ project/
+COPY src/ src/
+# Spark jars come from the runtime image at run time; for the build
+# they resolve as unmanaged/provided per build.sbt
+RUN sbt -batch package
+
+# ---- runtime stage: public Apache Spark base ----
+FROM apache/spark:4.1.2-scala2.13-java17-ubuntu
+USER root
+COPY --from=build /src/target/scala-2.13/*.jar /opt/graft/graft.jar
+COPY docker/entrypoint.sh /opt/graft/entrypoint.sh
+RUN chmod +x /opt/graft/entrypoint.sh \
+    && mkdir -p /data/spool /data/checkpoint /data/submit /data/state \
+    && chown -R spark /data /opt/graft
+USER spark
+
+# webhook receiver (graft.Serve prints {"serve":"ready","port":...})
+ENV GRAFT_HTTP_PORT=8080 \
+    GRAFT_SPOOL_DIR=/data/spool \
+    GRAFT_CHECKPOINT_DIR=/data/checkpoint \
+    GRAFT_SUBMIT_DIR=/data/submit \
+    GRAFT_STATE_DIR=/data/state
+EXPOSE 8080
+
+ENTRYPOINT ["/opt/graft/entrypoint.sh"]

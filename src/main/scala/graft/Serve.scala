@@ -90,7 +90,13 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val receiver = new WebhookReceiver(spool, debug = debug)
+    // container packaging (docker/entrypoint.sh): GRAFT_HTTP_PORT
+    // fixes the port and binds all interfaces so EXPOSE works;
+    // unset → loopback + ephemeral, the local/test default
+    val fixedPort = sys.env.get("GRAFT_HTTP_PORT").map(_.toInt)
+    val receiver = new WebhookReceiver(spool, debug = debug,
+      requestedPort = fixedPort.getOrElse(0),
+      bindAll = fixedPort.isDefined)
     val query = pipeline(spark, spoolDir, checkpointDir, submitDir,
       stateDir, order)
     // the driver's only output contract: where to POST

@@ -33,7 +33,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   */
 final class WebhookReceiver(spoolDir: java.io.File,
     debug: Boolean = false,
-    prefix: String = "part-") extends AutoCloseable {
+    prefix: String = "part-",
+    // container deployment: fixed port + all-interfaces bind
+    // (docker/entrypoint.sh); the 0/loopback default keeps local
+    // runs and tests collision-free
+    requestedPort: Int = 0,
+    bindAll: Boolean = false) extends AutoCloseable {
 
   // a hidden tmp prefix would make the atomic-rename dance moot
   require(prefix.nonEmpty && !prefix.startsWith("."),
@@ -54,8 +59,11 @@ final class WebhookReceiver(spoolDir: java.io.File,
     if (existing.isEmpty) 0 else existing.max + 1
   })
   private val server = HttpServer.create(
-    new java.net.InetSocketAddress(
-      java.net.InetAddress.getLoopbackAddress, 0), 16)
+    if (bindAll)
+      new java.net.InetSocketAddress(requestedPort)
+    else
+      new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, requestedPort), 16)
 
   server.createContext("/", new HttpHandler {
     def handle(ex: HttpExchange): Unit = try {
