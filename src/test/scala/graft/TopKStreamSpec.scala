@@ -139,4 +139,70 @@ class TopKStreamSpec extends SparkSpec {
         s"$item: est-err=${est - err} exceeds true=$t")
     }
   }
+
+  test("checkpointed restart recovers the Space-Saving sketch (file source)") {
+    // K2 depth beyond the windowed-agg restart gate (StreamingSpec):
+    // CUSTOM flatMapGroupsWithState state — the counters map itself —
+    // must come back from the checkpoint. Durable JSON source +
+    // foreachBatch (the production recoverable sink).
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-topk-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-topk-ckpt").toString
+    def writeFile(name: String, events: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        events.map { case (id, item) =>
+          s"""{"event_id":$id,"event_type":"k","item":"$item"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (String, Long, Long))]
+    def start() = {
+      val events = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[TKEvent]].schema)
+        .json(srcDir).as[TKEvent]
+      StreamTopK.topK(events, capacity = 8, k = 8)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.TopKEstimate],
+           batchId: Long) =>
+            val rs = ds.collect()
+            emitted.synchronized {
+              rs.foreach(r => emitted +=
+                batchId -> ((r.item, r.est, r.err)))
+            }
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    writeFile("a.json", Seq(1L -> "A", 2L -> "A", 3L -> "B"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterRun1 = emitted.synchronized {
+      emitted.map { case (_, (i, est, _)) => i -> est }.toMap
+    }
+    assert(afterRun1.get("A").contains(2L) &&
+      afterRun1.get("B").contains(1L),
+      s"run 1 should count A=2 B=1: $afterRun1")
+    // new arrivals while the query is down; delete the processed
+    // file so a checkpoint-IGNORING restart would see only b.json
+    // and emit A=1 — A=3 below can only come from recovered counters
+    writeFile("b.json", Seq(4L -> "A", 5L -> "C"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(srcDir, "a.json"))
+    emitted.synchronized(emitted.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val lastBatch = emitted.synchronized {
+        val lb = emitted.map(_._1).max
+        emitted.collect { case (b, r) if b == lb => r }
+      }
+      val est = lastBatch.map { case (i, e, _) => i -> e }.toMap
+      assert(est.get("A").contains(3L),
+        s"recovered sketch must continue A at 3 (2 + 1): $est")
+      assert(est.get("B").contains(1L) && est.get("C").contains(1L),
+        s"recovered B + new C expected: $est")
+    } finally q2.stop()
+  }
 }
