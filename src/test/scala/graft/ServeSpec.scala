@@ -68,4 +68,58 @@ class ServeSpec extends SparkSpec {
       recv.close()
     }
   }
+
+  test("N receivers, one stream: distinct spool prefixes merge behind one query") {
+    // the documented scale-out shape (Serve.scala scaladoc): N HTTP
+    // receivers spool N prefixes into the SAME directory behind one
+    // streaming query — no receiver-side coordination. Two live
+    // receivers, interleaved POSTs, one pipeline; every message from
+    // both must land exactly once.
+    val root = java.nio.file.Files.createTempDirectory("serveN").toFile
+    def dir(n: String) = new java.io.File(root, n).getAbsolutePath
+    val spool = new java.io.File(dir("spool")); spool.mkdirs()
+    val (ra, rb) = scala.util.Try((
+      new WebhookReceiver(spool, prefix = "a-"),
+      new WebhookReceiver(spool, prefix = "b-"))) match {
+      case scala.util.Success(p) => p
+      case scala.util.Failure(e) =>
+        cancel(s"sandbox forbids loopback sockets: $e")
+    }
+    assert(ra.port != rb.port, "two receivers must bind distinct ports")
+    val q = Serve.pipeline(spark, spool.getAbsolutePath,
+      dir("ckpt"), dir("submit"), dir("state"))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(port: Int, body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$port/h1"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      // interleave across receivers, including the same entity
+      // hitting BOTH receivers with distinct event times (load
+      // balancer reassignment): all 4 identities are distinct
+      assert(post(ra.port, item(1, 1704844800000L)).statusCode() == 200)
+      assert(post(rb.port, item(2, 1704844860000L)).statusCode() == 200)
+      assert(post(rb.port, item(1, 1704844920000L)).statusCode() == 200)
+      assert(post(ra.port, item(3, 1704844980000L)).statusCode() == 200)
+      // same identity POSTed to the OTHER receiver: cross-receiver
+      // dedup must still hold (identity, not file origin, is the key)
+      assert(post(rb.port, item(3, 1704844980000L)).statusCode() == 200)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(dir("submit"))
+        .select("msg_key").collect().map(_.getString(0)).sorted.toSeq
+      assert(rows.size == 4, s"expected 4 distinct identities: $rows")
+      assert(rows.distinct.size == 4, s"cross-receiver dup leaked: $rows")
+      assert(rows.count(_.startsWith("inreach-1@")) == 2 &&
+        rows.count(_.startsWith("inreach-3@")) == 1, s"wrong mix: $rows")
+      // both prefixes actually contributed spool files
+      val names = spool.list().toSeq
+      assert(names.exists(_.startsWith("a-")) &&
+        names.exists(_.startsWith("b-")), s"spool files: $names")
+    } finally {
+      q.stop()
+      ra.close(); rb.close()
+    }
+  }
 }
