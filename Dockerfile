@@ -9,14 +9,19 @@
 # file is structure-tested (ServePackagingSpec: stage shape, entry
 # class, port contract, entrypoint syntax), not built here.
 
+# ---- jar source: the same Spark image the runtime uses ----
+# build.sbt resolves Spark as an unmanaged classpath at
+# /opt/spark/jars (zero-egress design) — stage the IDENTICAL jars
+# into the builder so compile-against == run-against.
+FROM apache/spark:4.1.2-scala2.13-java17-ubuntu AS spark
+
 # ---- build stage: sbt on JDK 17 (public image) ----
 FROM sbtscala/scala-sbt:eclipse-temurin-17.0.10_7_1.9.9_2.13.13 AS build
+COPY --from=spark /opt/spark/jars /opt/spark/jars
 WORKDIR /src
 COPY build.sbt ./
-COPY project/ project/
-COPY src/ src/
-# Spark jars come from the runtime image at run time; for the build
-# they resolve as unmanaged/provided per build.sbt
+COPY project/build.properties project/
+COPY src/main/ src/main/
 RUN sbt -batch package
 
 # ---- runtime stage: public Apache Spark base ----

@@ -22,10 +22,24 @@ class ServePackagingSpec extends SparkSpec {
     // reference Dockerfile:1-8 is base → COPY → build → CMD; ours is
     // the same four beats across two stages
     val froms = dockerfile.filter(_.startsWith("FROM "))
-    assert(froms.size == 2, s"expected build + runtime stages: $froms")
-    assert(froms.head.contains("sbt"), s"build stage should be sbt: ${froms.head}")
-    assert(froms(1).startsWith("FROM apache/spark:"),
-      s"runtime stage should be the public Spark image: ${froms(1)}")
+    assert(froms.size == 3,
+      s"expected jar-source + build + runtime stages: $froms")
+    assert(froms.head.startsWith("FROM apache/spark:") &&
+      froms.head.endsWith(" AS spark"),
+      s"stage 0 should stage the Spark jars: ${froms.head}")
+    assert(froms(1).contains("sbt"), s"build stage should be sbt: ${froms(1)}")
+    assert(froms.last.startsWith("FROM apache/spark:"),
+      s"runtime stage should be the public Spark image: ${froms.last}")
+    // compile-against == run-against: the builder must receive the
+    // runtime's /opt/spark/jars (build.sbt's unmanagedBase) or sbt
+    // cannot resolve Spark at all
+    assert(dockerfile.exists(
+      _.matches("""COPY --from=spark /opt/spark/jars /opt/spark/jars""")),
+      "builder stage must stage the Spark unmanaged classpath")
+    // the runtime and jar-source stages must pin the SAME image tag
+    assert(froms.head.stripPrefix("FROM ").stripSuffix(" AS spark") ==
+      froms.last.stripPrefix("FROM "),
+      s"jar-source and runtime Spark tags differ: $froms")
     assert(dockerfile.exists(_.startsWith("ENTRYPOINT")), "no ENTRYPOINT")
     assert(dockerfile.exists(_.contains("entrypoint.sh")),
       "entrypoint script not copied into the image")
