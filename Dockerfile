@@ -16,7 +16,10 @@
 FROM apache/spark:4.1.2-scala2.13-java17-ubuntu AS spark
 
 # ---- build stage: sbt on JDK 17 (public image) ----
-FROM sbtscala/scala-sbt:eclipse-temurin-17.0.10_7_1.9.9_2.13.13 AS build
+# tag's sbt matches project/build.properties (1.10.0) so the build
+# needs no launcher download; the project's scalaVersion still comes
+# from build.sbt (sbt fetches the pinned compiler as a normal dep)
+FROM sbtscala/scala-sbt:eclipse-temurin-17.0.11_9_1.10.0_2.13.14 AS build
 COPY --from=spark /opt/spark/jars /opt/spark/jars
 WORKDIR /src
 COPY build.sbt ./

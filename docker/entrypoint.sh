@@ -21,9 +21,15 @@ if [[ "${GRAFT_DEBUG:-}" == "1" || "${GRAFT_DEBUG:-}" == "true" ]]; then
   ARGS+=("--debug")
 fi
 # sink crash-ordering: state-first (at-most-once, default) or
-# submit-first (at-least-once) — see SubmitSink.scala
+# submit-first (at-least-once) — see SubmitSink.scala. Validate here
+# AND in Serve.main: the two orders have opposite crash semantics, so
+# a typo must never silently fall back to the default.
 if [[ -n "${GRAFT_ORDER:-}" ]]; then
-  ARGS+=("--order" "$GRAFT_ORDER")
+  case "$GRAFT_ORDER" in
+    state-first|submit-first) ARGS+=("--order" "$GRAFT_ORDER") ;;
+    *) echo "GRAFT_ORDER must be state-first or submit-first," \
+         "got '$GRAFT_ORDER'" >&2; exit 64 ;;
+  esac
 fi
 
 exec "$SPARK_HOME/bin/spark-submit" \

@@ -10,8 +10,13 @@ eff_cores differing >= 1.5x between runs), and reports the
 common-subset total ratio plus per-query deltas — suppressing
 per-query judgments entirely for contended pairs, because inside the
 measured contention band (r8: 203s vs 101s identical code) they are
-noise. Exit 1 only for a CLEAN pair whose common-subset total
-regressed >2x (the driver's gate threshold).
+noise. An eff_cores skew with CLEAN probes is reported but NOT
+suppressed: that is the code's parallelism changing, exactly the
+regression class to read, not launder.
+
+Exit codes: 0 = clean pass; 1 = clean pair regressed >2x on the
+common-subset total (the driver's gate threshold); 3 = inconclusive
+(contended/unknown pair, deltas suppressed — re-measure idle).
 """
 import sys, json
 
@@ -40,9 +45,17 @@ c_prev, c_curr = contended(prev, "prev"), contended(curr, "curr")
 ec = [d.get("cpu_wall", {}).get("eff_cores") for d in (prev, curr)]
 if all(isinstance(e, (int, float)) and e > 0 for e in ec) and \
         max(ec) / min(ec) >= 1.5:
-    print(f"  eff_cores skew {ec[0]} vs {ec[1]} (>=1.5x) — runs not "
-          "comparable per-query")
-    c_prev = c_curr = True
+    if c_prev is False and c_curr is False:
+        # clean probes + eff_cores skew = the CODE's parallelism
+        # changed, not the box — that is a signal to REPORT, never a
+        # reason to suppress (suppressing here would launder a
+        # serialization regression as 'contention')
+        print(f"  eff_cores skew {ec[0]} vs {ec[1]} with CLEAN probes "
+              "— parallelism of the code under test changed; deltas "
+              "below are trustworthy and worth reading")
+    else:
+        print(f"  eff_cores skew {ec[0]} vs {ec[1]} (>=1.5x) on a "
+              "contended/unknown pair — runs not comparable per-query")
 
 common = sorted(set(prev["queries"]) & set(curr["queries"]))
 tp = sum(prev["queries"][q] for q in common)
@@ -68,7 +81,9 @@ if c_prev or c_curr or c_prev is None or c_curr is None:
           "unknown — inside the measured contention band they are "
           "noise (BASELINE.md). Re-measure suspects solo with "
           "SPARK_GRAFT_ONLY on an idle box.")
-    sys.exit(0)
+    # exit 3 = INCONCLUSIVE: an automated caller must not read a
+    # suppressed comparison as a clean pass
+    sys.exit(3)
 
 deltas = sorted(((curr["queries"][q] / prev["queries"][q], q)
                  for q in common if prev["queries"][q] >= 0.3),

@@ -25,6 +25,12 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 if only is not None:
+    # a typo'd/stale name must be an ERROR, not a silent filter-to-
+    # nothing that exits 0 having compared nothing
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query names in filter: {sorted(unknown)}")
+        sys.exit(1)
     oracle = {k: v for k, v in oracle.items() if k in only}
 fails, passes, skips = [], [], []
 seen = set()
@@ -114,4 +120,7 @@ print(f"SKIP (no oracle) {len(skips)}: {' '.join(skips)}")
 print(f"FAIL {len(fails)}:")
 for n, why in fails:
     print(f"  {n}: {why}")
+if not passes and not fails:
+    print("FAIL: nothing was compared — wrong outDir or empty filter?")
+    sys.exit(1)
 sys.exit(1 if fails else 0)

@@ -102,6 +102,9 @@ object Bench {
     val calPre = calibrationProbe(spark)
     val wallStart = System.nanoTime()
     val cpuStart = processCpuSec()
+    // honor the documented -1 sentinel end-to-end: without the bean,
+    // deltas of two -1 snapshots would read as a plausible 0.0
+    val cpuOk = cpuStart >= 0
     // Each run records (wall, processCpuDelta); the reported pair is
     // the min-wall run's, so cpu/wall stays internally consistent
     // (mixing min-wall with another run's cpu would fake ratios).
@@ -111,7 +114,8 @@ object Bench {
         val c0 = processCpuSec()
         try {
           fn(spark, sfDir).count()
-          Some(((System.nanoTime() - t0) / 1e9, processCpuSec() - c0))
+          Some(((System.nanoTime() - t0) / 1e9,
+            if (cpuOk) processCpuSec() - c0 else -1.0))
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: " +
             s"${e.getClass.getSimpleName}: " +
@@ -124,7 +128,7 @@ object Bench {
       if (times.isEmpty) { failed += name; None }
       else Some(name -> times.minBy(_._1))
     }.toMap
-    val cpuCorpus = processCpuSec() - cpuStart
+    val cpuCorpus = if (cpuOk) processCpuSec() - cpuStart else -1.0
     val wallCorpus = (System.nanoTime() - wallStart) / 1e9
     val calPost = calibrationProbe(spark)
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -150,7 +154,7 @@ object Bench {
     // rule a reader applies before calling any delta a regression.
     val contentionJson =
       s""","calibration":{"pre":${fmt(3, calPre)},"post":${fmt(3, calPost)}}""" +
-      s""","cpu_wall":{"cpu_sec":${fmt(1, cpuCorpus)},"wall_sec":${fmt(1, wallCorpus)},"eff_cores":${fmt(1, if (wallCorpus > 0) cpuCorpus / wallCorpus else -1.0)}}"""
+      s""","cpu_wall":{"cpu_sec":${fmt(1, cpuCorpus)},"wall_sec":${fmt(1, wallCorpus)},"eff_cores":${fmt(1, if (cpuOk && wallCorpus > 0) cpuCorpus / wallCorpus else -1.0)}}"""
     def entries(rs: Seq[(String, Double)], prec: Int): Seq[String] =
       rs.map { case (k, v) => jstr(k) + ":" + fmt(prec, v) }
     def jsonLine(qs: String, extra: String): String =

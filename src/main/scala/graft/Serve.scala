@@ -74,9 +74,15 @@ object Serve {
         "<stateDir> [--debug] [--order state-first|submit-first]")
     val Array(spoolDir, checkpointDir, submitDir, stateDir) = pos
     val debug = args.contains("--debug")
+    // an unrecognized value must fail fast, not silently fall back to
+    // StateFirst — the two orders have OPPOSITE crash semantics
     val order = args.sliding(2).collectFirst {
-      case Array("--order", "submit-first") => SubmitSink.SubmitFirst
-      case Array("--order", "state-first")  => SubmitSink.StateFirst
+      case Array("--order", v) => v match {
+        case "submit-first" => SubmitSink.SubmitFirst
+        case "state-first"  => SubmitSink.StateFirst
+        case other => sys.error(
+          s"--order must be state-first or submit-first, got '$other'")
+      }
     }.getOrElse(SubmitSink.StateFirst)
 
     val spool = new java.io.File(spoolDir)
@@ -93,7 +99,12 @@ object Serve {
     // container packaging (docker/entrypoint.sh): GRAFT_HTTP_PORT
     // fixes the port and binds all interfaces so EXPOSE works;
     // unset → loopback + ephemeral, the local/test default
-    val fixedPort = sys.env.get("GRAFT_HTTP_PORT").map(_.toInt)
+    val fixedPort = sys.env.get("GRAFT_HTTP_PORT").map { raw =>
+      val p = scala.util.Try(raw.trim.toInt).getOrElse(
+        sys.error(s"GRAFT_HTTP_PORT must be an integer, got '$raw'"))
+      require(p > 0 && p < 65536, s"GRAFT_HTTP_PORT out of range: $p")
+      p
+    }
     val receiver = new WebhookReceiver(spool, debug = debug,
       requestedPort = fixedPort.getOrElse(0),
       bindAll = fixedPort.isDefined)

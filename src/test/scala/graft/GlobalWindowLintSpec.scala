@@ -52,7 +52,28 @@ class GlobalWindowLintSpec extends SparkSpec {
       "post-aggregate global windows are the documented allowed shape")
   }
 
+  /** Every corpus query allowed to carry a partition-less Window at
+    * all — each audited as a bounded micro-domain (VERDICT r8 §wrong
+    * #2 + in-code comments at the sites). `bounded()` alone treats
+    * ANY Aggregate as a reducer, which would also pass a row-scale
+    * groupBy(user_id) — the allowlist closes that hole: a NEW query
+    * with a global window fails here and must be audited (bounded
+    * domain? then add it consciously) instead of landing silently.
+    */
+  private val auditedGlobalWindowQueries: Set[String] = Set(
+    "q_fdr_bh",          // BH ladder over ≤5 test rows (StatsQueries)
+    "q_lorenz_deciles",  // 10 decile rows post-aggregate
+    "q_kmv_set_ops",     // merged KMV sketch ≤2k hashes
+    "q_skyline",         // cummax over distinct prices (post-distinct)
+    "q_hybrid_rrf",      // rank legs pre-limited ≤50
+    "q_benford_audit",   // 9 leading-digit rows
+    "q_text_zipf_fit",   // top-100 via TakeOrderedAndProject, then rank
+    "q_shuffle_shards")  // ≤256-row bucket-offset prefix sum
+  // (q_chi_square's one-row total no longer plans as a Window after
+  // optimization — dropped from the r8 six-site list)
+
   test("no corpus query runs a global window over an unbounded input") {
+    val withGlobal = scala.collection.mutable.ArrayBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
@@ -60,6 +81,9 @@ class GlobalWindowLintSpec extends SparkSpec {
           catch { case e: Throwable =>
             fail(s"$name failed to plan: ${e.getMessage.take(120)}")
           }
+        if (plan.collectFirst {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }.nonEmpty) withGlobal += name
         val bad = unboundedGlobalWindows(plan)
         if (bad.isEmpty) None
         else Some(s"$name: ${bad.size} global window(s) over " +
@@ -68,5 +92,10 @@ class GlobalWindowLintSpec extends SparkSpec {
     }
     graft.CachedPlans.release()
     assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(withGlobal.toSet == auditedGlobalWindowQueries,
+      s"global-window query set drifted from the audited allowlist — " +
+        s"new: ${withGlobal.toSet -- auditedGlobalWindowQueries}, " +
+        s"gone: ${auditedGlobalWindowQueries -- withGlobal.toSet}. " +
+        "Audit the new site's domain boundedness before allowing it.")
   }
 }

@@ -45,6 +45,13 @@ class ServePackagingSpec extends SparkSpec {
       "entrypoint script not copied into the image")
     assert(dockerfile.exists(_.matches("""RUN sbt.*package.*""")),
       "build stage must assemble the jar")
+    // the builder tag's bundled sbt must match build.properties, or
+    // the image downloads a different launcher at build time
+    val sbtVer = lines("project/build.properties")
+      .collectFirst { case l if l.startsWith("sbt.version=") =>
+        l.stripPrefix("sbt.version=").trim }
+    assert(sbtVer.exists(v => froms(1).contains(s"_${v}_")),
+      s"builder image tag ${froms(1)} does not bundle sbt $sbtVer")
   }
 
   test("port contract: EXPOSE == GRAFT_HTTP_PORT == what Serve reads") {
@@ -87,17 +94,25 @@ class ServePackagingSpec extends SparkSpec {
 
   test("fixed-port bind-all receiver path (what the container runs) binds live") {
     val dir = Files.createTempDirectory("pkg-recv").toFile
-    // pick a free port the way the OS does, then bind the receiver
-    // to it in bindAll mode
-    val probe = new java.net.ServerSocket(0)
-    val port = probe.getLocalPort
-    probe.close()
-    val r = new graft.sources.WebhookReceiver(dir,
-      requestedPort = port, bindAll = true)
+    // sandbox guard (same idiom as ServeSpec/StreamingSourceSpec):
+    // no sockets → documented cancel, not a hard failure. The
+    // probe-then-rebind has an inherent TOCTOU window, so retry with
+    // a fresh port before giving up.
+    def tryBind(): (Int, graft.sources.WebhookReceiver) = {
+      val probe = new java.net.ServerSocket(0)
+      val port = probe.getLocalPort
+      probe.close()
+      (port, new graft.sources.WebhookReceiver(dir,
+        requestedPort = port, bindAll = true))
+    }
+    val (requested, r) = (1 to 3).iterator
+      .map(_ => scala.util.Try(tryBind()))
+      .collectFirst { case scala.util.Success(rr) => rr }
+      .getOrElse(cancel("sandbox forbids sockets (or ports raced 3x)"))
     try {
-      assert(r.port == port, s"requested $port, bound ${r.port}")
-      // reachable on a non-loopback interface name as well as loopback
-      val url = new java.net.URI(s"http://127.0.0.1:$port/wh").toURL
+      assert(r.port == requested,
+        s"fixed port not honored: requested $requested, bound ${r.port}")
+      val url = new java.net.URI(s"http://127.0.0.1:${r.port}/wh").toURL
       val conn = url.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod("GET") // non-POST → 405, proves OUR handler
