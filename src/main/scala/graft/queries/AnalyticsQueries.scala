@@ -612,9 +612,12 @@ object AnalyticsQueries {
     // one counting pass.
     "q_anomaly_iqr" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
+      // round(6) pins the quartiles before the fence arithmetic —
+      // the strict fence counts otherwise inherit the engines' 1-ulp
+      // quantile-interpolation difference (the q_winsorize sf1 class)
       val qs = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.25)").as("q1"),
-          expr("percentile(value, 0.75)").as("q3"))
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("q1"),
+          round(expr("percentile(value, 0.75)"), 6).as("q3"))
         .withColumn("iqr", col("q3") - col("q1"))
         .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
         .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
@@ -1128,9 +1131,12 @@ object AnalyticsQueries {
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
           .cast("decimal(18,6)").as("rev"))
+      // round(6) pins decile edges across engines (the q_winsorize
+      // sf1 ulp class; rev sums sit on a 1e-2 grid, edges on 1e-3)
       val edges = perCust.agg(expr(
-        "percentile(cast(rev as double), " +
-          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("es"))
+        "transform(percentile(cast(rev as double), " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), " +
+          "e -> round(e, 6))").as("es"))
       val assigned = perCust.crossJoin(broadcast(edges))
         .select(col("rev"),
           (lit(1) + size(filter(col("es"),
@@ -1275,9 +1281,11 @@ object AnalyticsQueries {
         val h = tagged.where(col("first_half") === flag)
           .groupBy(col("cust"))
           .agg(sum(col("rev")).cast("decimal(18,6)").as("r"))
+        // round(6): tercile edges pinned across engines (q_winsorize
+        // sf1 ulp class; r sums sit on a 1e-2 grid)
         val edges = h.agg(expr(
-          "percentile(cast(r as double), array(0.3333, 0.6667))")
-          .as("es"))
+          "transform(percentile(cast(r as double), " +
+            "array(0.3333, 0.6667)), e -> round(e, 6))").as("es"))
         h.crossJoin(broadcast(edges))
           .select(col("cust"),
             when(col("r").cast("double") <= element_at(col("es"), 1),
@@ -1353,11 +1361,20 @@ object AnalyticsQueries {
       grid.join(broadcast(sized), "cohort_wk")
         .withColumn("cum_rev", sum(col("wk_rev")).over(w)
           .cast("decimal(28,6)"))
+        // ltv rounds EXACTLY: cum_rev/size can land on a true 4dp
+        // half-tie (sf1 soak: 642212.6/4000 = 160.55315 — Spark's
+        // BigDecimal HALF_UP said .5532, DuckDB's double rounding
+        // .5531). round_half_up(a/b) = (2a+b) div (2b) in exact
+        // integer space: micros = cum_rev*1e6, and q*1e4 =
+        // micros/(100*size), so ltv4 = (2*micros + 100*size) div
+        // (200*size); /1e4 back to double is exact (int < 2^53).
+        .withColumn("micros",
+          (col("cum_rev") * lit(1000000)).cast("decimal(38,0)"))
         .select(col("cohort_wk"), col("wk_offset"),
           col("cohort_size"),
           round(col("cum_rev").cast("double"), 6).as("cum_rev"),
-          round(col("cum_rev").cast("double") / col("cohort_size"),
-            4).as("ltv_per_user"))
+          (expr("(2*micros + 100*cohort_size) div (200*cohort_size)")
+            .cast("double") / lit(10000.0)).as("ltv_per_user"))
         .orderBy(col("cohort_wk"), col("wk_offset"))
     },
 
@@ -1770,8 +1787,8 @@ object AnalyticsQueries {
     "q_anomaly_iqr" ->
       """WITH qs AS (
            SELECT event_type,
-             quantile_cont(value, 0.25) AS q1,
-             quantile_cont(value, 0.75) AS q3
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
            FROM events GROUP BY 1),
          f AS (
            SELECT event_type, q1, q3,
@@ -2150,8 +2167,9 @@ object AnalyticsQueries {
                AS DECIMAL(18,6)) AS rev
            FROM orders GROUP BY 1),
          edges AS (
-           SELECT quantile_cont(rev::DOUBLE,
-             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+           SELECT list_transform(quantile_cont(rev::DOUBLE,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             x -> round(x, 6)) AS es
            FROM pc),
          assigned AS (
            SELECT rev,
@@ -2262,7 +2280,8 @@ object AnalyticsQueries {
            SELECT cust, CAST(sum(rev) AS DECIMAL(18,6)) AS r
            FROM tagged WHERE first_half GROUP BY 1),
          e1 AS (
-           SELECT quantile_cont(r::DOUBLE, [0.3333, 0.6667]) AS es
+           SELECT list_transform(quantile_cont(r::DOUBLE,
+             [0.3333, 0.6667]), x -> round(x, 6)) AS es
            FROM h1),
          s1 AS (
            SELECT cust,
@@ -2274,7 +2293,8 @@ object AnalyticsQueries {
            SELECT cust, CAST(sum(rev) AS DECIMAL(18,6)) AS r
            FROM tagged WHERE NOT first_half GROUP BY 1),
          e2 AS (
-           SELECT quantile_cont(r::DOUBLE, [0.3333, 0.6667]) AS es
+           SELECT list_transform(quantile_cont(r::DOUBLE,
+             [0.3333, 0.6667]), x -> round(x, 6)) AS es
            FROM h2),
          s2 AS (
            SELECT cust,
@@ -2336,7 +2356,11 @@ object AnalyticsQueries {
            FROM grid)
          SELECT c.cohort_wk, c.wk_offset, s.cohort_size,
            round(c.cum_rev::DOUBLE, 6) AS cum_rev,
-           round(c.cum_rev::DOUBLE / s.cohort_size, 4)
+           -- exact integer round-half-up, mirror of the Spark side:
+           -- double rounding of a true 4dp half-tie is engine-dependent
+           (((2 * CAST(c.cum_rev * 1000000 AS HUGEINT)
+              + 100 * s.cohort_size)
+             // (200 * s.cohort_size))::DOUBLE / 10000.0)
              AS ltv_per_user
          FROM cum c JOIN sized s USING (cohort_wk)
          ORDER BY c.cohort_wk, c.wk_offset""",

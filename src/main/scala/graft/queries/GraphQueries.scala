@@ -63,9 +63,11 @@ object GraphQueries {
     // w is a small-domain integer count, so histogram first —
     // map-side-combinable, |distinct w| rows — then interpolate over
     // the tiny histogram. percentile(col, p, freq) is value-repeated
-    // semantics: bit-identical to the unweighted form.
+    // semantics: bit-identical to the unweighted form. round(6) pins
+    // the threshold across engines (integer w ties + DuckDB's 1-ulp
+    // quantile_cont interpolation — the q_winsorize sf1 class).
     val thr = weighted.groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .agg(expr("percentile(w, 0.95, f)").as("thr"))
+      .agg(round(expr("percentile(w, 0.95, f)"), 6).as("thr"))
     weighted.crossJoin(broadcast(thr)).where(col("w") >= col("thr"))
       .select(col("sa"), col("sb"))
   }
@@ -343,7 +345,7 @@ object GraphQueries {
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
-         thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
+         thr AS (SELECT round(quantile_cont(w, 0.95), 6) AS thr FROM e0),
          e AS MATERIALIZED (SELECT sa, sb FROM e0, thr WHERE w >= thr),
          deg AS MATERIALIZED (
            SELECT v, count(*) AS deg FROM (
@@ -386,7 +388,7 @@ object GraphQueries {
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
-         thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
+         thr AS (SELECT round(quantile_cont(w, 0.95), 6) AS thr FROM e0),
          e AS (SELECT sa, sb FROM e0, thr WHERE w >= thr),
          deg AS (
            SELECT v, count(*) AS deg FROM (
@@ -448,7 +450,7 @@ object GraphQueries {
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
-         thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
+         thr AS (SELECT round(quantile_cont(w, 0.95), 6) AS thr FROM e0),
          e AS MATERIALIZED (SELECT sa, sb FROM e0, thr WHERE w >= thr),
          adj AS MATERIALIZED (
            SELECT sa AS c, sb AS v FROM e
@@ -485,7 +487,7 @@ object GraphQueries {
            SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
            FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
            GROUP BY 1, 2),
-         thr AS (SELECT quantile_cont(w, 0.95) AS thr FROM e0),
+         thr AS (SELECT round(quantile_cont(w, 0.95), 6) AS thr FROM e0),
          e AS MATERIALIZED (SELECT sa, sb FROM e0, thr WHERE w >= thr),
          d0 AS MATERIALIZED (SELECT v, count(*) AS d FROM (
              SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e)

@@ -33,9 +33,21 @@ object RelationalQueries {
   /** Exact money arithmetic: cast operand to decimal before summing. */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
 
-  /** Emit an exact decimal aggregate as a stable double. */
-  private def asDouble(c: Column, scale: Int): Column =
-    round(c.cast("double"), scale)
+  /** Emit an exact decimal aggregate as a stable double: a plain
+    * cast, NO rounding. The decimal value is bit-identical across
+    * engines (exact decimal partials), and Spark's decimal→double
+    * cast is correctly rounded, so the output is deterministic at
+    * any SF. Rounding is what BREAKS at scale: once the sum's
+    * magnitude makes ulp(x) ≳ 10^-scale, the engines' round()
+    * implementations diverge in the last ulp (sf1 soak: q1
+    * sum_charge at 2.8e10, round(…,6) — Spark …71 vs DuckDB …712).
+    * Oracle-side note: DuckDB's own decimal→double cast
+    * DOUBLE-ROUNDS (int128→double, then /10^scale) once the
+    * unscaled value passes 2^53, so the paired oracles route the
+    * conversion through VARCHAR (exact digits → correctly-rounded
+    * strtod), which reproduces Spark's single rounding exactly. */
+  private def asDouble(c: Column): Column =
+    c.cast("double")
 
   private def tsLit(s: String): Column = lit(s).cast("timestamp")
 
@@ -185,7 +197,10 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in this testdata
+        // (118k duplicate pairs at sf0.1) — revenue completes the
+        // total order so row order is engine-independent at any SF
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
     },
 
     // ---- SQL front-end + correlated subqueries -------------------
@@ -231,7 +246,10 @@ object RelationalQueries {
           col("l_discount").cast("double").as("disc"))
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("qty"), col("price"), col("disc")), "metric", "v")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+        // key pairs duplicate in this testdata — v completes the
+        // total order (identical full rows are interchangeable)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          col("v"))
     },
 
     // Exact multi-point percentiles: one percentile() aggregate
@@ -262,10 +280,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= tsLit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          asDouble(sum(dec2(col("l_quantity"))), 2).as("sum_qty"),
-          asDouble(sum(dec2(col("l_extendedprice"))), 2).as("sum_base_price"),
-          asDouble(sum(dec2(col("l_extendedprice")) * disc), 4).as("sum_disc_price"),
-          asDouble(sum(dec2(col("l_extendedprice")) * disc * tax), 6).as("sum_charge"),
+          asDouble(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          asDouble(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * disc)).as("sum_disc_price"),
+          asDouble(sum(dec2(col("l_extendedprice")) * disc * tax)).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -290,7 +308,7 @@ object RelationalQueries {
           col("o_orderdate").cast("date").as("order_date"),
           col("o_orderpriority"))
         .agg(asDouble(sum(dec2(col("l_extendedprice")) *
-          (lit(1.0) - col("l_discount")).cast("decimal(12,2)")), 4)
+          (lit(1.0) - col("l_discount")).cast("decimal(12,2)")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -317,7 +335,7 @@ object RelationalQueries {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(asDouble(sum(dec2(col("l_extendedprice")) *
-          (lit(1.0) - col("l_discount")).cast("decimal(12,2)")), 4)
+          (lit(1.0) - col("l_discount")).cast("decimal(12,2)")))
           .as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
     },
@@ -337,10 +355,10 @@ object RelationalQueries {
       val ord = t(s, dir, "orders")
       val a = ord.filter(col("o_orderdate") < tsLit("1998-01-01"))
         .groupBy(col("o_custkey").as("cust_a"))
-        .agg(asDouble(sum(dec2(col("o_totalprice"))), 2).as("early_total"))
+        .agg(asDouble(sum(dec2(col("o_totalprice")))).as("early_total"))
       val b = ord.filter(col("o_orderdate") >= tsLit("1998-01-01"))
         .groupBy(col("o_custkey").as("cust_b"))
-        .agg(asDouble(sum(dec2(col("o_totalprice"))), 2).as("late_total"))
+        .agg(asDouble(sum(dec2(col("o_totalprice")))).as("late_total"))
       a.join(b, col("cust_a") === col("cust_b"), "full")
         .select(coalesce(col("cust_a"), col("cust_b")).as("o_custkey"),
           coalesce(col("early_total"), lit(0.0)).as("early_total"),
@@ -382,7 +400,7 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("c_nationkey")).as("n_nations"),
           count(lit(1)).as("n_cust"),
-          asDouble(sum(dec2(col("c_acctbal"))), 2).as("acctbal_total"))
+          asDouble(sum(dec2(col("c_acctbal")))).as("acctbal_total"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -414,7 +432,7 @@ object RelationalQueries {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          asDouble(sum(dec2(col("o_totalprice"))), 2).as("total"))
+          asDouble(sum(dec2(col("o_totalprice")))).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("total"))
@@ -425,7 +443,7 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_lines"),
-          asDouble(sum(dec2(col("l_quantity"))), 2).as("qty"))
+          asDouble(sum(dec2(col("l_quantity")))).as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n_lines"), col("qty"))
@@ -445,21 +463,43 @@ object RelationalQueries {
     },
 
     // Bivariate / dispersion statistics (variance, population
-    // stddev, correlation, covariance) — order-sensitive double
-    // aggregates, rounded per the determinism contract.
+    // stddev, correlation, covariance) from EXACT decimal sufficient
+    // statistics (n, Σx, Σy, Σx², Σy², Σxy), not the built-in
+    // streaming moment aggregates. Two reasons, both scale-bound:
+    // (1) the built-ins accumulate doubles in partition-merge order,
+    // so on a real cluster (or under AQE) they are not even
+    // run-to-run reproducible, and the sf1 soak measured 3e-4 drift
+    // vs DuckDB once user_id magnitudes hit 1e9; (2) decimal
+    // partials are exact and merge associatively, so the map-side
+    // partial aggregation is lossless at any parallelism. The
+    // moments are then a FIXED double expression over bit-identical
+    // inputs — deterministic on both engines by IEEE semantics.
+    // Oracle mirrors the identical expression tree.
     "q_agg_stats_bivariate" -> { (s, dir) =>
-      t(s, dir, "events")
+      val x = col("value").cast("decimal(18,6)")
+      val y = col("user_id").cast("decimal(18,0)")
+      val g = t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(
-          round(var_samp(col("value")), 4).as("var_s"),
-          round(var_pop(col("value")), 4).as("var_p"),
-          round(stddev_pop(col("value")), 4).as("std_p"),
-          round(corr(col("value"), col("user_id").cast("double")), 6)
-            .as("corr_vu"),
-          round(covar_samp(col("value"), col("user_id").cast("double")), 4)
-            .as("covar_s"),
-          round(covar_pop(col("value"), col("user_id").cast("double")), 4)
-            .as("covar_p"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(x).cast("decimal(38,6)").cast("double").as("sx"),
+          sum(y).cast("decimal(38,0)").cast("double").as("sy"),
+          sum((x * x).cast("decimal(38,12)")).cast("decimal(38,12)")
+            .cast("double").as("sxx"),
+          sum((y * y).cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("double").as("syy"),
+          sum((x * y).cast("decimal(38,6)")).cast("decimal(38,6)")
+            .cast("double").as("sxy"))
+      val nd = col("nd")
+      val mxx = col("sxx") - col("sx") * col("sx") / nd
+      val myy = col("syy") - col("sy") * col("sy") / nd
+      val mxy = col("sxy") - col("sx") * col("sy") / nd
+      g.select(col("event_type"),
+          round(mxx / (nd - lit(1.0)), 4).as("var_s"),
+          round(mxx / nd, 4).as("var_p"),
+          round(sqrt(mxx / nd), 4).as("std_p"),
+          round(mxy / sqrt(mxx * myy), 6).as("corr_vu"),
+          round(mxy / (nd - lit(1.0)), 4).as("covar_s"),
+          round(mxy / nd, 4).as("covar_p"))
         .orderBy(col("event_type"))
     },
 
@@ -790,7 +830,7 @@ object RelationalQueries {
          SELECT l_orderkey, l_linenumber, 'price', price FROM b
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'disc', disc FROM b
-         ORDER BY l_orderkey, l_linenumber, metric""",
+         ORDER BY l_orderkey, l_linenumber, metric, v""",
 
     "q_agg_percentiles" ->
       """SELECT event_type,
@@ -807,14 +847,14 @@ object RelationalQueries {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, revenue""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_disc_price,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_charge,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
          round(avg(l_quantity), 4) AS avg_qty,
          round(avg(l_extendedprice), 4) AS avg_price,
          round(avg(l_discount), 4) AS avg_disc,
@@ -827,7 +867,7 @@ object RelationalQueries {
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
          o_orderpriority,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -840,7 +880,7 @@ object RelationalQueries {
 
     "q5_nation_revenue" ->
       """SELECT r_name, n_name,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -863,12 +903,12 @@ object RelationalQueries {
     "q_join_full" ->
       """WITH a AS (
            SELECT o_custkey AS cust_a,
-             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS early_total
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS early_total
            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
            GROUP BY o_custkey
          ), b AS (
            SELECT o_custkey AS cust_b,
-             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS late_total
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS late_total
            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
            GROUP BY o_custkey
          )
@@ -898,14 +938,14 @@ object RelationalQueries {
     "q_agg_distinct" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
          count(*) AS n_cust,
-         round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS acctbal_total
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS acctbal_total
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_agg_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority,
          count(*) AS n_orders,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY status, priority""",
 
@@ -913,7 +953,7 @@ object RelationalQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
          coalesce(l_linestatus, 'ALL') AS ls,
          count(*) AS n_lines,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS qty
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
 
@@ -926,14 +966,44 @@ object RelationalQueries {
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_agg_stats_bivariate" ->
-      """SELECT event_type,
-         round(var_samp(value), 4) AS var_s,
-         round(var_pop(value), 4) AS var_p,
-         round(stddev_pop(value), 4) AS std_p,
-         round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
-         round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_s,
-         round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_p
-         FROM events GROUP BY event_type ORDER BY event_type""",
+      """WITH g AS (
+           SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS nd,
+             -- the VARCHAR hop makes the decimal->double conversion
+             -- correctly rounded (DuckDB's direct cast double-rounds
+             -- via int128->double then /10^scale once the unscaled
+             -- value passes 2^53; Spark's cast is single-rounded)
+             CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+               AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(CAST(sum(CAST(user_id AS DECIMAL(18,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sy,
+             -- DECIMAL(28) operands force DuckDB's int128 multiply
+             -- path (the r8 overflow class: DECIMAL(18) products run
+             -- in int64 and user_id^2 passes 2^63 at sf1)
+             CAST(CAST(CAST(sum(CAST(CAST(value AS DECIMAL(28,6))
+                 * CAST(value AS DECIMAL(28,6)) AS DECIMAL(38,12)))
+               AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(CAST(sum(CAST(CAST(user_id AS DECIMAL(28,0))
+                 * CAST(user_id AS DECIMAL(28,0)) AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(CAST(sum(CAST(CAST(value AS DECIMAL(28,6))
+                 * CAST(user_id AS DECIMAL(28,0)) AS DECIMAL(38,6)))
+               AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sxy
+           FROM events GROUP BY event_type),
+         m AS (
+           SELECT event_type, nd,
+             sxx - sx * sx / nd AS mxx,
+             syy - sy * sy / nd AS myy,
+             sxy - sx * sy / nd AS mxy
+           FROM g)
+         SELECT event_type,
+           round(mxx / (nd - 1.0), 4) AS var_s,
+           round(mxx / nd, 4) AS var_p,
+           round(sqrt(mxx / nd), 4) AS std_p,
+           round(mxy / sqrt(mxx * myy), 6) AS corr_vu,
+           round(mxy / (nd - 1.0), 4) AS covar_s,
+           round(mxy / nd, 4) AS covar_p
+         FROM m ORDER BY event_type""",
 
     "q_grouping_sets" -> sameTextSql("q_grouping_sets"),
 

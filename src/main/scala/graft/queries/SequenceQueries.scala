@@ -182,13 +182,19 @@ object SequenceQueries {
           ((col("corpus_max_us") - col("last_us")) /
             lit(86400000000L)).cast("long").cast("double"))
         .withColumn("monetary_d", col("monetary").cast("double"))
+      // round(6) pins the quintile edges across engines: frequency
+      // and recency are integer-valued (massive ties), and DuckDB's
+      // quantile_cont is ~1 ulp off even when lo == hi (the
+      // q_winsorize sf1 class) — an unrounded edge flips the strict
+      // `v > edge` scores by the whole tie group. Data grids here
+      // are ≥ 2e-3, so 6dp can't hit its own half-tie.
       val edges = rfm.agg(
-        expr("percentile(recency_days, array(0.2,0.4,0.6,0.8))")
-          .as("r_edges"),
-        expr("percentile(frequency, array(0.2,0.4,0.6,0.8))")
-          .as("f_edges"),
-        expr("percentile(monetary_d, array(0.2,0.4,0.6,0.8))")
-          .as("m_edges"))
+        expr("transform(percentile(recency_days, " +
+          "array(0.2,0.4,0.6,0.8)), e -> round(e, 6))").as("r_edges"),
+        expr("transform(percentile(frequency, " +
+          "array(0.2,0.4,0.6,0.8)), e -> round(e, 6))").as("f_edges"),
+        expr("transform(percentile(monetary_d, " +
+          "array(0.2,0.4,0.6,0.8)), e -> round(e, 6))").as("m_edges"))
       def score(v: org.apache.spark.sql.Column, e: String) =
         (lit(1) + aggregate(col(e), lit(0),
           (acc, edge) => acc + when(v > edge, 1).otherwise(0)))
@@ -404,9 +410,12 @@ object SequenceQueries {
            FROM per, mx),
          e AS (
            SELECT
-             quantile_cont(recency_days, [0.2,0.4,0.6,0.8]) AS r_edges,
-             quantile_cont(frequency, [0.2,0.4,0.6,0.8]) AS f_edges,
-             quantile_cont(monetary_d, [0.2,0.4,0.6,0.8]) AS m_edges
+             list_transform(quantile_cont(recency_days,
+               [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS r_edges,
+             list_transform(quantile_cont(frequency,
+               [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS f_edges,
+             list_transform(quantile_cont(monetary_d,
+               [0.2,0.4,0.6,0.8]), x -> round(x, 6)) AS m_edges
            FROM rfm),
          scored AS (
            SELECT

@@ -104,9 +104,16 @@ object StatsQueries {
     // quantile row broadcast.
     "q_winsorize" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
+      // round(6) pins the thresholds across engines: DuckDB's
+      // quantile_cont computes (1-f)*lo + f*hi and is ~1 ulp off even
+      // when lo == hi (sf1 soak: 2.5200000000000005 vs Spark's exact
+      // 2.52), which flips the strict-inequality clip counts by the
+      // full tie multiplicity. True percentiles of this data sit on a
+      // ~1e-4 grid, so 6dp rounding collapses the ulp without ever
+      // landing on its own half-tie. Same pattern as q_agg_percentiles.
       val qs = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.05)").as("p05"),
-          expr("percentile(value, 0.95)").as("p95"))
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
       val clipped = greatest(least(col("value"), col("p95")), col("p05"))
       ev.join(broadcast(qs), "event_type")
         .groupBy(col("event_type"))
@@ -468,12 +475,19 @@ object StatsQueries {
         sum((col("x") * sum3).cast("decimal(38,6)"))
           .cast("decimal(38,6)").as("s3"))
       val n = col("n")
-      val b0 = col("s0").cast("double") / n
-      val b1 = col("s1").cast("double") / (n * (n - lit(1)))
+      // denominators in DOUBLE, not long: n^(4) overflows int64 once
+      // a type's count passes ~55k (hit at the sf1 soak, ANSI
+      // ARITHMETIC_OVERFLOW). Each factor is exact in double
+      // (n < 2^53) and the left-assoc product rounds identically in
+      // both engines, so the b-values stay bit-identical to the
+      // oracle's n::DOUBLE formulation at any scale.
+      val nd = col("n").cast("double")
+      val b0 = col("s0").cast("double") / nd
+      val b1 = col("s1").cast("double") / (nd * (nd - lit(1.0)))
       val b2 = col("s2").cast("double") /
-        (n * (n - lit(1)) * (n - lit(2)))
+        (nd * (nd - lit(1.0)) * (nd - lit(2.0)))
       val b3 = col("s3").cast("double") /
-        (n * (n - lit(1)) * (n - lit(2)) * (n - lit(3)))
+        (nd * (nd - lit(1.0)) * (nd - lit(2.0)) * (nd - lit(3.0)))
       val l1 = b0
       val l2 = lit(2.0) * b1 - b0
       val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
@@ -842,8 +856,8 @@ object StatsQueries {
     "q_winsorize" ->
       """WITH qs AS (
            SELECT event_type,
-             quantile_cont(value, 0.05) AS p05,
-             quantile_cont(value, 0.95) AS p95
+             round(quantile_cont(value, 0.05), 6) AS p05,
+             round(quantile_cont(value, 0.95), 6) AS p95
            FROM events GROUP BY event_type)
          SELECT e.event_type, count(*) AS n,
            round(avg(e.value), 4) AS mean_raw,
@@ -1073,11 +1087,16 @@ object StatsQueries {
                AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS s3
            FROM rk GROUP BY 1),
          b AS (
+           -- double denominators (n::DOUBLE first makes the whole
+           -- left-assoc product double): the BIGINT n^(4) overflows
+           -- int64 past n ~55k — the sf1 soak cliff; mirrors the
+           -- Spark side's nd formulation bit-for-bit
            SELECT event_type, n,
              s0::DOUBLE / n AS b0,
-             s1::DOUBLE / (n * (n - 1)) AS b1,
-             s2::DOUBLE / (n * (n - 1) * (n - 2)) AS b2,
-             s3::DOUBLE / (n * (n - 1) * (n - 2) * (n - 3)) AS b3
+             s1::DOUBLE / (n::DOUBLE * (n - 1)) AS b1,
+             s2::DOUBLE / (n::DOUBLE * (n - 1) * (n - 2)) AS b2,
+             s3::DOUBLE / (n::DOUBLE * (n - 1) * (n - 2) * (n - 3))
+               AS b3
            FROM g)
          SELECT event_type, n,
            round(b0, 4) AS l_mean,
