@@ -14,6 +14,18 @@ noise. An eff_cores skew with CLEAN probes is reported but NOT
 suppressed: that is the code's parallelism changing, exactly the
 regression class to read, not launder.
 
+Third detector (r9): corpus-wide per-core THROUGHPUT skew, from the
+per-query process-CPU maps. The two tiny cache-resident probes are
+blind to memory-bandwidth/noisy-neighbor interference, which slows
+every instruction (CPU-seconds inflate with wall, eff_cores stays
+flat). Measured live in r9: a "clean-probes" pair (0.285/0.082s)
+whose 240-query total read 1.79x, with unchanged queries' CPU time
+inflated 2-4x (q3_shipping_priority cpu 0.9->3.5s on identical
+code). A code change cannot uniformly inflate the CPU time of a
+mostly-untouched corpus, so: median per-query cpu-ratio >= 1.3 (or
+<= 1/1.3) over the common subset => environment, deltas suppressed,
+exit 3.
+
 Exit codes: 0 = clean pass; 1 = clean pair regressed >2x on the
 common-subset total (the driver's gate threshold); 3 = inconclusive
 (contended/unknown pair, deltas suppressed — re-measure idle).
@@ -24,6 +36,12 @@ WARM_FLOOR = 0.18  # BASELINE.md r9 measured warm probe ceiling
 
 prev = json.load(open(sys.argv[1]))
 curr = json.load(open(sys.argv[2]))
+for d, p in ((prev, sys.argv[1]), (curr, sys.argv[2])):
+    if not isinstance(d.get("queries"), dict):
+        sys.exit(f"{p}: no 'queries' map — this is not a Bench "
+                 "artifact (driver-side BENCH_r{N}.json wrappers from "
+                 "rounds <= 7 only carry the parsed stdout tail; point "
+                 "at the matching BENCH_full.json instead)")
 
 def contended(d, name):
     cal = d.get("calibration")
@@ -76,11 +94,47 @@ for d, name in ((prev, "prev"), (curr, "curr")):
     if d.get("failed"):
         print(f"{name} FAILED queries (totals exclude them): {d['failed']}")
 
-if c_prev or c_curr or c_prev is None or c_curr is None:
+# broad-front skew: the MEDIAN per-query wall ratio over the common
+# subset (>= 0.2s prev, so micro-query jitter can't move it). A code
+# change moves the queries it touched; it cannot move the median of a
+# 240-query corpus — a median shift is the box (or a global config
+# change), and either way per-query deltas are not readable until an
+# idle re-measure. The median per-query CPU ratio classifies the
+# cause: cpu ~ wall => per-core throughput dropped (memory-bandwidth /
+# noisy-neighbor — the r9 live pair: wall 1.41, cpu 1.22, probes
+# clean); cpu ~ 1.0 with wall high => scheduling starvation.
+broad_skew = None
+wall_common = [q for q in common if prev["queries"][q] >= 0.2]
+cp, cc = prev.get("cpu") or {}, curr.get("cpu") or {}
+if len(wall_common) >= 20:
+    ws = sorted(curr["queries"][q] / prev["queries"][q]
+                for q in wall_common)
+    wmed = ws[len(ws) // 2]
+    broad_skew = wmed >= 1.25 or wmed <= 0.8
+    cpu_qs = [q for q in wall_common if cp.get(q, 0) >= 0.2 and q in cc]
+    cmed = None
+    if len(cpu_qs) >= 20:
+        rs = sorted(cc[q] / cp[q] for q in cpu_qs)
+        cmed = rs[len(rs) // 2]
+    print(f"broad-front check: median wall-ratio {wmed:.2f} over "
+          f"{len(wall_common)} queries (>=0.2s)"
+          + (f", median cpu-ratio {cmed:.2f}" if cmed else "")
+          + " — "
+          + (("SKEWED: the whole corpus moved, which code cannot do — "
+              + ("throughput class (cpu moved with wall): bandwidth/"
+                 "noisy-neighbor, probes are blind to it"
+                 if cmed and cmed >= 1 + (wmed - 1) * 0.4
+                 else "starvation class (wall moved, cpu did not)"))
+             if broad_skew else "clean"))
+else:
+    print("broad-front check: skipped (<20 comparable queries)")
+
+if c_prev or c_curr or c_prev is None or c_curr is None or broad_skew:
     print("\nper-query deltas SUPPRESSED: at least one run contended/"
-          "unknown — inside the measured contention band they are "
-          "noise (BASELINE.md). Re-measure suspects solo with "
-          "SPARK_GRAFT_ONLY on an idle box.")
+          "unknown or the pair is throughput-skewed — inside the "
+          "measured contention band they are noise (BASELINE.md). "
+          "Re-measure suspects solo with SPARK_GRAFT_ONLY on an idle "
+          "box.")
     # exit 3 = INCONCLUSIVE: an automated caller must not read a
     # suppressed comparison as a clean pass
     sys.exit(3)
