@@ -26,9 +26,25 @@ mostly-untouched corpus, so: median per-query cpu-ratio >= 1.3 (or
 <= 1/1.3) over the common subset => environment, deltas suppressed,
 exit 3.
 
+Solo healing (r10): a Bench artifact whose in-run detectors tripped
+carries a "solo" map — the most-inflated queries re-measured
+back-to-back min-of-3 after the corpus, bracketed by its own
+"solo_cal" probes. When a pair would be suppressed but the current
+artifact has a CLEAN solo map (solo_cal under the contention
+threshold), the solo values are preferred: per-query deltas are
+reported for the healed queries against the prior idle values, and
+the exit code reflects THEM (0 clean / 1 regressed) instead of the
+blanket inconclusive 3. A solo map whose own probes are contended
+stays suppressed — healed numbers taken on a still-loaded box are
+not numbers of record.
+
 Exit codes: 0 = clean pass; 1 = clean pair regressed >2x on the
-common-subset total (the driver's gate threshold); 3 = inconclusive
-(contended/unknown pair, deltas suppressed — re-measure idle).
+common-subset total (the driver's gate threshold) or a solo-healed
+query regressed >2x; 3 = inconclusive (contended/unknown pair,
+deltas suppressed — re-measure idle); 4 = either artifact carries a
+non-empty "failed" list (crashed queries silently drop out of the
+common subset, so no comparison over it may read as a clean pass —
+fix the crashes first; mirrors Bench's own exit 2).
 """
 import sys, json
 
@@ -90,8 +106,10 @@ if only_prev:
     print(f"dropped queries ({len(only_prev)}): {brief(only_prev)}")
 if only_curr:
     print(f"new queries ({len(only_curr)}): {brief(only_curr)}")
+failed_present = False
 for d, name in ((prev, "prev"), (curr, "curr")):
     if d.get("failed"):
+        failed_present = True
         print(f"{name} FAILED queries (totals exclude them): {d['failed']}")
 
 # broad-front skew: the MEDIAN per-query wall ratio over the common
@@ -129,7 +147,47 @@ if len(wall_common) >= 20:
 else:
     print("broad-front check: skipped (<20 comparable queries)")
 
+# crashed queries drop out of the common subset silently — no verdict
+# over it may read as a clean pass (ADVICE r9); dedicated code so a
+# caller can distinguish "fix the crash" from "re-measure idle"
+if failed_present:
+    print("\nFAILED queries present in at least one artifact — "
+          "comparison is over a silently-shrunken subset; fix the "
+          "crashes before reading any verdict here.")
+    sys.exit(4)
+
 if c_prev or c_curr or c_prev is None or c_curr is None or broad_skew:
+    # solo healing: prefer the artifact's own solo re-measure when it
+    # exists AND its bracket probes are clean
+    solo = curr.get("solo") or {}
+    scal = curr.get("solo_cal") or {}
+    solo_clean = (solo and scal
+                  and max(scal.get("pre", 99), scal.get("post", 99))
+                  < 2 * WARM_FLOOR)
+    if solo_clean:
+        healed = sorted(((solo[q] / prev["queries"][q], q)
+                         for q in solo if q in prev["queries"]
+                         and prev["queries"][q] >= 0.2), reverse=True)
+        print(f"\ncorpus pass contended (trips: "
+              f"{curr.get('solo_trips', '?')}) but solo map is CLEAN "
+              f"(probes {scal.get('pre')}/{scal.get('post')}s) — "
+              f"per-query record healed for {len(healed)} queries:")
+        for r, q in healed:
+            print(f"  {'SLOWER' if r >= 1.5 else 'ok    '} {r:.2f}x {q} "
+                  f"({prev['queries'][q]:.2f} -> {solo[q]:.2f}s solo)")
+        worst = healed[0][0] if healed else 1.0
+        if worst > 2.0:
+            print("solo-healed regression >2x — this one is real "
+                  "(measured on a clean bracket), not environment")
+            sys.exit(1)
+        print("no solo-healed query regressed >2x; corpus TOTALS "
+              "remain contended and are not comparable, but the "
+              "healed per-query values are the numbers of record")
+        sys.exit(0)
+    if solo and not solo_clean:
+        print(f"\nsolo map present but its own bracket is contended "
+              f"(solo_cal {scal}) — healed values are not numbers of "
+              "record")
     print("\nper-query deltas SUPPRESSED: at least one run contended/"
           "unknown or the pair is throughput-skewed — inside the "
           "measured contention band they are noise (BASELINE.md). "

@@ -493,11 +493,17 @@ object RelationalQueries {
       val mxx = col("sxx") - col("sx") * col("sx") / nd
       val myy = col("syy") - col("sy") * col("sy") / nd
       val mxy = col("sxy") - col("sx") * col("sy") / nd
+      // Guard the sqrt inputs: for a (near-)constant group mxx can
+      // round to a tiny negative in doubles; DuckDB's sqrt raises an
+      // Out of Range error where Spark returns NaN, so the oracle
+      // would crash instead of mismatching. Clamp/NULL identically on
+      // both engines (oracle SQL mirrors these exact guards).
       g.select(col("event_type"),
           round(mxx / (nd - lit(1.0)), 4).as("var_s"),
           round(mxx / nd, 4).as("var_p"),
-          round(sqrt(mxx / nd), 4).as("std_p"),
-          round(mxy / sqrt(mxx * myy), 6).as("corr_vu"),
+          round(sqrt(greatest(mxx, lit(0.0)) / nd), 4).as("std_p"),
+          round(when(mxx <= 0 || myy <= 0, lit(null))
+            .otherwise(mxy / sqrt(mxx * myy)), 6).as("corr_vu"),
           round(mxy / (nd - lit(1.0)), 4).as("covar_s"),
           round(mxy / nd, 4).as("covar_p"))
         .orderBy(col("event_type"))
@@ -999,8 +1005,9 @@ object RelationalQueries {
          SELECT event_type,
            round(mxx / (nd - 1.0), 4) AS var_s,
            round(mxx / nd, 4) AS var_p,
-           round(sqrt(mxx / nd), 4) AS std_p,
-           round(mxy / sqrt(mxx * myy), 6) AS corr_vu,
+           round(sqrt(greatest(mxx, 0) / nd), 4) AS std_p,
+           round(CASE WHEN mxx <= 0 OR myy <= 0 THEN NULL
+                 ELSE mxy / sqrt(mxx * myy) END, 6) AS corr_vu,
            round(mxy / (nd - 1.0), 4) AS covar_s,
            round(mxy / nd, 4) AS covar_p
          FROM m ORDER BY event_type""",

@@ -26,6 +26,25 @@ class GlobalWindowLintSpec extends SparkSpec {
     case _: LocalLimit => true
     case _: Deduplicate => true
     case l: LeafNode => l.maxRows.exists(_ <= 10000)
+    // A join MULTIPLIES cardinality: two <=10k bounded inputs can
+    // produce 1e8 rows, so "all children bounded" is not enough
+    // (ADVICE r9). Bounded only when the node's own maxRows is known
+    // small, when a semi/anti join's left side drives cardinality,
+    // or when one side is provably single-row (a grand-total
+    // aggregate) so the other side alone drives the output.
+    case j: Join =>
+      j.maxRows.exists(_ <= 10000) || (j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          bounded(j.left)
+        case _ =>
+          (j.left.maxRows.exists(_ <= 1) && bounded(j.right)) ||
+          (j.right.maxRows.exists(_ <= 1) && bounded(j.left))
+      })
+    // A generator (explode/posexplode/inline) multiplies rows by an
+    // unknown per-row factor — bounded only if Catalyst can bound
+    // the node itself (it usually can't).
+    case g: Generate => g.maxRows.exists(_ <= 10000)
     case other =>
       other.children.nonEmpty && other.children.forall(bounded)
   }
@@ -50,6 +69,44 @@ class GlobalWindowLintSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
     assert(unboundedGlobalWindows(ok.queryExecution.optimizedPlan).isEmpty,
       "post-aggregate global windows are the documented allowed shape")
+  }
+
+  test("lint flags a global window over a join of two bounded inputs") {
+    // two <=10k-row limits joined: each child is "bounded" but the
+    // join output can be up to 1e8 rows — the r9 bounded() passed
+    // this shape silently (ADVICE r9); this control pins the fix
+    val l = Tables(spark, sf(), "lineitem").limit(5000)
+    val r = Tables(spark, sf(), "orders").limit(5000)
+    val joined = l.join(r, l("l_orderkey") === r("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"))))
+    assert(unboundedGlobalWindows(
+      joined.queryExecution.optimizedPlan).nonEmpty,
+      "a join of two bounded inputs multiplies cardinality — the " +
+        "lint must flag a global window over it")
+    // ... while a join against a provably one-row side (grand-total
+    // aggregate) is still driven by the bounded side and allowed
+    val total = Tables(spark, sf(), "lineitem")
+      .agg(sum(col("l_quantity")).as("tot"))
+    val ratio = Tables(spark, sf(), "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      .crossJoin(total)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
+    assert(unboundedGlobalWindows(
+      ratio.queryExecution.optimizedPlan).isEmpty,
+      "join against a single-row grand total stays bounded")
+    // ... and an explode over a bounded child is NOT bounded (the
+    // generator multiplies rows by an unknown per-row factor)
+    val gen = Tables(spark, sf(), "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_quantity")).as("qs"))
+      .select(col("l_returnflag"), explode(col("qs")).as("q"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("q"))))
+    assert(unboundedGlobalWindows(
+      gen.queryExecution.optimizedPlan).nonEmpty,
+      "explode over a bounded child must not count as bounded")
   }
 
   /** Every corpus query allowed to carry a partition-less Window at
