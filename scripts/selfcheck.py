@@ -11,19 +11,245 @@ Optional 3rd arg: comma-separated query names (mirror of Verify's
 `only` filter). Restricts both the comparison and the crashed-query
 reconcile to those names, so iterating on one query against a partial
 outDir doesn't report every other oracle entry as a spurious FAIL.
+
+`--tier=scale` (VERDICT r9 #2/#7): at sf >= ~sf1 the four
+intentionally-quadratic ground-truth oracles dominate the soak
+(q_skyline 97s, q_embed_near_pairs 96s, q_dedup_clusters_embed 93s
+at sf1; unbounded growth beyond). Per the documented rule (DESIGN.md
+sf1 soak), the scale tier swaps exactly those four:
+  - q_skyline -> a full-value LINEAR replacement oracle (the
+    O(n log n) price-staircase construction; trades oracle
+    independence for feasibility — the quadratic NOT EXISTS stays
+    the ground truth in the default tier);
+  - q_embed_near_pairs / q_dedup_clusters_{embed,lsh} -> rows +
+    structural invariants + sampled witness checks (cosine/Jaccard
+    recomputed for sampled output rows only, O(sample) not O(n^2)).
+Every other query keeps its exact oracle. The default tier (no flag)
+is byte-identical to the driver's gate.
 """
 import sys, os, json, glob, time, math
 import duckdb
 import pyarrow.parquet as pq
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+_flags = [a for a in sys.argv[1:] if a.startswith("--")]
+tier = "exact"
+for _f in _flags:
+    if _f.startswith("--tier="):
+        tier = _f.split("=", 1)[1]
+    else:
+        sys.exit(f"unknown flag {_f} (did you mean --tier=scale?)")
+if tier not in ("exact", "scale"):
+    sys.exit(f"unknown tier {tier!r} (exact|scale)")
+sfdir, outdir = _args[0], _args[1]
+only = set(_args[2].split(",")) if len(_args) > 2 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+# ---- scale tier: replacements for the intentionally-quadratic
+# ground-truth oracles (active only under --tier=scale) --------------
+
+# q_skyline's quadratic NOT EXISTS stays the default-tier ground
+# truth; this linear staircase (per-price max size, running max over
+# strictly-lower prices) is the same O(n log n) construction the
+# Spark plan uses — a full-value equivalence check, NOT an
+# independent oracle, which is the documented trade at scale.
+SCALE_LINEAR_ORACLE = {
+    "q_skyline": """
+      WITH per AS (
+        SELECT p_retailprice, max(p_size) AS m2 FROM part GROUP BY 1),
+      m AS (
+        SELECT p_retailprice, m2,
+          max(m2) OVER (ORDER BY p_retailprice
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        FROM per)
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p JOIN m USING (p_retailprice)
+      WHERE (m.m1 IS NULL OR p.p_size > m.m1) AND p.p_size = m.m2
+      ORDER BY p.p_retailprice, p.p_partkey""",
+}
+
+def _cos(u, v):
+    # left-to-right double accumulation — same order as the Spark
+    # expression and the default-tier oracle
+    num = 0.0
+    du = 0.0
+    dv = 0.0
+    for a, b in zip(u, v):
+        a = float(a); b = float(b)
+        num += a * b; du += a * a; dv += b * b
+    return num / math.sqrt(du * dv)
+
+def _round_half_up(x, nd):
+    # Spark's round() on double goes through Double.toString ->
+    # BigDecimal HALF_UP; Decimal(repr(x)) mirrors that exactly
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(x)).quantize(
+        Decimal("1." + "0" * nd), rounding=ROUND_HALF_UP))
+
+def _shingles(text, n=3):
+    t = text.split(" ")
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+def _inv_near_pairs(con, got):
+    """q_embed_near_pairs: top-20 same-label cosine pairs. Witness:
+    recompute the cosine of every OUTPUT pair (40 vector fetches,
+    linear) — completeness (is the true #21 missing?) is exactly the
+    O(n^2) part and stays with the default tier."""
+    errs = []
+    a = got.column("id_a").to_pylist()
+    b = got.column("id_b").to_pylist()
+    cs = got.column("cos_sim").to_pylist()
+    if len(a) != 20:
+        errs.append(f"expected 20 rows, got {len(a)}")
+    if any(x >= y for x, y in zip(a, b)):
+        errs.append("id_a < id_b violated")
+    if len(set(zip(a, b))) != len(a):
+        errs.append("duplicate pairs")
+    if any(cs[i] < cs[i + 1] for i in range(len(cs) - 1)):
+        errs.append("cos_sim not non-increasing")
+    ids = sorted(set(a) | set(b))
+    if not ids:
+        return errs or ["empty output"]
+    emb = {vid: (e, l) for vid, e, l in con.execute(
+        "SELECT vec_id, embedding, label FROM embeddings "
+        f"WHERE vec_id IN ({','.join(map(str, ids))})").fetchall()}
+    for x, y, c in zip(a, b, cs):
+        if x not in emb or y not in emb:
+            errs.append(f"pair ({x},{y}): id not in embeddings"); break
+        if emb[x][1] != emb[y][1]:
+            errs.append(f"pair ({x},{y}): labels differ "
+                        f"({emb[x][1]} vs {emb[y][1]})"); break
+        rc = _round_half_up(_cos(emb[x][0], emb[y][0]), 4)
+        if rc != c:
+            errs.append(f"pair ({x},{y}): cosine recompute {rc} != "
+                        f"dumped {c}"); break
+    return errs
+
+def _inv_clusters_common(got):
+    """Structural invariants shared by both connected-components
+    outputs: unique nodes, min-id representative self-rooted, no
+    singleton clusters (every node comes from a pair by
+    construction)."""
+    errs = []
+    ids = got.column("id").to_pylist()
+    cl = got.column("cluster_id").to_pylist()
+    if not ids:
+        return ["empty output"], {}, {}
+    if len(set(ids)) != len(ids):
+        errs.append("duplicate node ids")
+    m = dict(zip(ids, cl))
+    bad = sorted(i for i, c in m.items() if c > i)
+    if bad:
+        errs.append(f"{len(bad)} nodes with cluster_id > id "
+                    f"(min-rep violated), e.g. {bad[:3]}")
+    norep = sorted(c for c in set(cl) if m.get(c) != c)
+    if norep:
+        errs.append(f"{len(norep)} cluster reps not self-rooted, "
+                    f"e.g. {norep[:3]}")
+    byc = {}
+    for i, c in m.items():
+        byc.setdefault(c, []).append(i)
+    singles = sorted(c for c, ms in byc.items() if len(ms) < 2)
+    if singles:
+        errs.append(f"{len(singles)} singleton clusters (impossible: "
+                    f"every node comes from a pair), e.g. {singles[:3]}")
+    return errs, m, byc
+
+def _witness_sample(byc, sample=100, cap=50):
+    """Sampled (node, cluster) witnesses from clusters small enough
+    to scan exhaustively — avoids false fails on huge clusters where
+    a capped partner list could miss the true direct neighbor."""
+    import random
+    rnd = random.Random(42)
+    cands = [(i, c) for c, ms in byc.items()
+             if 2 <= len(ms) <= cap for i in ms]
+    return rnd.sample(cands, min(sample, len(cands)))
+
+def _inv_clusters_embed(con, got):
+    """q_dedup_clusters_embed witness: every sampled node must have
+    >= 1 same-cluster partner at cosine >= 0.35 (direct neighbors
+    land in the same component, so a missing witness means a planted
+    node), and sampled clusters must be label-pure (edges are
+    label-blocked)."""
+    errs, m, byc = _inv_clusters_common(got)
+    if not byc:
+        return errs
+    take = _witness_sample(byc)
+    need = sorted({i for i, _ in take} |
+                  {j for _, c in take for j in byc[c]})
+    if not need:
+        return errs
+    emb = {vid: (e, l) for vid, e, l in con.execute(
+        "SELECT vec_id, embedding, label FROM embeddings "
+        f"WHERE vec_id IN ({','.join(map(str, need))})").fetchall()}
+    missing = sorted(set(need) - set(emb))
+    if missing:
+        errs.append(f"{len(missing)} cluster nodes not in embeddings, "
+                    f"e.g. {missing[:3]}")
+        return errs
+    for i, c in take:
+        members = [j for j in byc[c] if j != i]
+        if any(emb[j][1] != emb[i][1] for j in members):
+            errs.append(f"cluster {c} not label-pure (edges are "
+                        "label-blocked)"); break
+        if not any(_cos(emb[i][0], emb[j][0]) >= 0.35 for j in members):
+            errs.append(f"node {i} in cluster {c}: no same-cluster "
+                        "partner at cosine >= 0.35"); break
+    return errs
+
+def _inv_clusters_lsh(con, got):
+    """q_dedup_clusters_lsh witness: every sampled node must have
+    >= 1 same-cluster partner at true 3-gram Jaccard >= 0.5 (the
+    LSH verification threshold — direct edges are exact-verified, and
+    each node has at least one direct edge)."""
+    errs, m, byc = _inv_clusters_common(got)
+    if not byc:
+        return errs
+    take = _witness_sample(byc)
+    need = sorted({i for i, _ in take} |
+                  {j for _, c in take for j in byc[c]})
+    if not need:
+        return errs
+    texts = dict(con.execute(
+        "SELECT doc_id, text FROM documents "
+        f"WHERE doc_id IN ({','.join(map(str, need))})").fetchall())
+    missing = sorted(set(need) - set(texts))
+    if missing:
+        errs.append(f"{len(missing)} cluster nodes not in documents, "
+                    f"e.g. {missing[:3]}")
+        return errs
+    sh = {i: _shingles(texts[i]) for i in need}
+    for i, c in take:
+        ok = False
+        for j in byc[c]:
+            if j == i:
+                continue
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if union and inter / union >= 0.5:
+                ok = True
+                break
+        if not ok:
+            errs.append(f"node {i} in cluster {c}: no same-cluster "
+                        "partner at 3-gram Jaccard >= 0.5"); break
+    return errs
+
+SCALE_INVARIANTS = {
+    "q_embed_near_pairs": _inv_near_pairs,
+    "q_dedup_clusters_embed": _inv_clusters_embed,
+    "q_dedup_clusters_lsh": _inv_clusters_lsh,
+}
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if tier == "scale":
+    for k, v in SCALE_LINEAR_ORACLE.items():
+        if k in oracle:
+            oracle[k] = v
+            print(f"  [scale-tier] {k}: linear replacement oracle "
+                  "(quadratic ground truth stays in the default tier)")
 if only is not None:
     # a typo'd/stale name must be an ERROR, not a silent filter-to-
     # nothing that exits 0 having compared nothing
@@ -51,6 +277,20 @@ for name in sorted(os.listdir(outdir)):
         # Verify's write died mid-job (overwrite deleted the old
         # output, only _temporary/ remains) — a FAIL, not a crash
         fails.append((name, "no parquet output in result dir"))
+        continue
+    if tier == "scale" and name in SCALE_INVARIANTS:
+        t0 = time.time()
+        try:
+            errs = SCALE_INVARIANTS[name](con, got)
+        except Exception as e:
+            errs = [f"invariant check error: {e}"]
+        print(f"  [scale-tier] {name}: {got.num_rows} rows + "
+              f"invariants in {time.time()-t0:.1f}s "
+              "(quadratic oracle skipped)")
+        if errs:
+            fails.append((name, "; ".join(errs)))
+        else:
+            passes.append(name)
         continue
     try:
         t0 = time.time()
