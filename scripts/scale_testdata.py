@@ -3,13 +3,27 @@
 oracle/scale soaks (diagnostic tooling, driver-side stack like
 selfcheck.py — NOT part of the shipped library).
 
-Usage: scale_testdata.py <srcDir> <dstDir> <copies>
+Usage: scale_testdata.py <srcDir> <dstDir> <copies> [--hot=MULT]
 
 Shape: union of <copies> key-offset copies, referential integrity
 preserved WITHIN each copy (every scaling key gets +copy*1e9, so
 order->lineitem, customer->orders, part/supplier->lineitem joins all
 stay consistent); region/nation stay fixed like TPC-H's constant
-dimensions. Documents are disjoint-salted (every token prefixed with
+dimensions.
+
+--hot=MULT (VERDICT r9 #3): Zipf-hot synthesis — the uniform decade
+hides the skew real track fleets have (one entity posting 1000x more
+points). With the flag, the top-1% of keys gain MULT-fold
+multiplicity inside every copy:
+  - events: users with user_id % 100 == 0 carry MULT x their rows
+    (fresh event_ids in a replica sub-block, ts jittered +rep sec so
+    sessions aren't degenerate same-instant stacks);
+  - lineitem: orders with l_orderkey % 100 == 0 gain MULT x NEW
+    distinct suppliers (fresh l_suppkey sub-blocks) — whale orders
+    that turn the co-supply graph's per-order pair space into the
+    hub stress the graph family must survive.
+The same rule is mirrored in-plan by SkewScalingSpec so the sbt
+gates don't depend on this script having run. Documents are disjoint-salted (every token prefixed with
 a copy tag, n_chars recomputed) so cross-copy near-dup pairs don't
 explode the dedup pair space beyond x<copies>; embeddings get a
 deterministic per-copy component perturbation so no exact-duplicate
@@ -20,8 +34,16 @@ window/session queries should see.
 import sys
 import duckdb
 
-src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+src, dst, copies = _pos[0], _pos[1], int(_pos[2])
+hot = 0
+for a in sys.argv[1:]:
+    if a.startswith("--hot="):
+        hot = int(a.split("=", 1)[1])
+    elif a.startswith("--"):
+        sys.exit(f"unknown flag {a}")
 OFF = 1_000_000_000
+SUB = 100_000_000  # replica sub-block inside a copy's key block
 
 con = duckdb.connect()
 
@@ -65,18 +87,46 @@ emit("orders", lambda c: f"""
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM {rp('orders')}""")
 
-emit("lineitem", lambda c: f"""
-  SELECT l_orderkey + {c * OFF} AS l_orderkey,
-         l_partkey + {c * OFF} AS l_partkey,
-         l_suppkey + {c * OFF} AS l_suppkey,
-         l_linenumber, l_quantity, l_extendedprice, l_discount,
-         l_tax, l_returnflag, l_linestatus, l_shipdate
-  FROM {rp('lineitem')}""")
+def li_copy(c):
+    base = f"""
+      SELECT l_orderkey + {c * OFF} AS l_orderkey,
+             l_partkey + {c * OFF} AS l_partkey,
+             l_suppkey + {c * OFF} AS l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount,
+             l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM {rp('lineitem')}"""
+    if not hot:
+        return base
+    # whale orders: hot orders gain (hot-1) extra replica line sets,
+    # each with FRESH suppliers — per-order distinct-supplier count
+    # multiplies, which is the co-supply hub stress
+    return base + f""" UNION ALL
+      SELECT l_orderkey + {c * OFF}, l_partkey + {c * OFF},
+             l_suppkey + {c * OFF} + rep * {SUB},
+             l_linenumber, l_quantity, l_extendedprice, l_discount,
+             l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM {rp('lineitem')} CROSS JOIN range(1, {hot}) r(rep)
+      WHERE l_orderkey % 100 = 0"""
 
-emit("events", lambda c: f"""
-  SELECT event_id + {c * OFF} AS event_id, ts,
-         user_id + {c * OFF} AS user_id, event_type, value, props
-  FROM {rp('events')}""")
+def ev_copy(c):
+    base = f"""
+      SELECT event_id + {c * OFF} AS event_id, ts,
+             user_id + {c * OFF} AS user_id, event_type, value, props
+      FROM {rp('events')}"""
+    if not hot:
+        return base
+    # hot users: top-1% of the key domain carry hot x their rows; ts
+    # jittered +rep seconds so sessions aren't same-instant stacks
+    return base + f""" UNION ALL
+      SELECT event_id + {c * OFF} + rep * {SUB},
+             ts + to_seconds(rep::BIGINT),
+             user_id + {c * OFF}, event_type, value, props
+      FROM {rp('events')} CROSS JOIN range(1, {hot}) r(rep)
+      WHERE user_id % 100 = 0"""
+
+emit("lineitem", li_copy)
+
+emit("events", ev_copy)
 
 # disjoint token salting (mirror of ScalingSpec.disjointDocs): each
 # copy's shingle vocabulary is unique to it
