@@ -1,0 +1,65 @@
+#!/bin/bash
+# One-command scale soak (VERDICT r9 #2/#7): synthesize a larger-SF
+# stand-in, run the top-N most-expensive queries through graft.Verify
+# FROM THE PACKAGED JAR (no sbt lock while iterating), then
+# oracle-compare under `selfcheck.py --tier=scale` (the documented
+# rule beyond sf1: the four intentionally-quadratic ground-truth
+# oracles drop to linear-replacement / invariant+witness checks,
+# everything else keeps its exact oracle).
+#
+# Usage: soak_scale.sh [copies=100] [topN=32] [srcDir=/root/testdata/sf0.1]
+#        [extra csv query names appended to the top-N list]
+# The top-N ranking comes from the committed idle artifact
+# BENCH_full.json (per-query min-of-3 seconds).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+COPIES="${1:-100}"
+TOPN="${2:-32}"
+SRC="${3:-/root/testdata/sf0.1}"
+EXTRA="${4:-}"
+LABEL=$(python3 - "$SRC" "$COPIES" <<'EOF'
+import sys, re
+m = re.search(r"sf([0-9.]+)", sys.argv[1])
+sf = float(m.group(1)) * int(sys.argv[2])
+print(f"sf{sf:g}")
+EOF
+)
+DST="target/sfsynth/$LABEL"
+OUT="/tmp/soak_$LABEL"
+
+echo "[1/4] synthesize $LABEL ($COPIES copies of $SRC) -> $DST"
+if [[ -f "$DST/lineitem.parquet" ]]; then
+  echo "      already present, reusing"
+else
+  python3 scripts/scale_testdata.py "$SRC" "$DST" "$COPIES"
+fi
+
+echo "[2/4] package + pick top-$TOPN queries by committed bench"
+sbt -batch package > /dev/null
+JAR=$(ls target/scala-2.13/*.jar | grep -v -- '-tests\.jar' | head -1)
+QUERIES=$(python3 - "$TOPN" "$EXTRA" <<'EOF'
+import json, sys
+qs = json.load(open("BENCH_full.json"))["queries"]
+top = [k for k, _ in sorted(qs.items(), key=lambda kv: -kv[1])[: int(sys.argv[1])]]
+for e in (sys.argv[2].split(",") if sys.argv[2] else []):
+    if e and e not in top:
+        top.append(e)
+print(",".join(top))
+EOF
+)
+echo "      $QUERIES"
+
+echo "[3/4] graft.Verify at $LABEL (packaged jar, local[cpus])"
+mapfile -t OPENS < <(for p in java.lang java.lang.invoke java.lang.reflect \
+    java.io java.net java.nio java.util java.util.concurrent \
+    java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+    sun.security.action sun.util.calendar; do
+  echo "--add-opens=java.base/$p=ALL-UNNAMED"; done)
+java "${OPENS[@]}" -Xmx16g -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" "$QUERIES" \
+  2> >(grep '\[verify\].*failed' >&2 || true)
+
+echo "[4/4] selfcheck --tier=scale"
+python3 scripts/selfcheck.py --tier=scale "$PWD/$DST" "$OUT" "$QUERIES"

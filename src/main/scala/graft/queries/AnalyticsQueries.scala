@@ -568,10 +568,16 @@ object AnalyticsQueries {
       // one pass over the cached aggregate yields BOTH the bucket
       // edges and the corpus total (fused — no second broadcast job)
       val probs = (1 until 32).map(i => i / 32.0).mkString(",")
+      // per-part rev fits (18,6) at any SF (bounded key fan-in), but
+      // the corpus total / cumsum grow with SF: ~3e12 at sf10 needs 13
+      // integer digits — (18,6) overflows under ANSI. (28,6) holds to
+      // ~sf1e9; keep every corpus-scale accumulator at (28,6) in
+      // LOCKSTEP with the oracle (sf10 soak divergence class: int
+      // headroom of decimal accumulators).
       val edges = rev.agg(expr(
         s"approx_percentile(cast(rev as double), array($probs), 10000)")
         .as("es"),
-        sum(col("rev")).cast("decimal(18,6)").as("tot"))
+        sum(col("rev")).cast("decimal(28,6)").as("tot"))
       val bucketed = rev.crossJoin(broadcast(edges))
         .select(col("l_partkey"), col("rev"), col("tot"),
           size(filter(col("es"), e => e > col("rev").cast("double")))
@@ -580,19 +586,19 @@ object AnalyticsQueries {
         .orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val btots = bucketed.groupBy(col("bkt"))
-        .agg(sum(col("rev")).cast("decimal(18,6)").as("btot"))
+        .agg(sum(col("rev")).cast("decimal(28,6)").as("btot"))
       val offsets = btots
         .join(broadcast(btots.select(col("bkt").as("pbkt"),
           col("btot").as("pbtot"))), col("pbkt") < col("bkt"), "left")
         .groupBy(col("bkt"))
-        .agg(coalesce(sum(col("pbtot")), lit(0)).cast("decimal(18,6)")
+        .agg(coalesce(sum(col("pbtot")), lit(0)).cast("decimal(28,6)")
           .as("off"))
       val classed = bucketed
         .withColumn("cum_in", sum(col("rev")).over(wIn)
-          .cast("decimal(18,6)"))
+          .cast("decimal(28,6)"))
         .join(broadcast(offsets), Seq("bkt"))
         .withColumn("cum", (col("cum_in") + col("off"))
-          .cast("decimal(18,6)"))
+          .cast("decimal(28,6)"))
         .withColumn("prev_share",
           ((col("cum") - col("rev")).cast("double") /
             col("tot").cast("double")))
@@ -601,7 +607,7 @@ object AnalyticsQueries {
             .when(col("prev_share") < 0.95, "B").otherwise("C"))
       classed.groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),
-          round(sum(col("rev")).cast("decimal(18,6)").cast("double"),
+          round(sum(col("rev")).cast("decimal(28,6)").cast("double"),
             6).as("class_revenue"))
         .orderBy(col("abc_class"))
     },
@@ -1763,13 +1769,13 @@ object AnalyticsQueries {
              CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
            FROM lineitem GROUP BY 1),
-         tot AS (SELECT CAST(sum(rev) AS DECIMAL(18,6)) AS tot
+         tot AS (SELECT CAST(sum(rev) AS DECIMAL(28,6)) AS tot
                  FROM rev),
          c AS (
            SELECT l_partkey, rev, tot,
              CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(18,6)) AS cum
+               AS DECIMAL(28,6)) AS cum
            FROM rev, tot),
          cl AS (
            SELECT l_partkey, rev,
@@ -1780,7 +1786,7 @@ object AnalyticsQueries {
                   ELSE 'C' END AS abc_class
            FROM c)
          SELECT abc_class, count(*) AS n_parts,
-           round(CAST(sum(rev) AS DECIMAL(18,6))::DOUBLE, 6)
+           round(CAST(sum(rev) AS DECIMAL(28,6))::DOUBLE, 6)
              AS class_revenue
          FROM cl GROUP BY 1 ORDER BY abc_class""",
 

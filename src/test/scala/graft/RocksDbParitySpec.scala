@@ -39,8 +39,12 @@ class RocksDbParitySpec extends SparkSpec {
     }
   }
 
+  /** Returns the output rows AND whether any state operator reported
+    * a rocksdb* custom metric — the provider's own fingerprint, so
+    * the RocksDB leg can prove it didn't silently run the default
+    * provider (which would make every parity gate vacuously true). */
   private def runStream[I: Encoder, O: Encoder](name: String,
-      feed: Seq[I], pipe: Dataset[I] => Dataset[O]): Seq[O] = {
+      feed: Seq[I], pipe: Dataset[I] => Dataset[O]): (Seq[O], Boolean) = {
     val input = MemoryStream[I]
     val q = pipe(input.toDS()).writeStream.format("memory")
       .queryName(name).outputMode(OutputMode.Append).start()
@@ -51,7 +55,10 @@ class RocksDbParitySpec extends SparkSpec {
       Seq(a, b, c).foreach { ch =>
         input.addData(ch); q.processAllAvailable()
       }
-      spark.table(name).as[O].collect().toSeq
+      val sawRocks = q.recentProgress.exists(_.stateOperators.exists(
+        _.customMetrics.keySet.toArray.exists(
+          _.toString.toLowerCase.contains("rocksdb"))))
+      (spark.table(name).as[O].collect().toSeq, sawRocks)
     } finally q.stop()
   }
 
@@ -59,10 +66,14 @@ class RocksDbParitySpec extends SparkSpec {
     * splits; outputs must match as multisets. */
   private def parity[I: Encoder, O: Encoder](label: String,
       feed: Seq[I], pipe: Dataset[I] => Dataset[O]): Unit = {
-    val v1 = runStream(label + "_def", feed, pipe)
-    val v2 = withRocksDb(runStream(label + "_rdb", feed, pipe))
+    val (v1, rocks1) = runStream(label + "_def", feed, pipe)
+    val (v2, rocks2) = withRocksDb(runStream(label + "_rdb", feed, pipe))
     assert(v1.nonEmpty,
       s"$label: default-provider run emitted nothing — parity vacuous")
+    assert(!rocks1, s"$label: default leg reported rocksdb metrics — " +
+      "the provider conf leaked between legs")
+    assert(rocks2, s"$label: RocksDB leg reported NO rocksdb state " +
+      "metrics — the provider conf did not take effect, parity vacuous")
     val (s1, s2) = (v1.map(_.toString).sorted, v2.map(_.toString).sorted)
     assert(s1 == s2, s"$label: RocksDB output diverges from the " +
       s"default provider — first diff: ${
