@@ -605,10 +605,16 @@ object AnalyticsQueries {
         .withColumn("abc_class",
           when(col("prev_share") < 0.80, "A")
             .when(col("prev_share") < 0.95, "B").otherwise("C"))
+      // PLAIN decimal→double cast, no round (sf10 soak: at ~4.5e11
+      // the 1e-6 round grain is below double ulp, so round(…,6)
+      // after the cast is lossy and engine-divergent — the r9
+      // "double-rounding past 2^53" class; the exact (28,6) sum is
+      // already at scale 6, one correctly-rounded conversion is
+      // engine-identical, oracle takes the VARCHAR hop)
       classed.groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),
-          round(sum(col("rev")).cast("decimal(28,6)").cast("double"),
-            6).as("class_revenue"))
+          sum(col("rev")).cast("decimal(28,6)").cast("double")
+            .as("class_revenue"))
         .orderBy(col("abc_class"))
     },
 
@@ -1786,8 +1792,8 @@ object AnalyticsQueries {
                   ELSE 'C' END AS abc_class
            FROM c)
          SELECT abc_class, count(*) AS n_parts,
-           round(CAST(sum(rev) AS DECIMAL(28,6))::DOUBLE, 6)
-             AS class_revenue
+           CAST(CAST(CAST(sum(rev) AS DECIMAL(28,6)) AS VARCHAR)
+             AS DOUBLE) AS class_revenue
          FROM cl GROUP BY 1 ORDER BY abc_class""",
 
     "q_anomaly_iqr" ->
