@@ -488,17 +488,20 @@ object AnalyticsQueries {
             .cast("decimal(18,6)").as("rev"))
       val cut = li.agg(expr("(min(day) + max(day) + 1) div 2")
         .as("cutday"))
+      // per-nation and corpus revenue sums are TOTAL-class (25 fixed
+      // nation keys — fan-in grows with SF): (28,6), the r10 sf10
+      // decimal-headroom rule (t1/t2 ~1.5e12 at sf10 overflow (18,6))
       val byNation = li.crossJoin(broadcast(cut))
         .groupBy(col("n_name"))
         .agg(sum(when(col("day") < col("cutday"), col("rev"))
             .otherwise(lit(0).cast("decimal(18,6)")))
-            .cast("decimal(18,6)").as("rev_p1"),
+            .cast("decimal(28,6)").as("rev_p1"),
           sum(when(col("day") >= col("cutday"), col("rev"))
             .otherwise(lit(0).cast("decimal(18,6)")))
-            .cast("decimal(18,6)").as("rev_p2"))
+            .cast("decimal(28,6)").as("rev_p2"))
       val tot = byNation.agg(
-        sum(col("rev_p1")).cast("decimal(18,6)").as("t1"),
-        sum(col("rev_p2")).cast("decimal(18,6)").as("t2"))
+        sum(col("rev_p1")).cast("decimal(28,6)").as("t1"),
+        sum(col("rev_p2")).cast("decimal(28,6)").as("t2"))
       byNation.crossJoin(broadcast(tot))
         .select(col("n_name"),
           round(col("rev_p1").cast("double") / col("t1").cast("double"),
@@ -1729,14 +1732,14 @@ object AnalyticsQueries {
            SELECT n_name,
              CAST(sum(CASE WHEN day < (SELECT cutday FROM cut)
                THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
-               AS DECIMAL(18,6)) AS rev_p1,
+               AS DECIMAL(28,6)) AS rev_p1,
              CAST(sum(CASE WHEN day >= (SELECT cutday FROM cut)
                THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
-               AS DECIMAL(18,6)) AS rev_p2
+               AS DECIMAL(28,6)) AS rev_p2
            FROM li GROUP BY 1),
          tot AS (
-           SELECT CAST(sum(rev_p1) AS DECIMAL(18,6)) AS t1,
-             CAST(sum(rev_p2) AS DECIMAL(18,6)) AS t2
+           SELECT CAST(sum(rev_p1) AS DECIMAL(28,6)) AS t1,
+             CAST(sum(rev_p2) AS DECIMAL(28,6)) AS t2
            FROM bn)
          SELECT n_name,
            round(rev_p1::DOUBLE / t1::DOUBLE, 6) AS share_p1,

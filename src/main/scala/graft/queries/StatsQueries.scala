@@ -276,15 +276,20 @@ object StatsQueries {
           .cast("decimal(18,6)").as("rev"))
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("rev"), col("c_custkey"))
+      // total_revenue is a CORPUS-scale sum (per-segment ~1/5 of all
+      // order revenue): (28,6) headroom + plain decimal→double cast,
+      // no round — at sf10 the segment total (~6e11) has ulp above
+      // the 1e-6 grain, the r10 soak's double-rounding class (gini
+      // itself is O(1), its round stays)
       rev.withColumn("r", row_number().over(w))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("rev")).cast("decimal(18,6)").as("total_revenue"),
+          sum(col("rev")).cast("decimal(28,6)").as("total_revenue"),
+          // Σ r·x ≈ n·total grows SF² (~1.8e17 at sf10): (38,6)
           sum((col("r").cast("decimal(10,0)") * col("rev"))
-            .cast("decimal(28,6)")).cast("decimal(28,6)").as("s_rx"))
+            .cast("decimal(38,6)")).cast("decimal(38,6)").as("s_rx"))
         .select(col("c_mktsegment"), col("n_customers"),
-          round(col("total_revenue").cast("double"), 6)
-            .as("total_revenue"),
+          col("total_revenue").cast("double").as("total_revenue"),
           round(lit(2.0) * col("s_rx").cast("double") /
             (col("n_customers") * col("total_revenue").cast("double")) -
             (col("n_customers") + lit(1.0)) / col("n_customers"), 6)
@@ -957,12 +962,16 @@ object StatsQueries {
            FROM rev),
          g AS (
            SELECT c_mktsegment, count(*) AS n_customers,
-             CAST(sum(rev) AS DECIMAL(18,6)) AS total_revenue,
-             CAST(sum(CAST(CAST(r AS DECIMAL(10,0)) * rev
-               AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS s_rx
+             CAST(sum(rev) AS DECIMAL(28,6)) AS total_revenue,
+             -- DECIMAL(28) operand casts keep the r*rev product on
+             -- DuckDB's int128 path (int64 overflows at sf10)
+             CAST(sum(CAST(CAST(r AS DECIMAL(28,0))
+               * CAST(rev AS DECIMAL(28,6))
+               AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s_rx
            FROM rk GROUP BY 1)
          SELECT c_mktsegment, n_customers,
-           round(total_revenue::DOUBLE, 6) AS total_revenue,
+           CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE)
+             AS total_revenue,
            round(2.0 * s_rx::DOUBLE /
              (n_customers * total_revenue::DOUBLE) -
              (n_customers + 1.0) / n_customers, 6) AS gini

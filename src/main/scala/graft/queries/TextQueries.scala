@@ -872,16 +872,28 @@ object TextQueries {
         sum(col("y")).cast("decimal(28,8)").as("sy"),
         sum(col("x") * col("y")).cast("decimal(38,16)").as("sxy"),
         sum(col("x") * col("x")).cast("decimal(38,16)").as("sx2"),
-        sum(col("y") * col("y")).cast("decimal(38,16)").as("sy2"))
+        sum(col("y") * col("y")).cast("decimal(38,16)").as("sy2"),
+        min(col("y")).as("miny"), max(col("y")).as("maxy"))
       val covn = col("n") * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")
       val varx = col("n") * col("sx2").cast("double") -
         col("sx").cast("double") * col("sx").cast("double")
       val vary = col("n") * col("sy2").cast("double") -
         col("sy").cast("double") * col("sy").cast("double")
+      // Degenerate fit: if all top-100 frequencies tie (the sf10
+      // disjoint-salted synthesis makes 100 same-f copies of the top
+      // word), vary is exactly 0 and ANSI Spark throws on the double
+      // division (4.1 raises DIVIDE_BY_ZERO even for doubles).
+      // Guard on the EXACT decimal min==max test, not vary==0.0
+      // (double cancellation could miss): slope of a flat line is 0,
+      // r² of a zero-variance response is undefined → NULL. Same
+      // CASE in the oracle.
+      val flat = col("maxy") === col("miny")
       g.select(col("n").as("n_ranks"),
-        round(covn / varx, 4).as("zipf_slope"),
-        round(covn * covn / (varx * vary), 4).as("r2"))
+        when(flat, lit(0.0))
+          .otherwise(round(covn / varx, 4)).as("zipf_slope"),
+        when(flat, lit(null).cast("double"))
+          .otherwise(round(covn * covn / (varx * vary), 4)).as("r2"))
     },
 
     // Hapax legomena ratio per source — the vocabulary-richness
@@ -1924,17 +1936,20 @@ object TextQueries {
              CAST(sum(y) AS DECIMAL(28,8)) AS sy,
              CAST(sum(x * y) AS DECIMAL(38,16)) AS sxy,
              CAST(sum(x * x) AS DECIMAL(38,16)) AS sx2,
-             CAST(sum(y * y) AS DECIMAL(38,16)) AS sy2
+             CAST(sum(y * y) AS DECIMAL(38,16)) AS sy2,
+             min(y) AS miny, max(y) AS maxy
            FROM ranked)
          SELECT n AS n_ranks,
-           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-             / (n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
-             AS zipf_slope,
-           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-             * (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-             / ((n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-               * (n * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
-             AS r2
+           CASE WHEN maxy = miny THEN 0.0 ELSE
+             round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+           END AS zipf_slope,
+           CASE WHEN maxy = miny THEN NULL ELSE
+             round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               * (n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / ((n * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * (n * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+           END AS r2
          FROM g""",
 
     "q_text_hapax" ->
