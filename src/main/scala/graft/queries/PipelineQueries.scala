@@ -137,13 +137,18 @@ object PipelineQueries {
     // Deterministic string construction, so the whole XML is
     // hash-compared against the oracle.
     "tp_cot_xml" -> { (s, dir) =>
+      // lon stand-in is DOMAIN-PRESERVING (pmod into [-180, 180)):
+      // cotXml documents the validated physical ranges and renders
+      // via decimal(12,2) — a raw user_id stand-in overflows it once
+      // key-offset synthesis pushes ids past 1e10 (sf10 sweep)
       ev(s, dir).select(
         col("event_id"),
         TrackPipeline.cotId(col("user_id")).as("uid"),
         TrackPipeline.cotXml(col("user_id"),
           col("event_type") === "error", col("ts"),
           course = col("value"), lat = col("value"),
-          lon = col("user_id").cast("double")).as("cot_xml"))
+          lon = (pmod(col("user_id"), lit(360)) - lit(180))
+            .cast("double")).as("cot_xml"))
         .orderBy(col("uid"), col("event_id"))
     },
 
@@ -221,7 +226,8 @@ object PipelineQueries {
          '" stale="' || strftime(ts + INTERVAL 10 MINUTE,
                                  '%Y-%m-%dT%H:%M:%S.%gZ') ||
          '"><point lat="' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) ||
-         '" lon="' || CAST(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(12,2))
+         '" lon="' || CAST(CAST(CAST((user_id % 360 + 360) % 360 - 180
+                             AS DOUBLE) AS DECIMAL(12,2))
                            AS VARCHAR) ||
          '" hae="0.0" ce="9999999.0" le="9999999.0"/>' ||
          '<detail><contact callsign="inreach-' || user_id ||
