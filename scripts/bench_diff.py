@@ -161,13 +161,25 @@ if c_prev or c_curr or c_prev is None or c_curr is None or broad_skew:
     # exists AND its bracket probes are clean
     solo = curr.get("solo") or {}
     scal = curr.get("solo_cal") or {}
-    solo_clean = (solo and scal
+    # healed ratios are only numbers of record against a CLEAN prior:
+    # if prev was contended/unknown, clean solo values vs inflated
+    # prior numbers would read a real regression as 'ok' (ADVICE r10)
+    solo_clean = (solo and scal and c_prev is False
                   and max(scal.get("pre", 99), scal.get("post", 99))
                   < 2 * WARM_FLOOR)
     if solo_clean:
         healed = sorted(((solo[q] / prev["queries"][q], q)
                          for q in solo if q in prev["queries"]
                          and prev["queries"][q] >= 0.2), reverse=True)
+    if solo_clean and not healed:
+        # a clean solo map that heals ZERO queries (all absent from
+        # prev or sub-0.2s there) is no evidence at all — exit-0 here
+        # would be a clean-pass verdict backed by nothing (ADVICE r10)
+        print("\nsolo map is clean but heals 0 comparable queries "
+              "(none >=0.2s in prev) — no healed evidence, staying "
+              "inconclusive")
+        solo_clean = False
+    if solo_clean:
         print(f"\ncorpus pass contended (trips: "
               f"{curr.get('solo_trips', '?')}) but solo map is CLEAN "
               f"(probes {scal.get('pre')}/{scal.get('post')}s) — "
@@ -185,9 +197,14 @@ if c_prev or c_curr or c_prev is None or c_curr is None or broad_skew:
               "healed per-query values are the numbers of record")
         sys.exit(0)
     if solo and not solo_clean:
-        print(f"\nsolo map present but its own bracket is contended "
-              f"(solo_cal {scal}) — healed values are not numbers of "
-              "record")
+        if c_prev is not False:
+            print("\nsolo map present but the PREV artifact is "
+                  "contended/unknown — clean solo values vs inflated "
+                  "prior numbers are not a comparison of record")
+        else:
+            print(f"\nsolo map present but its own bracket is "
+                  f"contended (solo_cal {scal}) — healed values are "
+                  "not numbers of record")
     print("\nper-query deltas SUPPRESSED: at least one run contended/"
           "unknown or the pair is throughput-skewed — inside the "
           "measured contention band they are noise (BASELINE.md). "

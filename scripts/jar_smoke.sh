@@ -12,7 +12,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 WORK="$(mktemp -d /tmp/jar_smoke.XXXXXX)"
-trap 'kill $SERVE_PID 2>/dev/null || true; rm -rf "$WORK"' EXIT
+# SERVE_PID must exist before the trap can reference it under set -u:
+# a phase-1 failure (sbt package) would otherwise error INSIDE the
+# trap and leak $WORK (ADVICE r10)
+SERVE_PID=""
+trap 'kill ${SERVE_PID:-} 2>/dev/null || true; rm -rf "$WORK"' EXIT
 
 echo "[1/4] sbt package"
 sbt -batch package > "$WORK/package.log" 2>&1 || {

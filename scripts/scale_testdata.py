@@ -43,7 +43,23 @@ for a in sys.argv[1:]:
     elif a.startswith("--"):
         sys.exit(f"unknown flag {a}")
 OFF = 1_000_000_000
-SUB = 100_000_000  # replica sub-block inside a copy's key block
+SUB = 100_000_000  # replica sub-block size for hot-key replicas
+REP0 = copies * OFF  # first replica block starts above every base copy
+# Replica sub-blocks live in a DISJOINT range ABOVE all base copies
+# (ADVICE r10: the old in-copy layout `+ c*OFF + rep*SUB` collided
+# with the NEXT copy's base block at rep >= 10, duplicating event_ids
+# and cross-merging suppliers exactly at the 100-1000x multiplicities
+# the doc headlines). Replica (copy c, rep r in [1, hot)) gets
+#   base_key + REP0 + (c*(hot-1) + (r-1)) * SUB
+# which is unique across copies AND reps for any hot, because base
+# keys are < SUB (testdata keys are < 1e6) and blocks are spaced SUB
+# apart starting at REP0 = copies * OFF (above every base block).
+
+
+def rep_off(c):
+    """SQL expression for the replica-block offset of copy c (the
+    range() alias `rep` is in scope in the caller's UNION leg)."""
+    return f"{REP0 + c * (hot - 1) * SUB} + (rep - 1) * {SUB}"
 
 con = duckdb.connect()
 
@@ -102,7 +118,7 @@ def li_copy(c):
     # multiplies, which is the co-supply hub stress
     return base + f""" UNION ALL
       SELECT l_orderkey + {c * OFF}, l_partkey + {c * OFF},
-             l_suppkey + {c * OFF} + rep * {SUB},
+             l_suppkey + {rep_off(c)},
              l_linenumber, l_quantity, l_extendedprice, l_discount,
              l_tax, l_returnflag, l_linestatus, l_shipdate
       FROM {rp('lineitem')} CROSS JOIN range(1, {hot}) r(rep)
@@ -118,7 +134,7 @@ def ev_copy(c):
     # hot users: top-1% of the key domain carry hot x their rows; ts
     # jittered +rep seconds so sessions aren't same-instant stacks
     return base + f""" UNION ALL
-      SELECT event_id + {c * OFF} + rep * {SUB},
+      SELECT event_id + {rep_off(c)},
              ts + to_seconds(rep::BIGINT),
              user_id + {c * OFF}, event_type, value, props
       FROM {rp('events')} CROSS JOIN range(1, {hot}) r(rep)

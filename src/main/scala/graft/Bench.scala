@@ -76,6 +76,70 @@ object Bench {
     (if (inflated.nonEmpty) inflated else ranked).map(_._2).take(n)
   }
 
+  /** What a record-hygiene check needs to know about an existing
+    * full artifact: its per-query map, the worst calibration probe
+    * (-1 when the artifact predates probes), and which SF it ran. */
+  private[graft] final case class ArtifactMeta(
+      queries: Map[String, Double], calWorst: Double, sf: String)
+
+  /** Record-hygiene rule (VERDICT r10 #4): the committed
+    * BENCH_full.json is the best idle leg — the number of record —
+    * and three rounds running, an end-of-round driver leg has
+    * silently overwritten it with a slightly-worse one. A new run
+    * may only replace the record when it IMPROVES it; otherwise it
+    * is diverted to a candidate file and promotion is an explicit
+    * copy. Preserve (divert) when, without SPARK_GRAFT_BENCH_FORCE=1:
+    *   - the existing artifact is provably clean (probes present and
+    *     under the contention threshold) — a contended record is not
+    *     worth defending — and ran the same SF (cross-SF totals are
+    *     incomparable), and EITHER
+    *   - the query sets match and the existing total is strictly
+    *     better (the best-leg rule), OR
+    *   - the current run timed a strict SUBSET of the record's
+    *     queries (a SPARK_GRAFT_ONLY iteration must never shrink the
+    *     240-query record to its filter).
+    * A changed corpus (new/renamed queries) always overwrites: the
+    * record must track the corpus. */
+  private[graft] def preserveRecord(
+      prev: Option[ArtifactMeta], currQ: Map[String, Double],
+      currSf: String, force: Boolean): Boolean =
+    !force && prev.exists { p =>
+      p.calWorst >= 0 && p.calWorst < 2 * WarmFloor && p.sf == currSf && (
+        (p.queries.keySet == currQ.keySet &&
+          p.queries.values.sum < currQ.values.sum) ||
+        (currQ.keySet.subsetOf(p.queries.keySet) &&
+          currQ.keySet != p.queries.keySet)
+      )
+    }
+
+  /** Reader for the record-hygiene check. None when the file is
+    * missing/corrupt (nothing to defend — write proceeds). */
+  private[graft] def readArtifactMeta(path: String): Option[ArtifactMeta] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        val b = Map.newBuilder[String, Double]
+        Option(root.get("queries")).foreach { q =>
+          val it = q.fields()
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+        }
+        val cal = Option(root.get("calibration")).map(c =>
+          math.max(Option(c.get("pre")).map(_.asDouble()).getOrElse(99.0),
+            Option(c.get("post")).map(_.asDouble()).getOrElse(99.0)))
+          .getOrElse(-1.0)
+        val sf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        Some(ArtifactMeta(b.result(), cal, sf))
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not read artifact meta $path: $e")
+      None
+    }
+
   /** queries map + eff_cores of a prior Bench full artifact (Jackson
     * ships with Spark). Missing/corrupt file degrades to empty — the
     * solo machinery then rests on the probe detector alone. */
@@ -236,7 +300,11 @@ object Bench {
     val effCorpus = if (cpuOk && wallCorpus > 0) cpuCorpus / wallCorpus else -1.0
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
     val (prevQ, prevEff) = readPrevArtifact(prevPath)
-    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N").map(_.toInt).getOrElse(12)
+    // degrade-gracefully parse (ADVICE r10): a malformed value here
+    // would throw AFTER the full corpus ran but BEFORE any artifact
+    // was written, discarding a 30+ minute run
+    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(12)
     val trips = detectorsTripped(calPre, calPost, prevEff, effCorpus,
       prevQ, wallByName)
     val soloNames: Seq[String] = sys.env.get("SPARK_GRAFT_FORCE_SOLO") match {
@@ -320,10 +388,24 @@ object Bench {
     val fullJson = jsonLine(
       entries(wallByName.toSeq.sortBy(_._1), 9).mkString("{", ",", "}"),
       cpuJson + soloJson)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    // record hygiene (VERDICT r10 #4): never silently replace a
+    // better-and-clean record — divert worse/partial legs to a
+    // candidate file; promotion to the record is an explicit copy
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val actualOut =
+      if (preserveRecord(readArtifactMeta(outPath), wallByName, sfDir, force)) {
+        val cand = (if (outPath.endsWith(".json"))
+          outPath.dropRight(5) else outPath) + "_candidate.json"
+        System.err.println(s"[bench] $outPath holds a clean, " +
+          "better (or fuller) record for this SF — this leg goes to " +
+          s"$cand; promote explicitly or re-run with " +
+          "SPARK_GRAFT_BENCH_FORCE=1")
+        cand
+      } else outPath
+    try java.nio.file.Files.write(java.nio.file.Paths.get(actualOut),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: $e") }
+      System.err.println(s"[bench] could not write $actualOut: $e") }
     // ... and to the round-stamped artifact (BENCH_r{N}.json, round
     // from PROGRESS.jsonl) so the per-round record carries every
     // query — the stdout tail capture is 2000 chars and 135 query
@@ -354,7 +436,7 @@ object Bench {
     // under the driver's capture budget
     val bySlowest = entries(wallByName.toSeq.sortBy(-_._2), 3)
     val fixedOverhead = jsonLine("{}",
-      s""","queries_omitted":${results.size},"full":"$outPath"""").length +
+      s""","queries_omitted":${results.size},"full":"$actualOut"""").length +
       24 // headroom for the optional solo_n tail below
     var used = fixedOverhead
     val kept = bySlowest.takeWhile { e =>
@@ -368,7 +450,7 @@ object Bench {
     val soloTail = if (soloResults.isEmpty) ""
       else s""","solo_n":${soloResults.size}"""
     val line = jsonLine(kept.mkString("{", ",", "}"),
-      s""","queries_omitted":$omitted,"full":"$outPath"$soloTail""")
+      s""","queries_omitted":$omitted,"full":"$actualOut"$soloTail""")
     println(line)
     graft.CachedPlans.release()
     spark.stop()

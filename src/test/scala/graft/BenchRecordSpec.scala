@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit gates for the bench record-hygiene rule (VERDICT r10 #4):
+  * three rounds running, an end-of-round driver leg silently
+  * overwrote the committed best-idle-leg `BENCH_full.json` with a
+  * slightly-worse one. `Bench.preserveRecord` decides when a new
+  * full-run artifact may replace the file at SPARK_GRAFT_BENCH_OUT
+  * (only when it improves the record, or the corpus changed) and
+  * when it is diverted to `*_candidate.json` for explicit promotion.
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+  private def qs(n: Int, base: Double): Map[String, Double] =
+    (1 to n).map(i => f"q_$i%03d" -> base).toMap
+  private def meta(q: Map[String, Double], cal: Double = 0.12,
+      sfDir: String = sf) = Some(Bench.ArtifactMeta(q, cal, sfDir))
+
+  test("a worse leg cannot silently replace a clean record") {
+    val record = qs(240, 0.40)
+    val worse = qs(240, 0.45)
+    assert(Bench.preserveRecord(meta(record), worse, sf, force = false),
+      "worse same-corpus leg must be diverted to the candidate file")
+  }
+
+  test("a better leg promotes automatically") {
+    val record = qs(240, 0.45)
+    val better = qs(240, 0.40)
+    assert(!Bench.preserveRecord(meta(record), better, sf, force = false),
+      "an improving leg IS the new record — no diversion")
+  }
+
+  test("SPARK_GRAFT_BENCH_FORCE=1 overrides the guard") {
+    val record = qs(240, 0.40)
+    val worse = qs(240, 0.45)
+    assert(!Bench.preserveRecord(meta(record), worse, sf, force = true))
+  }
+
+  test("a contended or probe-less record is not defended") {
+    val record = qs(240, 0.40)
+    val worse = qs(240, 0.45)
+    assert(!Bench.preserveRecord(meta(record, cal = 0.50), worse, sf, false),
+      "a record whose own probes were contended is not a number of record")
+    assert(!Bench.preserveRecord(meta(record, cal = -1.0), worse, sf, false),
+      "a pre-probe artifact cannot prove it was clean")
+  }
+
+  test("cross-SF totals are incomparable: no diversion across SF dirs") {
+    val record = qs(240, 0.40)
+    val sf10 = qs(240, 2.0)
+    assert(!Bench.preserveRecord(meta(record), sf10, "target/sfsynth/sf10",
+      force = false))
+  }
+
+  test("a changed corpus always overwrites (record tracks the corpus)") {
+    val record = qs(240, 0.40)
+    val grown = qs(241, 0.45) // new query added: slower total but fuller
+    assert(!Bench.preserveRecord(meta(record), grown, sf, force = false))
+    val renamed = qs(239, 0.45) + ("q_new" -> 0.45)
+    assert(!Bench.preserveRecord(meta(record), renamed, sf, force = false))
+  }
+
+  test("a SPARK_GRAFT_ONLY subset must never shrink the record") {
+    val record = qs(240, 0.40)
+    val subset = Map("q_001" -> 0.10) // faster total — but 1 query
+    assert(Bench.preserveRecord(meta(record), subset, sf, force = false),
+      "a filtered run must be diverted even when its total is smaller")
+  }
+
+  test("no existing record: write proceeds") {
+    assert(!Bench.preserveRecord(None, qs(240, 0.45), sf, force = false))
+  }
+
+  test("readArtifactMeta round-trips calibration, sf, and queries") {
+    val f = java.nio.file.Files.createTempFile("bench_rec", ".json")
+    try {
+      java.nio.file.Files.write(f,
+        ("""{"metric":"total","value":1.0,"queries":{"q_a":0.5,"q_b":0.7},""" +
+          """"calibration":{"pre":0.11,"post":0.13},"sf":"/x/sf0.1"}""")
+          .getBytes("UTF-8"))
+      val m = Bench.readArtifactMeta(f.toString)
+      assert(m.contains(Bench.ArtifactMeta(
+        Map("q_a" -> 0.5, "q_b" -> 0.7), 0.13, "/x/sf0.1")))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("readArtifactMeta: missing and corrupt files degrade to None") {
+    assert(Bench.readArtifactMeta("/nonexistent/bench.json").isEmpty)
+    val f = java.nio.file.Files.createTempFile("bench_bad", ".json")
+    try {
+      java.nio.file.Files.write(f, "not json".getBytes("UTF-8"))
+      assert(Bench.readArtifactMeta(f.toString).isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+}
