@@ -237,10 +237,371 @@ def _inv_clusters_lsh(con, got):
                         "partner at 3-gram Jaccard >= 0.5"); break
     return errs
 
+# ---- scale tier, round 11: the five slow-oracle wedge/pair
+# enumerations from the sf10 ledger (DESIGN.md: q_semdedup_prune
+# 438 s, q_link_prediction 232 s, q_graph_degree_dist 181 s,
+# q_graph_triangles 85 s, q_k_core 57 s at sf10 — all LINEAR in SF,
+# so ~10x that at sf100). The four lineitem-graph oracles exploit the
+# scale synthesis's documented structure: the corpus is a disjoint
+# union of key-offset copies (scale_testdata.py), so the co-supply
+# graph decomposes into `copies` isomorphic components. The checker
+# VERIFIES that structure with a full (not sampled) linear
+# fingerprint pass, computes the corpus-wide 95th-percentile edge
+# threshold by exact replicated-multiset quantile math, evaluates the
+# pair/wedge enumeration on copy 0 only (sf0.1-sized, sub-second),
+# and scales the counts — a full-value equivalence check, like
+# q_skyline's linear staircase: it trades oracle independence for
+# feasibility; the quadratic ground truth stays in the default tier.
+# q_semdedup_prune gets no symmetry (embeddings are per-copy
+# perturbed): its assignment stays a full-value exact check (the
+# oracle's own linear k-means prefix) and only the quadratic
+# within-cluster `kept` verdict drops to sampled witnesses.
+
+OFF = 1_000_000_000  # scale_testdata.py key-offset block size
+
+
+def _quantile_cont_replicated(wc, copies, q):
+    """DuckDB quantile_cont(q) over the multiset {v repeated
+    c*copies for (v, c) in wc}: h = q*(N-1), linear interpolation
+    between the floor/ceil order statistics. Exact — same double
+    math DuckDB applies to the expanded multiset."""
+    wc = sorted(wc)
+    N = sum(c for _, c in wc) * copies
+    h = q * (N - 1)
+    def val_at(j):
+        cum = 0
+        for v, c in wc:
+            cum += c * copies
+            if j < cum:
+                return float(v)
+        return float(wc[-1][0])
+    lo = val_at(math.floor(h))
+    hi = val_at(math.ceil(h))
+    return lo + (h - math.floor(h)) * (hi - lo)
+
+
+_graph_cache = {}
+
+
+def _graph_base(con):
+    """Copy-0 co-supply graph + corpus-wide threshold, shared by the
+    four graph checkers. Returns (errs, copies, thr) and leaves temp
+    tables sc_e (copy-0 edges at the CORPUS threshold) and sc_deg
+    (copy-0 degrees). errs non-empty => the copy-symmetry premise
+    failed and the caller must FAIL (never silently fall through)."""
+    if "base" in _graph_cache:
+        return _graph_cache["base"]
+    errs = []
+    # full structural witness: the graph depends only on the DISTINCT
+    # (orderkey, suppkey) pairs; every copy must carry the identical
+    # offset-stripped pair multiset (one linear pass, zone-map cheap)
+    fps = con.execute(f"""
+      SELECT c, count(*) AS n, sum(h) AS fp FROM (
+        SELECT DISTINCT l_orderkey // {OFF} AS c,
+               hash((l_orderkey % {OFF}) * 1048576
+                    + (l_suppkey % {OFF})) AS h
+        FROM lineitem) GROUP BY c ORDER BY c""").fetchall()
+    copies = len(fps)
+    if len({(n, fp) for _, n, fp in fps}) != 1:
+        errs.append(
+            f"copy-symmetry premise failed: {copies} key-offset copies "
+            "with differing (orderkey,suppkey) pair fingerprints — the "
+            "scale-tier graph replacement is only valid on "
+            "scale_testdata.py synthesis; run the exact tier instead")
+        _graph_cache["base"] = (errs, copies, None)
+        return _graph_cache["base"]
+    # copy-0 pair weights (1/copies of the data; zone maps prune)
+    con.execute(f"""
+      CREATE OR REPLACE TEMP TABLE sc_e0 AS
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        FROM lineitem WHERE l_orderkey < {OFF})
+      SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
+      FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+      GROUP BY 1, 2""")
+    # the oracle's thr = round(quantile_cont(w, 0.95), 6) over the
+    # CORPUS pair weights = the copy-0 multiset replicated `copies`x
+    wc = con.execute(
+        "SELECT w, count(*) FROM sc_e0 GROUP BY 1").fetchall()
+    thr = _round_half_up(
+        _quantile_cont_replicated(wc, copies, 0.95), 6)
+    con.execute(f"""
+      CREATE OR REPLACE TEMP TABLE sc_e AS
+      SELECT sa, sb FROM sc_e0 WHERE w >= {thr!r}""")
+    con.execute("""
+      CREATE OR REPLACE TEMP TABLE sc_deg AS
+      SELECT v, count(*) AS deg FROM (
+        SELECT sa AS v FROM sc_e UNION ALL SELECT sb AS v FROM sc_e)
+      GROUP BY v""")
+    _graph_cache["base"] = (errs, copies, thr)
+    return _graph_cache["base"]
+
+
+def _rows(got, cols):
+    return list(zip(*[got.column(c).to_pylist() for c in cols]))
+
+
+def _cmp_rows(name, got, cols, expected):
+    gr = _rows(got, cols)
+    if len(gr) != len(expected):
+        return [f"rows differ: spark={len(gr)} expected={len(expected)}"]
+    for i, (g, e) in enumerate(zip(gr, expected)):
+        for c, a, b in zip(cols, g, e):
+            if isinstance(a, float) and isinstance(b, float):
+                ok = (a == b) or (a != a and b != b)
+            else:
+                ok = a == b
+            if not ok:
+                return [f"col {c} row {i}: spark={a!r} expected={b!r}"]
+    return []
+
+
+def _inv_graph_degree_dist(con, got):
+    errs, copies, _ = _graph_base(con)
+    if errs:
+        return errs
+    base = con.execute("""
+      SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        count(*) AS n, min(deg) AS mn, max(deg) AS mx
+      FROM sc_deg GROUP BY 1 ORDER BY bucket""").fetchall()
+    expected = [(b, n * copies, mn, mx) for b, n, mn, mx in base]
+    return _cmp_rows("q_graph_degree_dist", got,
+                     ["bucket", "n_nodes", "min_deg", "max_deg"], expected)
+
+
+def _inv_graph_triangles(con, got):
+    errs, copies, _ = _graph_base(con)
+    if errs:
+        return errs
+    n0, e0, w0 = con.execute("""
+      SELECT count(*), CAST(sum(deg) / 2 AS BIGINT),
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+      FROM sc_deg""").fetchone()
+    t0 = con.execute("""
+      WITH o AS (
+        SELECT CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND e.sa < e.sb)
+               THEN e.sa ELSE e.sb END AS src,
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND e.sa < e.sb)
+               THEN e.sb ELSE e.sa END AS dst
+        FROM sc_e e JOIN sc_deg da ON e.sa = da.v
+                    JOIN sc_deg db ON e.sb = db.v),
+      wedge AS (
+        SELECT p1.dst AS v, p2.dst AS w FROM o p1
+        JOIN o p2 ON p1.src = p2.src AND p1.dst < p2.dst),
+      closing AS (
+        SELECT src AS v, dst AS w FROM o
+        UNION ALL SELECT dst AS v, src AS w FROM o)
+      SELECT count(*) FROM wedge JOIN closing USING (v, w)
+      """).fetchone()[0]
+    # the scaled ratio (3*T*c)/(W*c) is the same exact rational as
+    # 3*t0/w0, and both integer products stay under 2^53, so the
+    # double divide is the correctly-rounded corpus value
+    coeff = _round_half_up(3.0 * (t0 * copies) / (w0 * copies), 6)
+    expected = [(n0 * copies, e0 * copies, w0 * copies,
+                 t0 * copies, coeff)]
+    return _cmp_rows("q_graph_triangles", got,
+                     ["n_nodes", "n_edges", "n_wedges", "n_triangles",
+                      "clustering_coeff"], expected)
+
+
+def _inv_k_core(con, got):
+    errs, copies, _ = _graph_base(con)
+    if errs:
+        return errs
+    con.execute("CREATE OR REPLACE TEMP TABLE kc_e AS "
+                "SELECT sa, sb FROM sc_e")
+    expected = []
+    for rnd in range(4):
+        n, e2, mn = con.execute("""
+          SELECT count(*), coalesce(CAST(sum(d) / 2 AS BIGINT), 0),
+                 CAST(coalesce(min(d), 0) AS BIGINT)
+          FROM (SELECT v, count(*) AS d FROM (
+                  SELECT sa AS v FROM kc_e
+                  UNION ALL SELECT sb AS v FROM kc_e) GROUP BY 1)
+          """).fetchone()
+        expected.append((rnd, n * copies, e2 * copies, mn))
+        con.execute("""
+          CREATE OR REPLACE TEMP TABLE kc_e AS
+          WITH d AS (SELECT v FROM (
+              SELECT v, count(*) AS d FROM (
+                SELECT sa AS v FROM kc_e
+                UNION ALL SELECT sb AS v FROM kc_e) GROUP BY 1)
+            WHERE d >= 3)
+          SELECT sa, sb FROM kc_e
+          WHERE sa IN (SELECT v FROM d) AND sb IN (SELECT v FROM d)""")
+    return _cmp_rows("q_k_core", got,
+                     ["round", "n_nodes", "n_edges", "min_deg"], expected)
+
+
+def _inv_link_prediction(con, got):
+    errs, copies, _ = _graph_base(con)
+    if errs:
+        return errs
+    # every copy yields the identical candidate set (key-offset), so
+    # the global candidate list is the base list expanded `copies`x
+    # with +c*OFF keys and UNCHANGED cn/jaccard (degrees are
+    # per-copy: no cross-copy edges). `ORDER BY cn DESC, a, b` then
+    # interleaves copies inside each cn group (a = c*OFF + a0 sorts
+    # by (c, a0)), so the global top-15 is: expand the base top-K
+    # across copies, re-sort, cut at 15. K=50 > 15 makes the cut
+    # safe: a global top-15 row is always the image of a base pair
+    # ranked <= 15 in the base ordering.
+    base = con.execute("""
+      WITH adj AS (
+        SELECT sa AS c, sb AS v FROM sc_e
+        UNION ALL SELECT sb AS c, sa AS v FROM sc_e),
+      cand AS (
+        SELECT a1.v AS a, a2.v AS b, count(*) AS cn
+        FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.v < a2.v
+        GROUP BY 1, 2),
+      cand2 AS (
+        SELECT c.a, c.b, c.cn FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sc_e e
+          WHERE e.sa = c.a AND e.sb = c.b)),
+      deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1)
+      SELECT c2.a, c2.b, c2.cn,
+        round(c2.cn / (da.deg + db.deg - c2.cn)::DOUBLE, 6) AS jaccard
+      FROM cand2 c2
+      JOIN deg da ON c2.a = da.c JOIN deg db ON c2.b = db.c
+      ORDER BY cn DESC, a, b LIMIT 50""").fetchall()
+    expanded = sorted(
+        ((a + c * OFF, b + c * OFF, cn, j)
+         for a, b, cn, j in base for c in range(copies)),
+        key=lambda r: (-r[2], r[0], r[1]))[:15]
+    return _cmp_rows("q_link_prediction", got,
+                     ["a", "b", "cn", "jaccard"], expanded)
+
+
+# q_semdedup_prune: the oracle's k-means chain (seed -> 2 Lloyd
+# rounds -> final assignment) is LINEAR and stays a full-value exact
+# check; only the within-cluster NOT EXISTS prune (quadratic: sum of
+# |cluster|^2 cosines) drops to sampled witnesses.
+_SEMDEDUP_ASSIGN = """
+  WITH v AS (
+    SELECT vec_id AS id,
+      [embedding[i]::DOUBLE
+       for i in range(1, len(embedding) + 1)] AS vec
+    FROM embeddings),
+  s0 AS (
+    SELECT CAST(row_number() OVER
+        (ORDER BY md5(CAST(id AS VARCHAR)), id) AS INTEGER) AS cid,
+      vec AS c
+    FROM v
+    QUALIFY row_number() OVER
+      (ORDER BY md5(CAST(id AS VARCHAR)), id) <= 10),
+  a1 AS (
+    SELECT id, cid, dist, vec,
+      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.id, ct.cid, v.vec,
+        list_sum([(v.vec[i] - ct.c[i]) * (v.vec[i] - ct.c[i])
+                  for i in range(1, len(v.vec) + 1)]) AS dist
+      FROM v CROSS JOIN s0 ct)),
+  u1 AS (
+    SELECT cid, p,
+      CAST(sum(q) AS DOUBLE) /
+        (1000000.0 * CAST(count(*) AS DOUBLE)) AS m
+    FROM (
+      SELECT cid, t.i AS p,
+        CAST(floor(vec[t.i] * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM a1, range(1, 65) AS t(i)
+      WHERE rn = 1)
+    GROUP BY cid, p),
+  c1 AS (SELECT cid, list(m ORDER BY p) AS c FROM u1 GROUP BY cid),
+  a2 AS (
+    SELECT id, cid, dist, vec,
+      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.id, ct.cid, v.vec,
+        list_sum([(v.vec[i] - ct.c[i]) * (v.vec[i] - ct.c[i])
+                  for i in range(1, len(v.vec) + 1)]) AS dist
+      FROM v CROSS JOIN c1 ct)),
+  u2 AS (
+    SELECT cid, p,
+      CAST(sum(q) AS DOUBLE) /
+        (1000000.0 * CAST(count(*) AS DOUBLE)) AS m
+    FROM (
+      SELECT cid, t.i AS p,
+        CAST(floor(vec[t.i] * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM a2, range(1, 65) AS t(i)
+      WHERE rn = 1)
+    GROUP BY cid, p),
+  c2 AS (SELECT cid, list(m ORDER BY p) AS c FROM u2 GROUP BY cid),
+  a3 AS (
+    SELECT id, cid, dist, vec,
+      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT v.id, ct.cid, v.vec,
+        list_sum([(v.vec[i] - ct.c[i]) * (v.vec[i] - ct.c[i])
+                  for i in range(1, len(v.vec) + 1)]) AS dist
+      FROM v CROSS JOIN c2 ct))
+  SELECT id, cid FROM a3 WHERE rn = 1 ORDER BY id"""
+
+
+def _inv_semdedup_prune(con, got):
+    errs = []
+    # full-value check of the linear part: (vec_id, cluster)
+    expected = con.execute(_SEMDEDUP_ASSIGN).fetchall()
+    errs += _cmp_rows("q_semdedup_prune(assign)", got,
+                      ["vec_id", "cluster"], expected)
+    if errs:
+        return errs
+    # sampled witnesses for `kept`: a pruned row must have a
+    # smaller-id same-cluster partner at cosine >= 0.35 and a kept
+    # row must have none — recomputed against the FULL cluster, so a
+    # wrong verdict on a sampled row cannot hide
+    con.register("sd_got", got)
+    wit = con.execute("""
+      WITH s AS (
+        SELECT vec_id, cluster, kept FROM sd_got
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 60),
+      pair AS (
+        SELECT s.vec_id, s.kept,
+          (list_sum([ea.e[i] * eb.e[i]
+                     for i in range(1, len(ea.e) + 1)]) /
+           sqrt(list_sum([ea.e[i] * ea.e[i]
+                          for i in range(1, len(ea.e) + 1)]) *
+                list_sum([eb.e[i] * eb.e[i]
+                          for i in range(1, len(eb.e) + 1)])))
+            >= 0.35 AS nb
+        FROM s
+        JOIN sd_got g ON g.cluster = s.cluster AND g.vec_id < s.vec_id
+        JOIN (SELECT vec_id,
+                [embedding[i]::DOUBLE
+                 for i in range(1, len(embedding) + 1)] AS e
+              FROM embeddings) ea ON ea.vec_id = s.vec_id
+        JOIN (SELECT vec_id,
+                [embedding[i]::DOUBLE
+                 for i in range(1, len(embedding) + 1)] AS e
+              FROM embeddings) eb ON eb.vec_id = g.vec_id)
+      SELECT s.vec_id, s.kept,
+        coalesce(bool_or(p.nb), FALSE) AS has_nb
+      FROM (SELECT vec_id, kept FROM sd_got
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 60) s
+      LEFT JOIN pair p USING (vec_id)
+      GROUP BY 1, 2""").fetchall()
+    con.unregister("sd_got")
+    for vid, kept, has_nb in wit:
+        if kept == has_nb:
+            errs.append(
+                f"vec_id {vid}: kept={kept} but "
+                f"{'a' if has_nb else 'no'} smaller-id same-cluster "
+                "partner at cosine >= 0.35 exists")
+            break
+    return errs
+
+
 SCALE_INVARIANTS = {
     "q_embed_near_pairs": _inv_near_pairs,
     "q_dedup_clusters_embed": _inv_clusters_embed,
     "q_dedup_clusters_lsh": _inv_clusters_lsh,
+    "q_graph_degree_dist": _inv_graph_degree_dist,
+    "q_graph_triangles": _inv_graph_triangles,
+    "q_k_core": _inv_k_core,
+    "q_link_prediction": _inv_link_prediction,
+    "q_semdedup_prune": _inv_semdedup_prune,
 }
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
