@@ -56,22 +56,25 @@ REP0 = copies * OFF  # first replica block starts above every base copy
 # apart starting at REP0 = copies * OFF (above every base block).
 
 
-def rep_off(c):
-    """SQL expression for the replica-block offset of copy c (the
-    range() alias `rep` is in scope in the caller's UNION leg)."""
-    return f"{REP0 + c * (hot - 1) * SUB} + (rep - 1) * {SUB}"
+# The copy index is a table-valued range, not per-copy UNION legs: a
+# 1000-copy union exceeds DuckDB's max_expression_depth (hit live at
+# the sf100 synthesis), while a single CROSS JOIN range(copies) leg is
+# O(1) SQL at any copy count and produces the identical multiset.
+REP_OFF = (f"{REP0} + (cp * {hot - 1} + (rep - 1)) * {SUB}"
+           if hot else "0")
 
 con = duckdb.connect()
 
-def emit(table, select_for_copy):
-    parts = [select_for_copy(c) for c in range(copies)]
-    union = " UNION ALL ".join(parts)
+def emit(table, select_all_copies):
     con.execute(
-        f"COPY ({union}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        f"COPY ({select_all_copies}) TO '{dst}/{table}.parquet' "
+        "(FORMAT PARQUET)")
     n = con.sql(
         f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')"
     ).fetchone()[0]
     print(f"  {table}: {n} rows")
+
+COPIES_SRC = f"range(0, {copies}) c(cp)"
 
 def rp(t):
     return f"read_parquet('{src}/{t}.parquet')"
@@ -85,82 +88,81 @@ for t in ["region", "nation"]:
                 f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
     print(f"  {t}: fixed dimension, 1 copy")
 
-emit("customer", lambda c: f"""
-  SELECT c_custkey + {c * OFF} AS c_custkey, c_name, c_nationkey,
-         c_acctbal, c_mktsegment FROM {rp('customer')}""")
+emit("customer", f"""
+  SELECT c_custkey + cp * {OFF} AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM {rp('customer')} CROSS JOIN {COPIES_SRC}""")
 
-emit("supplier", lambda c: f"""
-  SELECT s_suppkey + {c * OFF} AS s_suppkey, s_name, s_nationkey,
-         s_acctbal FROM {rp('supplier')}""")
+emit("supplier", f"""
+  SELECT s_suppkey + cp * {OFF} AS s_suppkey, s_name, s_nationkey,
+         s_acctbal FROM {rp('supplier')} CROSS JOIN {COPIES_SRC}""")
 
-emit("part", lambda c: f"""
-  SELECT p_partkey + {c * OFF} AS p_partkey, p_name, p_brand, p_type,
-         p_size, p_retailprice FROM {rp('part')}""")
+emit("part", f"""
+  SELECT p_partkey + cp * {OFF} AS p_partkey, p_name, p_brand, p_type,
+         p_size, p_retailprice
+  FROM {rp('part')} CROSS JOIN {COPIES_SRC}""")
 
-emit("orders", lambda c: f"""
-  SELECT o_orderkey + {c * OFF} AS o_orderkey,
-         o_custkey + {c * OFF} AS o_custkey,
+emit("orders", f"""
+  SELECT o_orderkey + cp * {OFF} AS o_orderkey,
+         o_custkey + cp * {OFF} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-  FROM {rp('orders')}""")
+  FROM {rp('orders')} CROSS JOIN {COPIES_SRC}""")
 
-def li_copy(c):
-    base = f"""
-      SELECT l_orderkey + {c * OFF} AS l_orderkey,
-             l_partkey + {c * OFF} AS l_partkey,
-             l_suppkey + {c * OFF} AS l_suppkey,
-             l_linenumber, l_quantity, l_extendedprice, l_discount,
-             l_tax, l_returnflag, l_linestatus, l_shipdate
-      FROM {rp('lineitem')}"""
-    if not hot:
-        return base
+li = f"""
+  SELECT l_orderkey + cp * {OFF} AS l_orderkey,
+         l_partkey + cp * {OFF} AS l_partkey,
+         l_suppkey + cp * {OFF} AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount,
+         l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM {rp('lineitem')} CROSS JOIN {COPIES_SRC}"""
+if hot:
     # whale orders: hot orders gain (hot-1) extra replica line sets,
     # each with FRESH suppliers — per-order distinct-supplier count
     # multiplies, which is the co-supply hub stress
-    return base + f""" UNION ALL
-      SELECT l_orderkey + {c * OFF}, l_partkey + {c * OFF},
-             l_suppkey + {rep_off(c)},
+    li += f""" UNION ALL
+      SELECT l_orderkey + cp * {OFF}, l_partkey + cp * {OFF},
+             l_suppkey + {REP_OFF},
              l_linenumber, l_quantity, l_extendedprice, l_discount,
              l_tax, l_returnflag, l_linestatus, l_shipdate
-      FROM {rp('lineitem')} CROSS JOIN range(1, {hot}) r(rep)
+      FROM {rp('lineitem')} CROSS JOIN {COPIES_SRC}
+      CROSS JOIN range(1, {hot}) r(rep)
       WHERE l_orderkey % 100 = 0"""
+emit("lineitem", li)
 
-def ev_copy(c):
-    base = f"""
-      SELECT event_id + {c * OFF} AS event_id, ts,
-             user_id + {c * OFF} AS user_id, event_type, value, props
-      FROM {rp('events')}"""
-    if not hot:
-        return base
+ev = f"""
+  SELECT event_id + cp * {OFF} AS event_id, ts,
+         user_id + cp * {OFF} AS user_id, event_type, value, props
+  FROM {rp('events')} CROSS JOIN {COPIES_SRC}"""
+if hot:
     # hot users: top-1% of the key domain carry hot x their rows; ts
     # jittered +rep seconds so sessions aren't same-instant stacks
-    return base + f""" UNION ALL
-      SELECT event_id + {rep_off(c)},
+    ev += f""" UNION ALL
+      SELECT event_id + {REP_OFF},
              ts + to_seconds(rep::BIGINT),
-             user_id + {c * OFF}, event_type, value, props
-      FROM {rp('events')} CROSS JOIN range(1, {hot}) r(rep)
+             user_id + cp * {OFF}, event_type, value, props
+      FROM {rp('events')} CROSS JOIN {COPIES_SRC}
+      CROSS JOIN range(1, {hot}) r(rep)
       WHERE user_id % 100 = 0"""
-
-emit("lineitem", li_copy)
-
-emit("events", ev_copy)
+emit("events", ev)
 
 # disjoint token salting (mirror of ScalingSpec.disjointDocs): each
 # copy's shingle vocabulary is unique to it
-emit("documents", lambda c: f"""
-  SELECT doc_id + {c * OFF} AS doc_id,
-         'c{c}x' || replace(text, ' ', ' c{c}x') AS text,
+emit("documents", f"""
+  SELECT doc_id + cp * {OFF} AS doc_id,
+         'c' || cp || 'x' ||
+           replace(text, ' ', ' c' || cp || 'x') AS text,
          lang, source,
-         CAST(length('c{c}x' || replace(text, ' ', ' c{c}x')) AS BIGINT)
-           AS n_chars
-  FROM {rp('documents')}""")
+         CAST(length('c' || cp || 'x' ||
+           replace(text, ' ', ' c' || cp || 'x')) AS BIGINT) AS n_chars
+  FROM {rp('documents')} CROSS JOIN {COPIES_SRC}""")
 
 # deterministic per-copy component perturbation: no exact-dup vectors
-emit("embeddings", lambda c: f"""
-  SELECT vec_id + {c * OFF} AS vec_id,
+emit("embeddings", f"""
+  SELECT vec_id + cp * {OFF} AS vec_id,
          list_transform(embedding,
-           x -> CAST(x + 0.001 * sin(x * {c + 7}) AS FLOAT))
+           x -> CAST(x + 0.001 * sin(x * (cp + 7)) AS FLOAT))
            AS embedding,
          label
-  FROM {rp('embeddings')}""")
+  FROM {rp('embeddings')} CROSS JOIN {COPIES_SRC}""")
 
 print("done:", dst)
