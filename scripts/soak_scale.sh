@@ -50,13 +50,18 @@ EOF
 )
 echo "      $QUERIES"
 
-echo "[3/4] graft.Verify at $LABEL (packaged jar, local[cpus])"
+# sf10 fits 16g at local[4]; a third-decade (sf100) run needs wider
+# parallelism and headroom — override via env: SOAK_HEAP=48g
+# SPARK_GRAFT_CPUS=32 scripts/soak_scale.sh 1000 32
+HEAP="${SOAK_HEAP:-16g}"
+echo "[3/4] graft.Verify at $LABEL (packaged jar, heap $HEAP," \
+  "local[${SPARK_GRAFT_CPUS:-4}])"
 mapfile -t OPENS < <(for p in java.lang java.lang.invoke java.lang.reflect \
     java.io java.net java.nio java.util java.util.concurrent \
     java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
     sun.security.action sun.util.calendar; do
   echo "--add-opens=java.base/$p=ALL-UNNAMED"; done)
-java "${OPENS[@]}" -Xmx16g -Dspark.ui.enabled=false \
+java "${OPENS[@]}" -Xmx"$HEAP" -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" "$QUERIES" \
   2> >(grep '\[verify\].*failed' >&2 || true)

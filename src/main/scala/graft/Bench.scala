@@ -102,14 +102,17 @@ object Bench {
     * record must track the corpus. */
   private[graft] def preserveRecord(
       prev: Option[ArtifactMeta], currQ: Map[String, Double],
-      currSf: String, force: Boolean): Boolean =
+      currSf: String, force: Boolean, runs: Int = 3): Boolean =
     !force && prev.exists { p =>
-      p.calWorst >= 0 && p.calWorst < 2 * WarmFloor && p.sf == currSf && (
+      // a min-of-<3 leg is never a number of record, whatever its
+      // total: min-of-1 rides single-pass luck the record never gets
+      runs < 3 ||
+      (p.calWorst >= 0 && p.calWorst < 2 * WarmFloor && p.sf == currSf && (
         (p.queries.keySet == currQ.keySet &&
           p.queries.values.sum < currQ.values.sum) ||
         (currQ.keySet.subsetOf(p.queries.keySet) &&
           currQ.keySet != p.queries.keySet)
-      )
+      ))
     }
 
   /** Reader for the record-hygiene check. None when the file is
@@ -219,7 +222,14 @@ object Bench {
     // state, JIT tiers) — larger than any per-query difference worth
     // measuring; min-of-3 also rides out one-off GC pauses that
     // min-of-2 still caught.
-    val runs = 3
+    // SPARK_GRAFT_RUNS: decade-soak legs at sf>=100 can't afford 3
+    // full passes (a single sf100 pass is ~1h); min-of-1 is noisier
+    // but the decade ratios it feeds are x4-13, far above the noise.
+    // Defensive parse like SOLO_N; the record-hygiene gate below
+    // refuses to let a non-min-of-3 leg replace the record.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(r => r >= 1 && r <= 9).getOrElse(3)
     // Local-iteration filter (mirrors Verify's 3rd arg): the driver
     // never sets it, so driver rounds always time the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -393,7 +403,8 @@ object Bench {
     // candidate file; promotion to the record is an explicit copy
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val actualOut =
-      if (preserveRecord(readArtifactMeta(outPath), wallByName, sfDir, force)) {
+      if (preserveRecord(readArtifactMeta(outPath), wallByName, sfDir,
+          force, runs)) {
         val cand = (if (outPath.endsWith(".json"))
           outPath.dropRight(5) else outPath) + "_candidate.json"
         System.err.println(s"[bench] $outPath holds a clean, " +

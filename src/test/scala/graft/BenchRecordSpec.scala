@@ -38,6 +38,22 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!Bench.preserveRecord(meta(record), worse, sf, force = true))
   }
 
+  test("a min-of-<3 leg never replaces an existing record, even a faster one") {
+    // SPARK_GRAFT_RUNS=1 exists for decade-soak legs (sf100); a
+    // single-pass total can ride luck the min-of-3 record never gets
+    val record = qs(240, 0.45)
+    val luckyFast = qs(240, 0.40)
+    assert(Bench.preserveRecord(meta(record), luckyFast, sf,
+      force = false, runs = 1),
+      "a runs=1 leg must be diverted regardless of its total")
+    assert(!Bench.preserveRecord(None, luckyFast, sf,
+      force = false, runs = 1),
+      "no record to defend — the first write proceeds even at runs=1")
+    assert(!Bench.preserveRecord(meta(record), luckyFast, sf,
+      force = true, runs = 1),
+      "explicit force still overrides")
+  }
+
   test("a contended or probe-less record is not defended") {
     val record = qs(240, 0.40)
     val worse = qs(240, 0.45)

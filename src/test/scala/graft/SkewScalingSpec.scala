@@ -194,6 +194,162 @@ class SkewScalingSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------
+  // sf1-hot leg (VERDICT r10 #6): the gates above measure hot keys of
+  // ~10^3-10^4 rows; this leg re-measures them where one key carries
+  // >= 10^6 rows — the "one entity posting 1000x more points" regime
+  // the reference's per-key upsert actually sees at fleet scale. It
+  // needs the soak-synthesized sf1 dir (scripts/scale_testdata.py,
+  // ~180MB) and several minutes at local[4], so it is env-gated:
+  // `scripts/skew_sf1.sh` synthesizes + runs it; unset, the tests
+  // CANCEL (visible, never a vacuous pass).
+  // ---------------------------------------------------------------
+
+  private val Sf1Dir = "target/sfsynth/sf1"
+  private val MegaUser = 100L // copy-0 hot user promoted to megawhale
+
+  private def sf1Gate(): Unit = {
+    val gated = sys.env.contains("SPARK_GRAFT_SKEW_SF1")
+    assume(gated,
+      "sf1-hot leg runs via scripts/skew_sf1.sh (SPARK_GRAFT_SKEW_SF1)")
+    val synthed = new java.io.File(s"$Sf1Dir/lineitem.parquet").exists
+    assume(synthed, s"$Sf1Dir missing — run scripts/scale_testdata.py first")
+  }
+
+  /** sf1-hot twin: %100 hot users at x100 as in the small twins, PLUS
+    * one megawhale key replicated until it carries >= 1e6 rows. The
+    * sf1 base has copy-offset ids up to ~9e9, so replica event_ids
+    * come from monotonically_increasing_id into disjoint 1e12 blocks
+    * (the +rep*Sub scheme of the small twins would land inside the
+    * next copy's base block — the exact collision ADVICE r10 found in
+    * scale_testdata.py).
+    */
+  private def sf1HotDir(): String = {
+    val dir = "/tmp/graft_skew_sf1hot_v1"
+    val marker = new java.io.File(s"$dir/_SYNTH_DONE")
+    if (!marker.exists) {
+      new java.io.File(dir).mkdirs()
+      val e = Tables(spark, Sf1Dir, "events")
+      def reps(m: Long) = spark.range(1, m).select(col("id").as("rep"))
+      def fresh(block: Long) =
+        (monotonically_increasing_id() + lit(block)).as("event_id")
+      val hotExtra = e.filter(col("user_id") % 100 === 0)
+        .crossJoin(reps(EvMult))
+        .select(fresh(1000000000000L),
+          (col("ts").cast("long") + col("rep")).cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      val megaBase = e.filter(col("user_id") === MegaUser)
+      val baseCnt = megaBase.count()
+      val megaMult = math.max(2L, (1050000L + baseCnt - 1) / baseCnt)
+      val megaExtra = megaBase.crossJoin(reps(megaMult))
+        .select(fresh(2000000000000L),
+          (col("ts").cast("long") + col("rep")).cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      e.unionByName(hotExtra.select(e.columns.map(col).toSeq: _*))
+        .unionByName(megaExtra.select(e.columns.map(col).toSeq: _*))
+        .coalesce(8).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      val li = Tables(spark, Sf1Dir, "lineitem")
+      val liExtra = li.filter(col("l_orderkey") % 100 === 0)
+        .crossJoin(reps(LiMult))
+        .select(li.columns.map {
+          case "l_suppkey" =>
+            // suppkey only needs freshness per (order, rep); base
+            // suppkeys are < 1e10, so a 1e12 block is disjoint
+            (col("l_suppkey") + col("rep") * lit(Sub)
+              + lit(1000000000000L)).as("l_suppkey")
+          case c => col(c)
+        }.toSeq: _*)
+      li.unionByName(liExtra).coalesce(8).write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "documents", "embeddings"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(Sf1Dir, s"$t.parquet"),
+          java.nio.file.Paths.get(dir, s"$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  test("sf1-hot synthesis sanity: one key carries a million rows") {
+    sf1Gate()
+    val ev = Tables(spark, sf1HotDir(), "events")
+    val mega = ev.filter(col("user_id") === MegaUser).count()
+    val medianRows = ev.groupBy(col("user_id")).count()
+      .agg(percentile_approx(col("count"), lit(0.5), lit(1000)))
+      .head.getLong(0)
+    info(s"megawhale user $MegaUser: $mega rows, median user $medianRows")
+    assert(mega >= 1000000L,
+      s"megawhale only $mega rows — the sf1-hot leg is not measuring " +
+        "the million-row-key regime")
+    assert(mega >= 1000L * medianRows,
+      s"megawhale $mega vs median $medianRows — <1000x, skew too weak")
+    val ids = ev.agg(count(lit(1)), countDistinct(col("event_id"))).head
+    assert(ids.getLong(0) == ids.getLong(1),
+      s"replica event_ids collided: ${ids.getLong(0)} rows, " +
+        s"${ids.getLong(1)} distinct")
+  }
+
+  test("sf1-hot sessionize: million-row key stays at the hash-placement floor") {
+    sf1Gate()
+    val dir = sf1HotDir()
+    // same rubric as the sf0.1 leg: the irreducible floor is the hash
+    // placement of the keys into 32 buckets — with one key owning
+    // ~1/3 of the corpus the floor itself is large, and the gate pins
+    // that the PLAN adds no concentration beyond it (no global
+    // window, no single-reducer stage between scan and result)
+    val skewConfs = Seq(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prevConfs = skewConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val keyShare = Tables(spark, dir, "events")
+        .groupBy(pmod(hash(col("user_id")), lit(32)).as("b"))
+        .agg(count(lit(1)).as("n"))
+        .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
+        .head.getDouble(0)
+      val (maxTask, total) = shuffleReadSkew(
+        SparkEntry.queries("q_sessionize")(spark, dir).count())
+      graft.CachedPlans.release()
+      val share = maxTask.toDouble / total
+      info(f"sf1-hot sessionize max-task share $share%.3f vs " +
+        f"hash-placement floor $keyShare%.3f (32 partitions)")
+      assert(share <= keyShare * 1.5 + 0.05,
+        f"task share $share%.3f exceeds the key-placement floor " +
+          f"$keyShare%.3f — the plan concentrates beyond hash placement")
+    } finally prevConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("sf1-hot funnel: map-side combine absorbs the megawhale") {
+    sf1Gate()
+    val uniform = queryRows("q_funnel_steps", Sf1Dir)
+    val skewed = queryRows("q_funnel_steps", sf1HotDir())
+    val ratio = skewed.toDouble / uniform
+    info(f"sf1-hot funnel wire: uniform $uniform vs skewed $skewed " +
+      f"(x$ratio%.2f, rows grew ~3x)")
+    assert(ratio < 1.5,
+      f"funnel wire grew x$ratio%.2f under the megawhale — partial " +
+        "aggregation is not absorbing the hot keys map-side")
+  }
+
+  test("sf1-hot triangle decade: hub growth stays on the pruned wedge space") {
+    sf1Gate()
+    val small = queryRows("q_graph_triangles", hotDir("0.1"))
+    val big = queryRows("q_graph_triangles", sf1HotDir())
+    val growth = big.toDouble / small
+    info(f"sf1-hot triangle wire decade: $small -> $big (x$growth%.1f)")
+    assert(growth < 25,
+      f"triangle wire x$growth%.1f across the sf1-hot decade — hub " +
+        "pair space leaking past the pruning")
+  }
+
   test("triangle census skew decade: whale orders stay on the pruned wedge space") {
     // whale orders multiply the per-order co-supply pair space
     // (LiMult^2 x); the p95 weight pruning + degree-ordered wedges
