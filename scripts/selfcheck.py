@@ -593,8 +593,51 @@ def _inv_semdedup_prune(con, got):
     return errs
 
 
+# q_dedup_ngram_jaccard: the exact shingle self-join oracle is LINEAR
+# in SF but heavy in absolute terms (measured 15s at sf0.1, 170s at
+# sf1 => ~4.7h projected at sf100 — far past the soak budget). The
+# documents table is disjoint-token-salted per key-offset copy
+# (scale_testdata.py), so the pair multiset decomposes per copy
+# exactly like the co-supply graph: verify that premise with a full
+# linear tag-stripped fingerprint pass, evaluate the oracle's OWN SQL
+# on copy 0 only (sf0.1-sized), and expand ids across copies. Pair
+# counts/jaccards are copy-invariant because the per-token salt is a
+# bijection on each copy's shingle space. Validated against the exact
+# oracle at copies=1 and copies=10 and tamper-negative-controlled.
+def _inv_dedup_ngram_jaccard(con, got):
+    fps = con.execute(f"""
+      SELECT c, count(*) AS n, sum(h) AS fp FROM (
+        SELECT doc_id // {OFF} AS c,
+          hash(CAST(doc_id % {OFF} AS VARCHAR) || '|' ||
+               replace(text,
+                 'c' || CAST(doc_id // {OFF} AS VARCHAR) || 'x', ''))
+            AS h
+        FROM documents) GROUP BY c ORDER BY c""").fetchall()
+    copies = len(fps)
+    if len({(n, fp) for _, n, fp in fps}) != 1:
+        return [
+            f"copy-symmetry premise failed: {copies} key-offset copies "
+            "with differing tag-stripped (doc_id, text) fingerprints — "
+            "the scale-tier document replacement is only valid on "
+            "scale_testdata.py synthesis; run the exact tier instead"]
+    sql = oracle["q_dedup_ngram_jaccard"]
+    assert sql.count("FROM documents") == 1, "oracle shape changed"
+    base = con.execute(sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id < {OFF})")
+    ).fetchall()
+    expanded = sorted(
+        ((a + c * OFF, b + c * OFF, cm, na, nb, j)
+         for a, b, cm, na, nb, j in base for c in range(copies)),
+        key=lambda r: (r[0], r[1]))
+    return _cmp_rows("q_dedup_ngram_jaccard", got,
+                     ["id_a", "id_b", "common", "n_a", "n_b", "jaccard"],
+                     expanded)
+
+
 SCALE_INVARIANTS = {
     "q_embed_near_pairs": _inv_near_pairs,
+    "q_dedup_ngram_jaccard": _inv_dedup_ngram_jaccard,
     "q_dedup_clusters_embed": _inv_clusters_embed,
     "q_dedup_clusters_lsh": _inv_clusters_lsh,
     "q_graph_degree_dist": _inv_graph_degree_dist,
