@@ -64,8 +64,23 @@ REP_OFF = (f"{REP0} + (cp * {hot - 1} + (rep - 1)) * {SUB}"
            if hot else "0")
 
 con = duckdb.connect()
+# Large COPYs buffer the whole result in RAM when the writer must
+# preserve insertion order across threads (observed live: the sf100
+# lineitem COPY sat at 0 bytes for 45 min with an 80GB RSS). Row
+# order inside the parquet carries no meaning here — the synthesis
+# contract is the MULTISET — so let the writer stream out of order,
+# and cap DuckDB's memory so a synthesis can never take down the box.
+con.execute("SET preserve_insertion_order = false")
+con.execute("SET memory_limit = '24GB'")
 
 def emit(table, select_all_copies):
+    out = f"{dst}/{table}.parquet"
+    import os as _os
+    if _os.path.exists(out) and _os.path.getsize(out) > 0:
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out}')"
+                    ).fetchone()[0]
+        print(f"  {table}: already present ({n} rows), skipping")
+        return
     con.execute(
         f"COPY ({select_all_copies}) TO '{dst}/{table}.parquet' "
         "(FORMAT PARQUET)")
