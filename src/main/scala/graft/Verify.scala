@@ -45,6 +45,15 @@ object Verify {
           Option(e.getMessage).getOrElse("")
             .replaceAll("\\s+", " ").take(300))
       }
+      // Release per query like Bench does: cached plans pin their
+      // lineage, and the ContextCleaner only deletes shuffle files
+      // once the dependency objects are GC'd — at sf100 the
+      // accumulated spill of a 32-query run crossed 26GB before the
+      // heavy tail (observed live) and would exhaust the disk. The
+      // explicit GC makes the cleanup prompt instead of
+      // heap-pressure-dependent.
+      graft.CachedPlans.release()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
