@@ -389,9 +389,18 @@ object Dedup {
         .observe(obs, sum(when(col("cluster_id") < col("old_cid"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // the round's ONLY action: materializes the
-                   // persist and fires the changed-count metric
+        // localCheckpoint, not persist: a persisted plan keeps its
+        // full lineage, so the logical plan DOUBLES per round — the
+        // sf10 exact-tier run (200k vectors, ~10M-edge cliques) hit
+        // Spark's 2GB plan-string cap every round, gigabytes of
+        // driver string-building per iteration. Checkpointing
+        // truncates the lineage to the materialized blocks; the
+        // eager flag is the round's one action and still fires the
+        // changed-count observation (the observe node executes in
+        // the checkpoint job).
+        .localCheckpoint( /* eager = */ true)
+      // eager checkpoint above already ran the plan; obs.get below
+      // would otherwise block forever on a lazy one
       val changed = Option(obs.get("changed"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
