@@ -60,6 +60,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=DEFAULT_QUERIES)
     ap.add_argument("--spinners", type=int, default=48)
+    ap.add_argument("--save-fixture", metavar="DIR",
+                    help="on PASS, copy the captured pair into DIR as "
+                         "idle.json / tripped_healed.json — the "
+                         "committed regression input for bench_diff's "
+                         "prefer-solo branch (VERDICT r10 #5)")
     a = ap.parse_args()
     qs = a.queries
     marker = f"/tmp/solo_control_marker_{os.getpid()}"
@@ -170,6 +175,16 @@ def main():
     print("CONTROL " + ("PASSED: contended corpus, clean healed solo "
                         "map, bench_diff reads it as numbers of record"
                         if ok else "FAILED"))
+    if ok and a.save_fixture:
+        # a PASSED control's pair IS the healed-path regression input:
+        # idle prev with clean probes, tripped curr with a clean solo
+        # map that bench_diff must read as numbers of record
+        import shutil
+        os.makedirs(a.save_fixture, exist_ok=True)
+        shutil.copy(idle_out, os.path.join(a.save_fixture, "idle.json"))
+        shutil.copy(load_out,
+                    os.path.join(a.save_fixture, "tripped_healed.json"))
+        print(f"fixture pair written to {a.save_fixture}/")
     sys.exit(0 if ok else 1)
 
 if __name__ == "__main__":
