@@ -55,16 +55,34 @@ echo "      $QUERIES"
 # SPARK_GRAFT_CPUS=32 scripts/soak_scale.sh 1000 32
 HEAP="${SOAK_HEAP:-16g}"
 echo "[3/4] graft.Verify at $LABEL (packaged jar, heap $HEAP," \
-  "local[${SPARK_GRAFT_CPUS:-4}])"
+  "local[${SPARK_GRAFT_CPUS:-4}], one JVM per query)"
 mapfile -t OPENS < <(for p in java.lang java.lang.invoke java.lang.reflect \
     java.io java.net java.nio java.util java.util.concurrent \
     java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
     sun.security.action sun.util.calendar; do
   echo "--add-opens=java.base/$p=ALL-UNNAMED"; done)
-java "${OPENS[@]}" -Xmx"$HEAP" -Dspark.ui.enabled=false \
-  -Dspark.sql.session.timeZone=UTC \
-  -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" "$QUERIES" \
-  2> >(grep '\[verify\].*failed' >&2 || true)
+# One JVM per query, not one JVM for the batch: a single heavy query's
+# shuffle spill at sf100 crossed 48GB live (text-shingle joins) and a
+# shared JVM accumulates spill dirs until exit — per-query JVMs bound
+# disk at max(single query) instead of sum(run), make the soak
+# resumable (done queries skipped on re-entry), and isolate an OOM to
+# the one query. zstd shuffle/spill compression is the matching
+# 100 TB knob: 2-3x smaller than lz4 on wide text shuffles for a few
+# extra CPU-percent — at this scale disk, not CPU, is the binding
+# constraint.
+IFS=',' read -ra QLIST <<< "$QUERIES"
+for Q in "${QLIST[@]}"; do
+  if [[ -d "$OUT/$Q" && -f "$OUT/$Q/_SUCCESS" ]]; then
+    echo "      $Q: already dumped, skipping"; continue
+  fi
+  T0=$SECONDS
+  java "${OPENS[@]}" -Xmx"$HEAP" -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
+    -Dspark.io.compression.codec=zstd \
+    -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" "$Q" \
+    2> >(grep '\[verify\].*failed' >&2 || true)
+  echo "      $Q: $((SECONDS - T0))s"
+done
 
 echo "[4/4] selfcheck --tier=scale"
 python3 scripts/selfcheck.py --tier=scale "$PWD/$DST" "$OUT" "$QUERIES"
