@@ -44,6 +44,14 @@ if tier not in ("exact", "scale"):
 sfdir, outdir = _args[0], _args[1]
 only = set(_args[2].split(",")) if len(_args) > 2 else None
 con = duckdb.connect()
+# Bound the oracle engine like scale_testdata does: uncapped DuckDB
+# defaults to ~80% of RAM and the sf100 exact containment oracle was
+# OOM-killed live while sharing the box with the 48g verify JVM. A
+# fixed cap makes heavy oracles spill to disk instead of dying; row
+# order carries no meaning in any oracle (the compare canonicalizes).
+con.execute("SET memory_limit = '32GB'")
+con.execute("SET preserve_insertion_order = false")
+con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
