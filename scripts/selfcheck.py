@@ -52,6 +52,12 @@ con = duckdb.connect()
 con.execute("SET memory_limit = '32GB'")
 con.execute("SET preserve_insertion_order = false")
 con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+# Optional core cap for pipelined soaks: when an oracle runs
+# concurrently with a Spark verify leg whose wall is being measured
+# (the sf100 decade table), an uncapped DuckDB grabs every core and
+# inflates the Spark walls. Semantics unchanged — only scheduling.
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.execute(f"SET threads = {int(os.environ['GRAFT_ORACLE_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
