@@ -72,6 +72,21 @@ con = duckdb.connect()
 # and cap DuckDB's memory so a synthesis can never take down the box.
 con.execute("SET preserve_insertion_order = false")
 con.execute("SET memory_limit = '24GB'")
+# Layout knob (measured live at sf10): the unordered streamed write
+# scatters every copy across every row group — each row group spans
+# the FULL key domain, so map-side combine gets zero key locality and
+# row-group pruning never fires; keyed queries measured 19-34x slower
+# on the scattered layout vs the copy-clustered one (q_recsys 556s vs
+# ~30s-class, q_graph_triangles 1136s). Real ingest is clustered (by
+# arrival time / key range), and the r10 UNION-legs generator wrote
+# copy-clustered row groups — so ordered is the representative layout
+# for perf measurement. GRAFT_SYNTH_ORDERED=1 restores it by sorting
+# each emit on the copy index (DuckDB external-sorts under the memory
+# cap, spilling to temp disk). The MULTISET is identical either way.
+import os as _os
+ORDERED = bool(_os.environ.get("GRAFT_SYNTH_ORDERED"))
+if ORDERED:
+    con.execute("SET temp_directory = '/tmp/duckdb_synth_spill'")
 
 def emit(table, select_all_copies):
     out = f"{dst}/{table}.parquet"
@@ -81,6 +96,13 @@ def emit(table, select_all_copies):
                     ).fetchone()[0]
         print(f"  {table}: already present ({n} rows), skipping")
         return
+    if ORDERED:
+        # ORDER BY 1 = the table's scaled primary key (first output
+        # column by construction) — keys are base + copy*1e9, so key
+        # order IS copy-clustered order; works across UNION ALL legs
+        # of the hot path too (positional, not name, reference).
+        select_all_copies = (f"SELECT * FROM ({select_all_copies}) t "
+                             "ORDER BY 1")
     con.execute(
         f"COPY ({select_all_copies}) TO '{dst}/{table}.parquet' "
         "(FORMAT PARQUET)")

@@ -12,8 +12,12 @@ verify spill on the single sandbox disk; the guard serializes exactly
 those collisions and nothing else.
 
 Usage: soak_lanes.py <sfDir> <outDir> <q1,q2,...> [--skip-verify=a,b]
+       [--walls-only]
   --skip-verify: queries whose oracle should run against an existing
   dump without re-running Spark (resume support).
+  --walls-only: verify lane only — measure per-query walls, skip the
+  oracle lane (for a decade-table baseline leg whose correctness is
+  already proven at this SF).
 Results: <out>/walls.json, <out>/oracle_results.json, per-query logs.
 """
 import json, os, shutil, subprocess, sys, threading, time
@@ -23,9 +27,12 @@ GUARD_GB = 32
 sfdir, outdir = os.path.abspath(sys.argv[1]), os.path.abspath(sys.argv[2])
 queries = sys.argv[3].split(",")
 skip_verify = set()
+walls_only = False
 for a in sys.argv[4:]:
     if a.startswith("--skip-verify="):
         skip_verify = set(a.split("=", 1)[1].split(","))
+    elif a == "--walls-only":
+        walls_only = True
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 os.makedirs(outdir, exist_ok=True)
 
@@ -131,7 +138,8 @@ def oracle_lane():
 
 vt = threading.Thread(target=verify_lane)
 vt.start()
-oracle_lane()
+if not walls_only:
+    oracle_lane()
 vt.join()
 npass = sum(1 for v in oracles.values() if v["status"] == "PASS")
 print(f"done: oracles {npass}/{len(queries)} PASS; "
