@@ -117,8 +117,10 @@ def oracle_lane():
                          .get("GRAFT_ORACLE_THREADS", "8")))
             wall = round(time.time() - t0, 1)
             txt = open(log.name).read()
-            status = ("PASS" if rc == 0 and f"PASS {q}" in txt
-                      else "FAIL")
+            # selfcheck prints "PASS <count>: <name> ..." summaries
+            import re
+            ok = re.search(r"PASS \d+:.*\b" + re.escape(q) + r"\b", txt)
+            status = "PASS" if rc == 0 and ok else "FAIL"
             with lock:
                 oracles[q] = {"status": status, "wall": wall, "rc": rc}
                 save(oracle_path, oracles)
@@ -127,8 +129,12 @@ def oracle_lane():
             ran = True
         if not ran:
             if not vt.is_alive():
-                # verify lane done; anything still undumped is stuck
-                missing = [q for q in pending if not dumped(q)]
+                # verify lane done; anything still undumped is stuck —
+                # except skip-verify queries, whose dumps come from an
+                # EXTERNAL producer (a batched one-JVM Verify run):
+                # keep polling for those.
+                missing = [q for q in pending
+                           if not dumped(q) and q not in skip_verify]
                 if missing:
                     print(f"[O] giving up, no dumps for {missing}",
                           flush=True)
