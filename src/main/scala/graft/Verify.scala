@@ -37,8 +37,17 @@ object Verify {
       // failures); the stderr line is single-line and null-safe so a
       // multi-line AnalysisException plan dump can't corrupt the
       // driver's line-oriented failure parsing
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Per-query wall on stderr for scale soaks that batch many
+        // queries in one JVM (the decade tables read these). The tag
+        // differs from the driver's `[verify] ... failed` failure
+        // grammar, so line-oriented failure parsing is unaffected.
+        System.err.println(f"[verify-time] $name ${
+          (System.nanoTime() - t0) / 1e9}%.1f")
+      }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: " +
           s"${e.getClass.getSimpleName}: " +
