@@ -70,19 +70,47 @@ mapfile -t OPENS < <(for p in java.lang java.lang.invoke java.lang.reflect \
 # 100 TB knob: 2-3x smaller than lz4 on wide text shuffles for a few
 # extra CPU-percent — at this scale disk, not CPU, is the binding
 # constraint.
+#
+# EXCEPT on a lazily-faulted sandbox (first-touch memory ~0.1 GB/s —
+# see the verify recipe's probe): there, every fresh JVM pays minutes
+# of heap fault tax and per-query JVMs run ~10x slower end-to-end
+# (measured r11: 556s -> 58s for the same query). SOAK_BATCH_JVM=1
+# runs the not-yet-dumped queries in ONE pinned (-Xms=-Xmx
+# -XX:+AlwaysPreTouch) JVM instead; Verify releases plans + GCs
+# between queries, which keeps the shared JVM's spill dir bounded,
+# and [verify-time] stderr lines carry the per-query walls.
 IFS=',' read -ra QLIST <<< "$QUERIES"
-for Q in "${QLIST[@]}"; do
-  if [[ -d "$OUT/$Q" && -f "$OUT/$Q/_SUCCESS" ]]; then
-    echo "      $Q: already dumped, skipping"; continue
+if [[ "${SOAK_BATCH_JVM:-}" == "1" ]]; then
+  TODO=""
+  for Q in "${QLIST[@]}"; do
+    if [[ -d "$OUT/$Q" && -f "$OUT/$Q/_SUCCESS" ]]; then
+      echo "      $Q: already dumped, skipping"; continue
+    fi
+    TODO="${TODO:+$TODO,}$Q"
+  done
+  if [[ -n "$TODO" ]]; then
+    java "${OPENS[@]}" -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
+      -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC \
+      -Dspark.io.compression.codec=zstd \
+      -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" \
+      "$TODO" \
+      2> >(grep -E '\[verify\].*failed|\[verify-time\]' >&2 || true)
   fi
-  T0=$SECONDS
-  java "${OPENS[@]}" -Xmx"$HEAP" -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC \
-    -Dspark.io.compression.codec=zstd \
-    -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" "$Q" \
-    2> >(grep '\[verify\].*failed' >&2 || true)
-  echo "      $Q: $((SECONDS - T0))s"
-done
+else
+  for Q in "${QLIST[@]}"; do
+    if [[ -d "$OUT/$Q" && -f "$OUT/$Q/_SUCCESS" ]]; then
+      echo "      $Q: already dumped, skipping"; continue
+    fi
+    T0=$SECONDS
+    java "${OPENS[@]}" -Xmx"$HEAP" -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC \
+      -Dspark.io.compression.codec=zstd \
+      -cp "$JAR:/opt/spark/jars/*" graft.Verify "$PWD/$DST" "$OUT" "$Q" \
+      2> >(grep '\[verify\].*failed' >&2 || true)
+    echo "      $Q: $((SECONDS - T0))s"
+  done
+fi
 
 echo "[4/4] selfcheck --tier=scale"
 python3 scripts/selfcheck.py --tier=scale "$PWD/$DST" "$OUT" "$QUERIES"
