@@ -115,6 +115,47 @@ object Bench {
       ))
     }
 
+  /** Corpus timing with one end-of-corpus retry per failed query
+    * (VERDICT r11 #1). `attempt` is one full min-of-runs measurement:
+    * Right(timing) on success, Left(reason) when every run threw. A
+    * query whose first attempt fails gets exactly ONE more attempt
+    * after the whole corpus drains — transient environment (the r11
+    * q_text_readability case: threw 3×, passed solo minutes later on
+    * the identical jar) usually clears by then, and one flake must
+    * not invalidate a ~15-minute artifact. Returns (timings,
+    * stillFailed name→reason, retriedOk names). */
+  private[graft] def timeCorpus[T](
+      names: Seq[String], attempt: String => Either[String, T])
+      : (Map[String, T], Map[String, String], Seq[String]) = {
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val retriedOk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val first = names.flatMap { n =>
+      attempt(n) match {
+        case Right(t) => Some(n -> t)
+        case Left(reason) => failed(n) = reason; None
+      }
+    }
+    val retried = failed.keys.toSeq.flatMap { n =>
+      System.err.println(s"[bench] retrying $n once at corpus end")
+      attempt(n) match {
+        case Right(t) => failed.remove(n); retriedOk += n; Some(n -> t)
+        case Left(reason) => failed(n) = reason; None
+      }
+    }
+    ((first ++ retried).toMap, failed.toMap, retriedOk.toSeq)
+  }
+
+  /** Distinct diverted-leg filename (VERDICT r11 #2): the fixed
+    * `_candidate.json` let any stray Bench invocation clobber a full
+    * candidate (live-observed: a 1-query judge repro replaced the
+    * r11 240-query leg). Timestamp + query count make each diverted
+    * leg un-losable; promotion to the record stays an explicit
+    * copy. */
+  private[graft] def candidatePath(
+      outPath: String, stamp: String, nQueries: Int): String =
+    (if (outPath.endsWith(".json")) outPath.dropRight(5) else outPath) +
+      s"_candidate_${stamp}_n$nQueries.json"
+
   /** Reader for the record-hygiene check. None when the file is
     * missing/corrupt (nothing to defend — write proceeds). */
   private[graft] def readArtifactMeta(path: String): Option[ArtifactMeta] =
@@ -253,7 +294,9 @@ object Bench {
     // reads are unaffected), and shouted to stderr. NonFatal only:
     // an OOM must abort the run, not cascade ~0s timings through
     // the remaining corpus in a corrupted JVM.
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def failureSummary(e: Throwable): String =
+      s"${e.getClass.getSimpleName}: " +
+        Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
     val calPre = calibrationProbe(spark)
     val wallStart = System.nanoTime()
     val cpuStart = processCpuSec()
@@ -263,26 +306,28 @@ object Bench {
     // Each run records (wall, processCpuDelta); the reported pair is
     // the min-wall run's, so cpu/wall stays internally consistent
     // (mixing min-wall with another run's cpu would fake ratios).
-    val results = timed.flatMap { case (name, fn) =>
+    // One attempt = min-of-`runs` wall/cpu; Left(reason) when every
+    // run threw (last exception's one-line summary).
+    def attempt(name: String): Either[String, (Double, Double)] = {
+      var lastErr = "unknown"
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val c0 = processCpuSec()
         try {
-          fn(spark, sfDir).count()
+          timed(name)(spark, sfDir).count()
           Some(((System.nanoTime() - t0) / 1e9,
             if (cpuOk) processCpuSec() - c0 else -1.0))
         } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: " +
-            s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("")
-              .replaceAll("\\s+", " ").take(200))
+          lastErr = failureSummary(e)
+          System.err.println(s"[bench] $name failed: $lastErr")
           None
         }
       }
       graft.CachedPlans.release()
-      if (times.isEmpty) { failed += name; None }
-      else Some(name -> times.minBy(_._1))
-    }.toMap
+      if (times.isEmpty) Left(lastErr) else Right(times.minBy(_._1))
+    }
+    val (results, failed, retriedOk) =
+      timeCorpus(timed.keys.toSeq, attempt)
     val cpuCorpus = if (cpuOk) processCpuSec() - cpuStart else -1.0
     val wallCorpus = (System.nanoTime() - wallStart) / 1e9
     val calPost = calibrationProbe(spark)
@@ -365,9 +410,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `failed` is {name: reason} (was a bare name list through r11):
+    // the reason must live IN the artifact, not on stderr that gets
+    // tail-truncated. bench_diff.py prints the entry verbatim either
+    // way; the driver reads only metric/value/queries.
     val failedJson =
       if (failed.isEmpty) ""
-      else s""","failed":${failed.map(jstr).mkString("[", ",", "]")}"""
+      else s""","failed":${failed.map { case (k, v) =>
+        jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")}"""
+    val retriedJson =
+      if (retriedOk.isEmpty) ""
+      else s""","retried_ok":${retriedOk.map(jstr).mkString("[", ",", "]")}"""
     // Contention self-check (VERDICT r8 #1): calibration probe
     // timings bracket the corpus, and effective-cores = ΔprocessCpu
     // / Δwall over the whole corpus. BASELINE.md states the discount
@@ -378,7 +431,7 @@ object Bench {
     def entries(rs: Seq[(String, Double)], prec: Int): Seq[String] =
       rs.map { case (k, v) => jstr(k) + ":" + fmt(prec, v) }
     def jsonLine(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs$extra$failedJson$contentionJson,"sf":${jstr(sfDir)},"runs":$runs,"n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs$extra$failedJson$retriedJson$contentionJson,"sf":${jstr(sfDir)},"runs":$runs,"n_queries":${results.size}}"""
 
     // full artifact to file first (every query, full precision,
     // plus per-query process-CPU seconds for the min-wall run) —
@@ -405,8 +458,9 @@ object Bench {
     val actualOut =
       if (preserveRecord(readArtifactMeta(outPath), wallByName, sfDir,
           force, runs)) {
-        val cand = (if (outPath.endsWith(".json"))
-          outPath.dropRight(5) else outPath) + "_candidate.json"
+        val stamp = new java.text.SimpleDateFormat("yyyyMMdd'T'HHmmss")
+          .format(new java.util.Date())
+        val cand = candidatePath(outPath, stamp, results.size)
         System.err.println(s"[bench] $outPath holds a clean, " +
           "better (or fuller) record for this SF — this leg goes to " +
           s"$cand; promote explicitly or re-run with " +
@@ -472,8 +526,9 @@ object Bench {
     // only tails stdout still gets the (partial) numbers.
     if (failed.nonEmpty) {
       System.err.println(
-        s"[bench] *** ${failed.size} QUERIES FAILED — totals cover " +
-        s"only ${results.size} queries: ${failed.mkString(", ")} ***")
+        s"[bench] *** ${failed.size} QUERIES FAILED (after one retry " +
+        s"each) — totals cover only ${results.size} queries: " +
+        failed.map { case (k, v) => s"$k [$v]" }.mkString(", ") + " ***")
       sys.exit(2)
     }
   }

@@ -89,6 +89,57 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!Bench.preserveRecord(None, qs(240, 0.45), sf, force = false))
   }
 
+  test("a transient failure is retried once at corpus end and recovers") {
+    // VERDICT r11 #1: q_text_readability threw on the driver's box
+    // and passed solo minutes later on the identical jar — one flake
+    // must not invalidate a ~15-minute artifact.
+    val attempts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    def attempt(n: String): Either[String, Double] = {
+      attempts(n) += 1
+      if (n == "q_flaky" && attempts(n) == 1) Left("IOException: transient")
+      else Right(0.5)
+    }
+    val (results, failed, retriedOk) =
+      Bench.timeCorpus(Seq("q_a", "q_flaky", "q_b"), attempt)
+    assert(results.keySet == Set("q_a", "q_flaky", "q_b"))
+    assert(failed.isEmpty, "recovered query must not stay in failed")
+    assert(retriedOk == Seq("q_flaky"),
+      "the artifact must record that the query needed a retry")
+    assert(attempts("q_flaky") == 2 && attempts("q_a") == 1)
+  }
+
+  test("a persistent failure gets exactly one retry and keeps its reason") {
+    val attempts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    def attempt(n: String): Either[String, Double] = {
+      attempts(n) += 1
+      if (n == "q_broken") Left(s"SparkException: boom ${attempts(n)}")
+      else Right(0.5)
+    }
+    val (results, failed, retriedOk) =
+      Bench.timeCorpus(Seq("q_a", "q_broken"), attempt)
+    assert(results.keySet == Set("q_a"))
+    assert(failed == Map("q_broken" -> "SparkException: boom 2"),
+      "the LAST attempt's reason must be persisted in the artifact")
+    assert(retriedOk.isEmpty)
+    assert(attempts("q_broken") == 2, "exactly one retry, not a loop")
+  }
+
+  test("diverted legs get distinct timestamped candidate filenames") {
+    // VERDICT r11 #2: the fixed _candidate.json name let a 1-query
+    // stray invocation clobber a full 240-query diverted leg.
+    assert(Bench.candidatePath("BENCH_full.json", "20260816T120000", 240)
+      == "BENCH_full_candidate_20260816T120000_n240.json")
+    assert(Bench.candidatePath("BENCH_full.json", "20260816T120001", 1)
+      == "BENCH_full_candidate_20260816T120001_n1.json")
+    assert(Bench.candidatePath("out", "s", 2) == "out_candidate_s_n2.json")
+    // distinct inputs -> distinct files: the 1-query repro can no
+    // longer replace the 240-query leg
+    assert(Bench.candidatePath("BENCH_full.json", "t", 240)
+      != Bench.candidatePath("BENCH_full.json", "t", 1))
+  }
+
   test("readArtifactMeta round-trips calibration, sf, and queries") {
     val f = java.nio.file.Files.createTempFile("bench_rec", ".json")
     try {
