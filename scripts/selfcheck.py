@@ -27,7 +27,7 @@ sf1 soak), the scale tier swaps exactly those four:
 Every other query keeps its exact oracle. The default tier (no flag)
 is byte-identical to the driver's gate.
 """
-import sys, os, json, glob, time, math
+import sys, os, json, glob, time, math, re, decimal
 import duckdb
 import pyarrow.parquet as pq
 
@@ -761,27 +761,126 @@ for name in sorted(os.listdir(outdir)):
     # set per run on identical dumps). Sorting both sides by a
     # canonical row key tests schema + count + multiset equality,
     # which is what the driver's value-hash gate tests.
-    def row_key(row):
-        def k(v):
-            if isinstance(v, float):
-                if v != v:
-                    return "nan"
-                if v == 0.0:
-                    return "-0.0" if math.copysign(1, v) < 0 else "0.0"
-                return repr(v)
-            if isinstance(v, (list, tuple)):
-                return "[" + ",".join(k(x) for x in v) + "]"
-            if isinstance(v, dict):
-                return "{" + ",".join(
-                    f"{kk}:{k(v[kk])}" for kk in sorted(v)) + "}"
-            if v is None:
-                return "\x00"
-            if hasattr(v, "isoformat"):
-                # pandas Timestamp and datetime.datetime repr
-                # differently but compare equal — key on the value
-                return v.isoformat()
+    # Key contract (ADVICE r11, medium): any two cells cells_equal
+    # treats as EQUAL must map to the IDENTICAL key — otherwise the
+    # two sides sort into systematically different orders and
+    # value-equal multisets misalign into a false FAIL. The
+    # cross-type classes the dumps actually produce (the same ones
+    # [type-warn] tolerates): int vs float vs bool (Python == is
+    # cross-type), Decimal vs float, pandas Timestamp (ns) vs
+    # datetime (us).
+    def cell_key(v):
+        if isinstance(v, bool):
+            v = int(v)  # True == 1: key like the int
+        if isinstance(v, float):
+            if v != v:
+                return "nan"
+            if v == 0.0:
+                # +0.0 keys like int 0 (cells_equal's mixed-type
+                # fallthrough 0 == 0.0 is True); -0.0 stays distinct
+                # (the driver hashes bit patterns). cells_equal's own
+                # -0.0-vs-int-0 edge is intransitive and unkeyable —
+                # an int-typed column can't carry a negative zero, so
+                # it cannot occur systematically.
+                return "-0.0" if math.copysign(1, v) < 0 else "0"
+            if v.is_integer():
+                return repr(int(v))  # 1.0 == 1: key like the int
             return repr(v)
-        return tuple(k(c) for c in row)
+        if isinstance(v, int):
+            return repr(v)
+        if isinstance(v, decimal.Decimal):
+            if v != v or not v.is_finite():
+                return "nan" if v != v else repr(float(v))
+            if v == v.to_integral_value():
+                return repr(int(v))  # Decimal('1.50') == 1: int key
+            f = float(v)
+            # exactly double-representable -> key like the float it
+            # equals; otherwise NO float can equal it, so a distinct
+            # "d:" namespace keeps it collision-free against float
+            # shortest-reprs (Decimal('0.1') must NOT key like 0.1 —
+            # they are unequal)
+            return repr(f) if decimal.Decimal(f) == v else \
+                "d:" + format(v, "f").rstrip("0")
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell_key(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ",".join(
+                f"{kk}:{cell_key(v[kk])}" for kk in sorted(v)) + "}"
+        if v is None:
+            return "\x00"
+        if hasattr(v, "isoformat"):
+            # pandas Timestamp (ns) and datetime (us) compare equal
+            # but isoformat() to different precisions — canonicalize
+            # to fixed microseconds (datetime.date has no timespec
+            # arg: plain isoformat is already canonical there)
+            try:
+                return v.isoformat(timespec="microseconds")
+            except TypeError:
+                return v.isoformat()
+        return repr(v)
+
+    def row_key(row):
+        return tuple(cell_key(c) for c in row)
+
+    def order_violation(sql, table):
+        """Spark-side ordering lint (ADVICE r11, low): the multiset
+        compare deliberately ignores row order (DuckDB tie order is
+        nondeterministic under preserve_insertion_order=false), but
+        when the oracle's contract ends in an ORDER BY, the SPARK
+        dump itself must still respect that ordering — without this,
+        a Spark bug returning the right rows in the wrong order
+        passes the local gate. Checks monotonicity of the dump under
+        the parsed trailing ORDER BY. Conservative by design: only
+        bare output-column items with optional ASC/DESC are checked
+        (positions, expressions, NULLS FIRST/LAST, and anything that
+        fails to parse are skipped — the multiset compare remains the
+        gate); adjacent pairs with NULL/NaN in a sort column are
+        skipped (engines default opposite null placement and the
+        driver's hash gate is order-blind)."""
+        m = re.search(r"\border\s+by\s+(.+?)(\s+limit\s+\d+)?\s*;?\s*$",
+                      sql, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        colnames = list(table.column_names)
+        items = []
+        for part in m.group(1).split(","):
+            toks = part.strip().split()
+            if not toks or len(toks) > 2:
+                return None
+            col, desc = toks[0].strip('"'), False
+            if len(toks) == 2:
+                u = toks[1].upper()
+                if u == "DESC":
+                    desc = True
+                elif u != "ASC":
+                    return None
+            if col not in colnames:
+                return None  # position/expression/inner-query: skip
+            items.append((colnames.index(col), desc))
+        rows = list(zip(*[table.column(c).to_pylist() for c in colnames]))
+        prev = None
+        for i, r in enumerate(rows):
+            if prev is not None:
+                for idx, desc in items:
+                    a, b = prev[idx], r[idx]
+                    if a is None or b is None or \
+                       (isinstance(a, float) and a != a) or \
+                       (isinstance(b, float) and b != b):
+                        break  # ambiguous placement: pair unchecked
+                    try:
+                        lt, gt = a < b, a > b
+                    except TypeError:
+                        return None  # unorderable type: skip check
+                    if not lt and not gt:
+                        continue  # tie on this key: next key decides
+                    if gt != desc:
+                        return (f"order contract violated at row {i} "
+                                f"(ORDER BY "
+                                f"{m.group(1).strip()[:80]}): "
+                                f"col {colnames[idx]} {a!r} then {b!r}")
+                    break  # correctly ordered on this key
+            prev = r
+        return None
 
     grows = sorted(zip(*[got.column(c).to_pylist() for c in gcols]),
                    key=row_key)
@@ -799,7 +898,11 @@ for name in sorted(os.listdir(outdir)):
     if bad:
         fails.append((name, bad))
     else:
-        passes.append(name)
+        viol = order_violation(oracle[name], got)
+        if viol:
+            fails.append((name, viol))
+        else:
+            passes.append(name)
 
 # reconcile: an oracle entry with NO result directory means the
 # query threw inside Verify before writing — without this, a crashed
