@@ -37,7 +37,16 @@ def main():
     default_gb = max(0, free_kb // 2**20 - 8)
     gb = int(sys.argv[1]) if len(sys.argv) > 1 else default_gb
     workers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    per = max(1, gb // workers)
+    # Never fault more than requested/available (ADVICE r11): the old
+    # per = max(1, gb // workers) floored at 1 GB PER WORKER, so a
+    # low-memory box (gb < workers, incl. gb == 0 when MemAvailable
+    # < 8 GB) still faulted ~16 GB it didn't have — inviting the OOM
+    # killer from the script meant to warm the box up.
+    if gb <= 0:
+        print("pre-faulted 0 GB (MemAvailable too low — skipping)")
+        return
+    workers = min(workers, gb)
+    per = gb // workers
     t0 = time.time()
     with mp.Pool(workers) as p:
         done = sum(p.map(touch, [per] * workers))

@@ -87,6 +87,17 @@ import os as _os
 ORDERED = bool(_os.environ.get("GRAFT_SYNTH_ORDERED"))
 if ORDERED:
     con.execute("SET temp_directory = '/tmp/duckdb_synth_spill'")
+    # The explicit ORDER BY below forces an external sort under the
+    # memory cap, but with preserve_insertion_order=false a parallel
+    # COPY is still free to WRITE the sorted stream out of order —
+    # the setting exists precisely to let the writer re-emit as
+    # threads finish (ADVICE r11). Restore order preservation on the
+    # ORDERED path so the clustered layout the knob promises is
+    # guaranteed, not version-dependent; the sort (not the writer)
+    # is what bounds memory, so the r11 80GB-RSS failure mode (an
+    # UNSORTED parallel COPY buffering to preserve arrival order)
+    # does not come back.
+    con.execute("SET preserve_insertion_order = true")
 
 def emit(table, select_all_copies):
     out = f"{dst}/{table}.parquet"
