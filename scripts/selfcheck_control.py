@@ -15,12 +15,15 @@ the scale tier FAILS each one:
      different (existing) cluster -> Jaccard witness or min-rep must
      fire;
   4. q_skyline: one p_size decremented -> the linear replacement
-     oracle is a full-value compare, must mismatch.
+     oracle is a full-value compare, must mismatch;
+  5. q_scan_project: row order reversed with values intact -> only
+     the r12 ORDER BY contract lint can catch it (the multiset
+     compare is order-blind by design).
 
 Usage: selfcheck_control.py <sfDir> <goodOutDir>
 where <goodOutDir> is a Verify dump that PASSES the scale tier (the
 control first re-asserts that, so a broken baseline can't fake a
-pass). Exit 0 = all four planted errors caught; 1 otherwise.
+pass). Exit 0 = all five planted errors caught; 1 otherwise.
 """
 import json, os, shutil, subprocess, sys, glob
 
@@ -31,7 +34,8 @@ sfdir, good = sys.argv[1], sys.argv[2]
 work = f"/tmp/selfcheck_control_{os.getpid()}"
 HERE = os.path.dirname(os.path.abspath(__file__))
 QS = ["q_skyline", "q_embed_near_pairs",
-      "q_dedup_clusters_embed", "q_dedup_clusters_lsh"]
+      "q_dedup_clusters_embed", "q_dedup_clusters_lsh",
+      "q_scan_project"]
 
 def run_tier(outdir, names):
     p = subprocess.run(
@@ -53,7 +57,7 @@ def table_edit(q, fn):
     f = glob.glob(d + "/*.parquet")[0]
     pq.write_table(fn(pq.read_table(d)), f)
 
-print("[0/4] baseline: the good dump must PASS the scale tier")
+print("[0/5] baseline: the good dump must PASS the scale tier")
 rc, out = run_tier(good, QS)
 if rc != 0:
     print(out)
@@ -70,7 +74,7 @@ def expect_fail(label, names):
           f"({' | '.join(tail)})")
     ok &= caught
 
-print("[1/4] near_pairs: inflate one cos_sim")
+print("[1/5] near_pairs: inflate one cos_sim")
 fresh_copy()
 def t1(t):
     cs = t.column("cos_sim").to_pylist()
@@ -80,14 +84,14 @@ def t1(t):
 table_edit("q_embed_near_pairs", t1)
 expect_fail("inflated cosine", ["q_embed_near_pairs"])
 
-print("[2/4] clusters_embed: swap in the doc-cluster dump")
+print("[2/5] clusters_embed: swap in the doc-cluster dump")
 fresh_copy()
 shutil.rmtree(os.path.join(work, "q_dedup_clusters_embed"))
 shutil.copytree(os.path.join(good, "q_dedup_clusters_lsh"),
                 os.path.join(work, "q_dedup_clusters_embed"))
 expect_fail("swapped cluster dump", ["q_dedup_clusters_embed"])
 
-print("[3/4] clusters_lsh: repoint one node to a different cluster")
+print("[3/5] clusters_lsh: repoint one node to a different cluster")
 fresh_copy()
 def t3(t):
     ids = t.column("id").to_pylist()
@@ -105,7 +109,7 @@ def t3(t):
 table_edit("q_dedup_clusters_lsh", t3)
 expect_fail("repointed cluster member", ["q_dedup_clusters_lsh"])
 
-print("[4/4] skyline: decrement one p_size")
+print("[4/5] skyline: decrement one p_size")
 fresh_copy()
 def t4(t):
     ps = t.column("p_size").to_pylist()
@@ -115,8 +119,20 @@ def t4(t):
 table_edit("q_skyline", t4)
 expect_fail("tampered skyline row", ["q_skyline"])
 
+print("[5/5] scan_project: reverse the dump's row order (values intact)")
+# Falsifiability for the r12 ORDER BY contract lint: the multiset
+# compare is order-blind by design, so a dump with IDENTICAL values
+# in reversed order can only be caught by the lint. q_scan_project's
+# oracle ends in a bare 3-column ORDER BY (a total order), so the
+# reversal is unambiguous — no tie could excuse it.
+fresh_copy()
+def t5(t):
+    return t.slice(0).take(list(range(t.num_rows - 1, -1, -1)))
+table_edit("q_scan_project", t5)
+expect_fail("reversed row order", ["q_scan_project"])
+
 shutil.rmtree(work, ignore_errors=True)
-print("CONTROL " + ("PASSED: all four planted errors caught"
+print("CONTROL " + ("PASSED: all five planted errors caught"
                     if ok else "FAILED: at least one planted error "
                     "slipped through the scale tier"))
 sys.exit(0 if ok else 1)
