@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional 3rd arg: comma-separated name filter (local iteration;
-    // the driver always runs the full set)
-    val only: Option[Set[String]] = rest.headOption.map(_.split(',').toSet)
+    // the driver always runs the full set). Since r12 the filter's
+    // ORDER is honored: SparkEntry.queries is a hash map, and a
+    // batched scale leg that wants its solo re-measures first (before
+    // the JVM has run anything heavier than the pre-touch) was
+    // getting hash order instead.
+    val only: Option[Seq[String]] = rest.headOption.map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,8 +34,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Written BEFORE the query loop (r12): it depends only on
+    // SparkEntry.oracleSql, and a pipelined oracle lane polling this
+    // outDir for _SUCCESS dumps needs the SQL long before a batched
+    // scale leg finishes its last query.
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    only.fold(SparkEntry.queries.toSeq)(names =>
+        names.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
       .foreach { case (name, fn) =>
       // NonFatal only (an OOM must abort, not cascade per-query
       // failures); the stderr line is single-line and null-safe so a
@@ -64,21 +87,6 @@ object Verify {
       graft.CachedPlans.release()
       System.gc()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.CachedPlans.release()
     spark.stop()
   }
