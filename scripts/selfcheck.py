@@ -49,7 +49,14 @@ con = duckdb.connect()
 # OOM-killed live while sharing the box with the 48g verify JVM. A
 # fixed cap makes heavy oracles spill to disk instead of dying; row
 # order carries no meaning in any oracle (the compare canonicalizes).
-con.execute("SET memory_limit = '32GB'")
+con.execute(f"SET memory_limit = "
+            f"'{os.environ.get('GRAFT_ORACLE_MEM', '32GB')}'")
+# GRAFT_ORACLE_MEM (r12): on a one-disk box with RAM to spare, a
+# heavy EXACT oracle that would spill past the disk headroom (the
+# sf100 cooccur oracle crossed 50 GB of temp twice, live) should be
+# given a bigger in-memory cap instead — RAM is reclaimable the
+# moment the process exits, ENOSPC takes casualties. Keep the 32 GB
+# default for pipelined runs; raise it only for solo heavy oracles.
 con.execute("SET preserve_insertion_order = false")
 con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
 # Optional core cap for pipelined soaks: when an oracle runs
