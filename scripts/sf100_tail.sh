@@ -14,7 +14,11 @@ cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/soak_sf100}"
 SF10="target/sfsynth/sf10"
 OUT10="/tmp/soak_sf10_r12"
-WALLS_Q="q_graph_degree_dist,q_demand_variability,q_text_tfidf,q_cooccur_rules"
+# all 10 campaign queries, not just the 4 contended rows: the sf100
+# walls this session are all solo, so a full same-session sf10 leg
+# yields a 10-row solo/same-regime decade table (~25 min at this
+# box's pace — r11's sf10 total for these was 632 s on a faster box)
+WALLS_Q="q_graph_degree_dist,q_demand_variability,q_text_tfidf,q_cooccur_rules,q_pareto_abc,q_dedup_clusters,q_dedup_containment,q_recsys_item_cosine,q_rolling_distinct_users,q_dedup_jaccard_pruned"
 # cheapest-first guess; each entry is resumable via the ledger
 ORACLES="q_pareto_abc q_dedup_clusters q_dedup_containment q_recsys_item_cosine q_rolling_distinct_users q_cooccur_rules q_dedup_jaccard_pruned"
 
