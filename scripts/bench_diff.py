@@ -42,9 +42,13 @@ Exit codes: 0 = clean pass; 1 = clean pair regressed >2x on the
 common-subset total (the driver's gate threshold) or a solo-healed
 query regressed >2x; 3 = inconclusive (contended/unknown pair,
 deltas suppressed — re-measure idle); 4 = either artifact carries a
-non-empty "failed" list (crashed queries silently drop out of the
-common subset, so no comparison over it may read as a clean pass —
-fix the crashes first; mirrors Bench's own exit 2).
+non-empty "failed" entry — since r12 an OBJECT {name: reason}, not a
+list of names (crashed queries silently drop out of the common
+subset, so no comparison over it may read as a clean pass — fix the
+crashes first; mirrors Bench's own exit 2). Also since r12: a query
+that failed once and was retried OK at end-of-corpus carries a
+"retried_ok" marker and its recorded wall is an end-of-corpus
+measurement in a fully-warmed JVM, which can flatter that row.
 """
 import sys, json
 

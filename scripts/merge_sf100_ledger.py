@@ -35,6 +35,13 @@ for q in top32:
         out[q] = dict(fresh[q], source="r12")
     elif q in prior and prior[q].get("status") == "PASS":
         out[q] = dict(prior[q], source="r11")
+    elif q in prior:
+        # A recorded prior FAIL must NEVER be upgraded by the
+        # session-2 name list (ADVICE r12, medium): carry it as
+        # STALE-FAIL so the scoreboard shows the unresolved row
+        # loudly until a fresh measurement lands.
+        out[q] = dict(prior[q], status="STALE-FAIL", source="r11",
+                      note="prior non-PASS not re-measured this round")
     elif q in SESSION2_GREEN:
         out[q] = {"status": "PASS", "source": "r11-session2",
                   "note": "ledger predates oracle_results.json; see "

@@ -27,7 +27,7 @@ sf1 soak), the scale tier swaps exactly those four:
 Every other query keeps its exact oracle. The default tier (no flag)
 is byte-identical to the driver's gate.
 """
-import sys, os, json, glob, time, math, re, decimal
+import sys, os, json, glob, time, math, re, decimal, threading
 import duckdb
 import pyarrow.parquet as pq
 
@@ -58,7 +58,87 @@ con.execute(f"SET memory_limit = "
 # moment the process exits, ENOSPC takes casualties. Keep the 32 GB
 # default for pipelined runs; raise it only for solo heavy oracles.
 con.execute("SET preserve_insertion_order = false")
-con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+_spill_dir = os.environ.get("GRAFT_ORACLE_SPILL_DIR",
+                            "/tmp/duckdb_oracle_spill")
+con.execute(f"SET temp_directory = '{_spill_dir}'")
+
+
+# ---- scale-tier disk guard (VERDICT r12 #2) ------------------------
+# Both r12 oracle casualties died on DuckDB spill ENOSPC because the
+# serial campaign tail doesn't route through soak_lanes' SIGSTOP
+# guard. Three layers, all scale-tier-only (the default tier stays
+# byte-identical to the driver's gate):
+#   1. pre-flight: if free disk < GRAFT_ORACLE_MIN_DISK_GB (30), fail
+#      fast with a clear reason BEFORE touching any oracle;
+#   2. hard cap: SET max_temp_directory_size = free - margin, so
+#      DuckDB self-limits its spill and raises a clean per-query
+#      error instead of exhausting the filesystem for every other
+#      process on the box;
+#   3. watchdog: a thread samples statvfs during each exact-oracle
+#      evaluation and con.interrupt()s the query if free space drops
+#      below margin/2 (another writer eating the headroom the cap
+#      can't see) — the query FAILs with "disk guard" in the reason,
+#      the box survives.
+def _free_gb(path):
+    st = os.statvfs(path if os.path.exists(path) else
+                    os.path.dirname(path) or "/")
+    return st.f_bavail * st.f_frsize / 2**30
+
+
+_disk_guard_hit = [None]
+if tier == "scale":
+    _min_disk = float(os.environ.get("GRAFT_ORACLE_MIN_DISK_GB", "30"))
+    _margin = float(os.environ.get("GRAFT_ORACLE_DISK_MARGIN_GB", "16"))
+    _free0 = _free_gb(_spill_dir)
+    if _free0 < _min_disk:
+        sys.exit(f"FAIL: disk guard pre-flight: only {_free0:.1f} GB "
+                 f"free on {_spill_dir}'s filesystem < "
+                 f"{_min_disk:.0f} GB floor — free disk or lower "
+                 f"GRAFT_ORACLE_MIN_DISK_GB before running a "
+                 f"scale-tier oracle leg")
+    _spill_cap = max(4.0, _free0 - _margin)
+    con.execute(f"SET max_temp_directory_size = '{_spill_cap:.0f}GiB'")
+    print(f"  [disk-guard] free {_free0:.1f} GB, spill capped at "
+          f"{_spill_cap:.0f} GiB, watchdog floor "
+          f"{max(_margin / 2, 8.0):.0f} GB")
+
+
+class _DiskWatchdog:
+    """Scale-tier only: interrupt the in-flight oracle if free disk
+    falls below the hard floor while it runs (covers writers other
+    than DuckDB's own capped spill). No-op in the default tier."""
+    def __init__(self, name):
+        self.name, self._stop = name, threading.Event()
+        self.floor = max(
+            float(os.environ.get("GRAFT_ORACLE_DISK_MARGIN_GB", "16"))
+            / 2, 8.0)
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(10.0):
+            free = _free_gb(_spill_dir)
+            if free < self.floor:
+                _disk_guard_hit[0] = (
+                    f"disk guard: {free:.1f} GB free < "
+                    f"{self.floor:.0f} GB floor mid-oracle — "
+                    f"interrupted before ENOSPC")
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+                return
+
+    def __enter__(self):
+        if tier == "scale":
+            _disk_guard_hit[0] = None
+            self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        if tier == "scale":
+            self._t.join(timeout=1.0)
+        return False
 # Optional core cap for pipelined soaks: when an oracle runs
 # concurrently with a Spark verify leg whose wall is being measured
 # (the sf100 decade table), an uncapped DuckDB grabs every core and
@@ -719,7 +799,8 @@ for name in sorted(os.listdir(outdir)):
         continue
     try:
         t0 = time.time()
-        exp = con.sql(oracle[name]).arrow()
+        with _DiskWatchdog(name):
+            exp = con.sql(oracle[name]).arrow()
         dt = time.time() - t0
         # surface latent oracle blowups (exponential CTE re-eval /
         # spill) even when the values still match — the k_core class
@@ -727,7 +808,10 @@ for name in sorted(os.listdir(outdir)):
             print(f"  [slow-oracle] {name}: {dt:.1f}s — check CTE "
                   f"MATERIALIZED / decimal widths (DESIGN.md round-8)")
     except Exception as e:
-        fails.append((name, f"oracle SQL error: {e}"))
+        if _disk_guard_hit[0]:
+            fails.append((name, f"{_disk_guard_hit[0]} ({e})"))
+        else:
+            fails.append((name, f"oracle SQL error: {e}"))
         continue
     gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
     if gcols != ecols:
@@ -864,6 +948,13 @@ for name in sorted(os.listdir(outdir)):
             if col not in colnames:
                 return None  # position/expression/inner-query: skip
             items.append((colnames.index(col), desc))
+        # NOTE (ADVICE r12): global row order here relies on pyarrow
+        # reading the dump's part files in lexicographic filename
+        # order (part-00000 < part-00001 ...), which matches Spark's
+        # writer numbering for a sorted single-stage write. Every
+        # ordered dump in this corpus is coalesce(1) (one part file),
+        # so the assumption is currently vacuous; if a multi-file
+        # ordered dump ever appears, revisit.
         rows = list(zip(*[table.column(c).to_pylist() for c in colnames]))
         prev = None
         for i, r in enumerate(rows):
@@ -874,6 +965,14 @@ for name in sorted(os.listdir(outdir)):
                        (isinstance(a, float) and a != a) or \
                        (isinstance(b, float) and b != b):
                         break  # ambiguous placement: pair unchecked
+                    if isinstance(a, str) and isinstance(b, str):
+                        # compare as UTF-8 bytes: Spark (UTF8String)
+                        # and DuckDB both sort strings by UTF-8 byte
+                        # order; Python str compares code points.
+                        # Identical for valid Unicode, but the byte
+                        # key makes the engine contract explicit
+                        # (ADVICE r12, low)
+                        a, b = a.encode("utf-8"), b.encode("utf-8")
                     try:
                         lt, gt = a < b, a > b
                     except TypeError:

@@ -81,27 +81,42 @@ def run_guarded(cmd, log, **kw):
     (which keeps disk priority) can drain; SIGCONT above RESUME_GB —
     or as soon as the verify lane is done, since then the paused
     child is the only writer left and waiting can't free anything.
-    Returns (rc, paused_seconds)."""
-    p = subprocess.Popen(cmd, stdout=log, stderr=log, **kw)
+    Returns (rc, paused_seconds).
+
+    Signals go to the child's PROCESS GROUP (start_new_session +
+    killpg, ADVICE r12): if selfcheck ever forks workers, a
+    pid-targeted SIGSTOP would pause only the parent while children
+    keep writing spill. The try/finally guarantees no child is left
+    SIGSTOPped holding its spill if this driver itself dies or is
+    interrupted while the child is paused."""
+    p = subprocess.Popen(cmd, stdout=log, stderr=log,
+                         start_new_session=True, **kw)
     paused, stopped, t_stop = 0.0, False, 0.0
-    while True:
-        try:
-            rc = p.wait(timeout=10)
-            break
-        except subprocess.TimeoutExpired:
-            pass
-        f = free_gb()
-        if not stopped and f < LOW_GB and vt.is_alive():
-            os.kill(p.pid, signal.SIGSTOP)
-            stopped, t_stop = True, time.time()
-            print(f"[guard] paused oracle pid {p.pid} "
-                  f"(free {f:.0f}GB < {LOW_GB}GB)", flush=True)
-        elif stopped and (f >= RESUME_GB or not vt.is_alive()):
-            os.kill(p.pid, signal.SIGCONT)
-            stopped = False
-            paused += time.time() - t_stop
-            print(f"[guard] resumed oracle pid {p.pid} "
-                  f"(free {f:.0f}GB)", flush=True)
+    try:
+        while True:
+            try:
+                rc = p.wait(timeout=10)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            f = free_gb()
+            if not stopped and f < LOW_GB and vt.is_alive():
+                os.killpg(p.pid, signal.SIGSTOP)
+                stopped, t_stop = True, time.time()
+                print(f"[guard] paused oracle pgid {p.pid} "
+                      f"(free {f:.0f}GB < {LOW_GB}GB)", flush=True)
+            elif stopped and (f >= RESUME_GB or not vt.is_alive()):
+                os.killpg(p.pid, signal.SIGCONT)
+                stopped = False
+                paused += time.time() - t_stop
+                print(f"[guard] resumed oracle pgid {p.pid} "
+                      f"(free {f:.0f}GB)", flush=True)
+    finally:
+        if stopped:
+            try:
+                os.killpg(p.pid, signal.SIGCONT)
+            except ProcessLookupError:
+                pass
     return rc, paused
 
 
