@@ -24,6 +24,11 @@ sf1 soak), the scale tier swaps exactly those four:
   - q_embed_near_pairs / q_dedup_clusters_{embed,lsh} -> rows +
     structural invariants + sampled witness checks (cosine/Jaccard
     recomputed for sampled output rows only, O(sample) not O(n^2)).
+Round 11 added the five slow wedge/pair enumerations (graph family +
+semdedup assign) as premise-verified copy-symmetry replacements;
+round 13 added q_rolling_distinct_users the same way (the exact
+24-anchor expansion is ~2.4B tuples at sf100 — structurally
+infeasible on this box; see _inv_rolling_distinct_users).
 Every other query keeps its exact oracle. The default tier (no flag)
 is byte-identical to the driver's gate.
 """
@@ -464,8 +469,12 @@ def _inv_graph_degree_dist(con, got):
     base = con.execute("""
       SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
         count(*) AS n, min(deg) AS mn, max(deg) AS mx
-      FROM sc_deg GROUP BY 1 ORDER BY bucket""").fetchall()
-    expected = [(b, n * copies, mn, mx) for b, n, mn, mx in base]
+      FROM sc_deg GROUP BY 1""").fetchall()
+    # Python-side sort: under preserve_insertion_order=false this
+    # connection's fetchall() does not reliably honor a trailing
+    # ORDER BY (observed live on the rolling checker — three
+    # different orders for the same query and data)
+    expected = sorted((b, n * copies, mn, mx) for b, n, mn, mx in base)
     return _cmp_rows("q_graph_degree_dist", got,
                      ["bucket", "n_nodes", "min_deg", "max_deg"], expected)
 
@@ -643,8 +652,11 @@ _SEMDEDUP_ASSIGN = """
 
 def _inv_semdedup_prune(con, got):
     errs = []
-    # full-value check of the linear part: (vec_id, cluster)
-    expected = con.execute(_SEMDEDUP_ASSIGN).fetchall()
+    # full-value check of the linear part: (vec_id, cluster).
+    # Python-side sort by id: the SQL's trailing ORDER BY is not
+    # reliably honored under preserve_insertion_order=false (see
+    # _inv_graph_degree_dist)
+    expected = sorted(con.execute(_SEMDEDUP_ASSIGN).fetchall())
     errs += _cmp_rows("q_semdedup_prune(assign)", got,
                       ["vec_id", "cluster"], expected)
     if errs:
@@ -736,9 +748,69 @@ def _inv_dedup_ngram_jaccard(con, got):
                      expanded)
 
 
+# q_rolling_distinct_users: the exact oracle expands every distinct
+# (event_type, hour, user) row to 24 anchor hours and count-distincts
+# the result — ~2.4B tuples at sf100, structurally infeasible under
+# any memory/spill cap this box has (two live casualties: r11 rc=1 at
+# 366 s, r12 never attempted after the ENOSPC deaths). On
+# scale_testdata synthesis, copies keep (event_type, ts) IDENTICAL
+# and give every copy a disjoint user block (user_id + c*OFF), so the
+# corpus rolling-24h distinct-user count at every (event_type,
+# anchor) is EXACTLY copies x the copy-0 count, over the identical
+# anchor set. Full-value check: verify the premise by per-copy
+# fingerprint (like _graph_base), run the oracle's own shape on copy
+# 0 only (sf0.1-sized), scale the count column.
+def _inv_rolling_distinct_users(con, got):
+    fps = con.execute(f"""
+      SELECT c, count(*) AS n, sum(h) AS fp FROM (
+        SELECT DISTINCT user_id // {OFF} AS c,
+          hash(event_type || '|' ||
+               CAST(epoch_us(date_trunc('hour', ts)) AS VARCHAR) ||
+               '|' || CAST(user_id % {OFF} AS VARCHAR)) AS h
+        FROM events) GROUP BY c ORDER BY c""").fetchall()
+    copies = len(fps)
+    if len({(n, fp) for _, n, fp in fps}) != 1:
+        return [
+            f"copy-symmetry premise failed: {copies} key-offset copies "
+            "with differing (event_type, hour, offset-stripped user) "
+            "fingerprints — the scale-tier rolling replacement is only "
+            "valid on scale_testdata.py synthesis; run the exact tier "
+            "instead"]
+    base = con.execute(f"""
+      WITH hu AS MATERIALIZED (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+          user_id
+        FROM events WHERE user_id < {OFF}),
+      observed AS MATERIALIZED (
+        SELECT DISTINCT event_type, h FROM hu),
+      expanded AS (
+        SELECT event_type, user_id,
+          unnest(generate_series(h, h + INTERVAL 23 HOUR,
+            INTERVAL 1 HOUR)) AS anchor
+        FROM hu),
+      filtered AS (
+        SELECT e.event_type, e.user_id, e.anchor FROM expanded e
+        WHERE EXISTS (SELECT 1 FROM observed o
+          WHERE o.event_type = e.event_type AND o.h = e.anchor))
+      SELECT event_type, epoch_us(anchor) AS h_us,
+        count(DISTINCT user_id) AS n
+      FROM filtered GROUP BY 1, 2""").fetchall()
+    # sort in Python, NOT in SQL: under preserve_insertion_order =
+    # false this connection's fetchall() does not reliably honor a
+    # trailing ORDER BY (observed live: same query, same data, three
+    # different orders). (event_type, h_us) is unique post-GROUP BY
+    # and event_type is ASCII, so Python tuple sort == the dump's
+    # Spark ORDER BY.
+    expected = sorted((et, h, n * copies) for et, h, n in base)
+    return _cmp_rows("q_rolling_distinct_users", got,
+                     ["event_type", "h_us", "rolling_24h_users"],
+                     expected)
+
+
 SCALE_INVARIANTS = {
     "q_embed_near_pairs": _inv_near_pairs,
     "q_dedup_ngram_jaccard": _inv_dedup_ngram_jaccard,
+    "q_rolling_distinct_users": _inv_rolling_distinct_users,
     "q_dedup_clusters_embed": _inv_clusters_embed,
     "q_dedup_clusters_lsh": _inv_clusters_lsh,
     "q_graph_degree_dist": _inv_graph_degree_dist,

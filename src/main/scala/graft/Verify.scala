@@ -11,8 +11,11 @@ object Verify {
     // ORDER is honored: SparkEntry.queries is a hash map, and a
     // batched scale leg that wants its solo re-measures first (before
     // the JVM has run anything heavier than the pre-touch) was
-    // getting hash order instead.
-    val only: Option[Seq[String]] = rest.headOption.map(_.split(',').toSeq)
+    // getting hash order instead. Deduped order-preservingly (ADVICE
+    // r12): a name pasted twice would run the query twice into the
+    // same output directory mid-leg.
+    val only: Option[Seq[String]] =
+      rest.headOption.map(_.split(',').toSeq.distinct)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1773,7 +1773,7 @@ object AnalyticsQueries {
          FROM w ORDER BY p_brand""",
 
     "q_pareto_abc" ->
-      """WITH rev AS (
+      """WITH rev AS MATERIALIZED (
            SELECT l_partkey,
              CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev

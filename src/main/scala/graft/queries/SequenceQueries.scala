@@ -434,13 +434,13 @@ object SequenceQueries {
          ORDER BY r_score, f_score, m_score""",
 
     "q_cooccur_rules" ->
-      """WITH baskets AS (
+      """WITH baskets AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
            FROM lineitem),
-         itemn AS (
+         itemn AS MATERIALIZED (
            SELECT item, count(*) AS n_item FROM baskets
            GROUP BY item HAVING count(*) >= 3),
-         freq AS (
+         freq AS MATERIALIZED (
            SELECT b.basket, b.item FROM baskets b
            WHERE b.item IN (SELECT item FROM itemn)),
          pairs AS (
@@ -462,16 +462,16 @@ object SequenceQueries {
          ORDER BY p.n_ab DESC, p.item_a, p.item_b""",
 
     "q_recsys_item_cosine" ->
-      """WITH baskets AS (
+      """WITH baskets AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
            FROM lineitem),
          itemn AS (
            SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
-         b2 AS (
+         b2 AS MATERIALIZED (
            SELECT basket, b.item, n_item
            FROM baskets b JOIN itemn USING (item)
            WHERE n_item >= 3),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.item AS item_a, b.item AS item_b,
              a.n_item AS n_a, b.n_item AS n_b, count(*) AS n_ab
            FROM b2 a JOIN b2 b ON a.basket = b.basket

@@ -1368,7 +1368,7 @@ object TextQueries {
          hot AS (
            SELECT sh FROM sh0 GROUP BY sh
            HAVING count(*) > (SELECT m FROM maxdf)),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
          cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          pairs AS (
@@ -1387,7 +1387,7 @@ object TextQueries {
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id,
                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1867,7 +1867,7 @@ object TextQueries {
          hot AS (
            SELECT sh FROM sh0 GROUP BY sh
            HAVING count(*) > (SELECT m FROM maxdf)),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
          cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh
                  GROUP BY doc_id),
