@@ -717,7 +717,15 @@ def _inv_semdedup_prune(con, got):
 # counts/jaccards are copy-invariant because the per-token salt is a
 # bijection on each copy's shingle space. Validated against the exact
 # oracle at copies=1 and copies=10 and tamper-negative-controlled.
-def _inv_dedup_ngram_jaccard(con, got):
+def _doc_copy_premise(con):
+    """Shared documents-table copy-symmetry premise: every key-offset
+    copy must carry the identical tag-stripped (doc_id, text)
+    multiset. Returns (copies, errs); errs non-empty => premise
+    failed and the caller must FAIL. If the text were ever unsalted,
+    the premise would still pass (identical raw text) but the
+    expansion would then MISS the cross-copy pairs a correct Spark
+    dump contains, so the row-count compare fails — the blind spot
+    can only false-FAIL, never false-PASS."""
     fps = con.execute(f"""
       SELECT c, count(*) AS n, sum(h) AS fp FROM (
         SELECT doc_id // {OFF} AS c,
@@ -728,11 +736,18 @@ def _inv_dedup_ngram_jaccard(con, got):
         FROM documents) GROUP BY c ORDER BY c""").fetchall()
     copies = len(fps)
     if len({(n, fp) for _, n, fp in fps}) != 1:
-        return [
+        return copies, [
             f"copy-symmetry premise failed: {copies} key-offset copies "
             "with differing tag-stripped (doc_id, text) fingerprints — "
             "the scale-tier document replacement is only valid on "
             "scale_testdata.py synthesis; run the exact tier instead"]
+    return copies, []
+
+
+def _inv_dedup_ngram_jaccard(con, got):
+    copies, errs = _doc_copy_premise(con)
+    if errs:
+        return errs
     sql = oracle["q_dedup_ngram_jaccard"]
     assert sql.count("FROM documents") == 1, "oracle shape changed"
     base = con.execute(sql.replace(
@@ -746,6 +761,31 @@ def _inv_dedup_ngram_jaccard(con, got):
     return _cmp_rows("q_dedup_ngram_jaccard", got,
                      ["id_a", "id_b", "common", "n_a", "n_b", "jaccard"],
                      expanded)
+
+
+# q_dedup_clusters: the exact oracle (shingle self-join + recursive
+# connected components) needs >100 GB memory + >45 GiB spill at sf100
+# — the r13 disk guard stopped it CLEAN at the spill cap (r12: two
+# ENOSPC casualties on the same leg). Clusters are copy-local on
+# salted synthesis (shingles are token-prefixed per copy, so no
+# cross-copy edge can exist), hence the corpus assignment is the
+# copy-0 assignment shifted by +c*OFF on BOTH id and cluster_id
+# (min-member representative shifts with its members). Same premise
+# and base-evaluation mechanism as _inv_dedup_ngram_jaccard.
+def _inv_dedup_clusters(con, got):
+    copies, errs = _doc_copy_premise(con)
+    if errs:
+        return errs
+    sql = oracle["q_dedup_clusters"]
+    assert sql.count("FROM documents") == 1, "oracle shape changed"
+    base = con.execute(sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id < {OFF})")
+    ).fetchall()
+    expected = sorted((i + c * OFF, cl + c * OFF)
+                      for i, cl in base for c in range(copies))
+    return _cmp_rows("q_dedup_clusters", got,
+                     ["id", "cluster_id"], expected)
 
 
 # q_rolling_distinct_users: the exact oracle expands every distinct
@@ -810,6 +850,7 @@ def _inv_rolling_distinct_users(con, got):
 SCALE_INVARIANTS = {
     "q_embed_near_pairs": _inv_near_pairs,
     "q_dedup_ngram_jaccard": _inv_dedup_ngram_jaccard,
+    "q_dedup_clusters": _inv_dedup_clusters,
     "q_rolling_distinct_users": _inv_rolling_distinct_users,
     "q_dedup_clusters_embed": _inv_clusters_embed,
     "q_dedup_clusters_lsh": _inv_clusters_lsh,
