@@ -788,6 +788,45 @@ def _inv_dedup_clusters(con, got):
                      ["id", "cluster_id"], expected)
 
 
+# q_recsys_item_cosine: the exact oracle's basket self-join needs
+# >100 GB memory + >45 GiB spill at sf100 (disk guard stopped it
+# clean at the cap). Baskets are DISTINCT (l_orderkey, l_partkey)
+# pairs and both keys are offset per copy, so the co-occurrence
+# graph decomposes per copy exactly like the co-supply graph; cosine
+# = n_ab / sqrt(n_a * n_b) and the per-item rank use only copy-local
+# counts (no corpus-total term), so the corpus output is the copy-0
+# output shifted by +c*OFF on item and neighbor. Premise verified by
+# a full (orderkey, partkey) pair fingerprint per copy, in the style
+# of _graph_base.
+def _inv_recsys_item_cosine(con, got):
+    fps = con.execute(f"""
+      SELECT c, count(*) AS n, sum(h) AS fp FROM (
+        SELECT DISTINCT l_orderkey // {OFF} AS c,
+               hash((l_orderkey % {OFF}) * 1048576
+                    + (l_partkey % {OFF})) AS h
+        FROM lineitem) GROUP BY c ORDER BY c""").fetchall()
+    copies = len(fps)
+    if len({(n, fp) for _, n, fp in fps}) != 1:
+        return [
+            f"copy-symmetry premise failed: {copies} key-offset copies "
+            "with differing (orderkey, partkey) pair fingerprints — "
+            "the scale-tier recsys replacement is only valid on "
+            "scale_testdata.py synthesis; run the exact tier instead"]
+    sql = oracle["q_recsys_item_cosine"]
+    assert sql.count("FROM lineitem") == 1, "oracle shape changed"
+    base = con.execute(sql.replace(
+        "FROM lineitem",
+        f"FROM (SELECT * FROM lineitem WHERE l_orderkey < {OFF})")
+    ).fetchall()
+    expected = sorted(
+        ((i + c * OFF, nb + c * OFF, nab, cos, rk)
+         for i, nb, nab, cos, rk in base for c in range(copies)),
+        key=lambda r: (r[0], r[4]))
+    return _cmp_rows("q_recsys_item_cosine", got,
+                     ["item", "neighbor", "n_ab", "cosine", "rank"],
+                     expected)
+
+
 # q_rolling_distinct_users: the exact oracle expands every distinct
 # (event_type, hour, user) row to 24 anchor hours and count-distincts
 # the result — ~2.4B tuples at sf100, structurally infeasible under
@@ -851,6 +890,7 @@ SCALE_INVARIANTS = {
     "q_embed_near_pairs": _inv_near_pairs,
     "q_dedup_ngram_jaccard": _inv_dedup_ngram_jaccard,
     "q_dedup_clusters": _inv_dedup_clusters,
+    "q_recsys_item_cosine": _inv_recsys_item_cosine,
     "q_rolling_distinct_users": _inv_rolling_distinct_users,
     "q_dedup_clusters_embed": _inv_clusters_embed,
     "q_dedup_clusters_lsh": _inv_clusters_lsh,
