@@ -798,7 +798,10 @@ def _inv_dedup_clusters(con, got):
 # output shifted by +c*OFF on item and neighbor. Premise verified by
 # a full (orderkey, partkey) pair fingerprint per copy, in the style
 # of _graph_base.
-def _inv_recsys_item_cosine(con, got):
+def _basket_copy_premise(con):
+    """Shared basket-graph premise: every key-offset copy must carry
+    the identical offset-stripped DISTINCT (l_orderkey, l_partkey)
+    pair multiset. Returns (copies, errs)."""
     fps = con.execute(f"""
       SELECT c, count(*) AS n, sum(h) AS fp FROM (
         SELECT DISTINCT l_orderkey // {OFF} AS c,
@@ -807,11 +810,18 @@ def _inv_recsys_item_cosine(con, got):
         FROM lineitem) GROUP BY c ORDER BY c""").fetchall()
     copies = len(fps)
     if len({(n, fp) for _, n, fp in fps}) != 1:
-        return [
+        return copies, [
             f"copy-symmetry premise failed: {copies} key-offset copies "
             "with differing (orderkey, partkey) pair fingerprints — "
-            "the scale-tier recsys replacement is only valid on "
+            "the scale-tier basket replacement is only valid on "
             "scale_testdata.py synthesis; run the exact tier instead"]
+    return copies, []
+
+
+def _inv_recsys_item_cosine(con, got):
+    copies, errs = _basket_copy_premise(con)
+    if errs:
+        return errs
     sql = oracle["q_recsys_item_cosine"]
     assert sql.count("FROM lineitem") == 1, "oracle shape changed"
     base = con.execute(sql.replace(
@@ -824,6 +834,36 @@ def _inv_recsys_item_cosine(con, got):
         key=lambda r: (r[0], r[4]))
     return _cmp_rows("q_recsys_item_cosine", got,
                      ["item", "neighbor", "n_ab", "cosine", "rank"],
+                     expected)
+
+
+# q_cooccur_rules: same disk-guard-stopped basket self-join class.
+# n_ab / n_a / n_b are copy-local, but support and lift divide by the
+# CORPUS basket count — so the copy-0 evaluation overrides the `t`
+# CTE to multiply its basket count by `copies`, making DuckDB itself
+# compute support/conf/lift against the exact corpus total with its
+# own rounding. Output expands +c*OFF on both item ids.
+def _inv_cooccur_rules(con, got):
+    copies, errs = _basket_copy_premise(con)
+    if errs:
+        return errs
+    sql = oracle["q_cooccur_rules"]
+    t_cte = "t AS (SELECT count(DISTINCT basket) AS n_baskets FROM baskets)"
+    assert sql.count("FROM lineitem") == 1 and sql.count(t_cte) == 1, \
+        "oracle shape changed"
+    base = con.execute(sql.replace(
+        "FROM lineitem",
+        f"FROM (SELECT * FROM lineitem WHERE l_orderkey < {OFF})"
+    ).replace(t_cte,
+        "t AS (SELECT count(DISTINCT basket) * "
+        f"{copies} AS n_baskets FROM baskets)")).fetchall()
+    expected = sorted(
+        ((a + c * OFF, b + c * OFF, *rest)
+         for a, b, *rest in base for c in range(copies)),
+        key=lambda r: (-r[2], r[0], r[1]))
+    return _cmp_rows("q_cooccur_rules", got,
+                     ["item_a", "item_b", "n_ab", "n_a", "n_b",
+                      "support", "conf_a_to_b", "conf_b_to_a", "lift"],
                      expected)
 
 
@@ -891,6 +931,7 @@ SCALE_INVARIANTS = {
     "q_dedup_ngram_jaccard": _inv_dedup_ngram_jaccard,
     "q_dedup_clusters": _inv_dedup_clusters,
     "q_recsys_item_cosine": _inv_recsys_item_cosine,
+    "q_cooccur_rules": _inv_cooccur_rules,
     "q_rolling_distinct_users": _inv_rolling_distinct_users,
     "q_dedup_clusters_embed": _inv_clusters_embed,
     "q_dedup_clusters_lsh": _inv_clusters_lsh,
