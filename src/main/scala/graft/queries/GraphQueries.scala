@@ -43,19 +43,27 @@ object GraphQueries {
     */
   private[graft] def coSupplyEdges(s: SparkSession, dir: String)
       : DataFrame = {
-    // both self-join sides scan the distinct projection and both the
-    // threshold subquery and the pruning filter scan the weighted
-    // aggregate — cache each once, eagerly (a lazy cache loses the
-    // race to concurrent subtree tasks; this stage measured 10.3 s of
-    // the original 15.9 s triangle census, 2.6 s after)
-    val li = graft.CachedPlans.cache(Tables(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct())
-    val a = li.select(col("ok"), col("sk").as("sa"))
-    val b = li.select(col("ok"), col("sk").as("sb"))
+    // Pair generation (r13 optimization, guide §2.3/§2.4): ONE
+    // groupBy(order) with a map-side-combinable collect_set replaces
+    // the old distinct + inverted self-join — 2 exchanges instead of
+    // 4, and the only shuffled streams are the (ok, sk) rows once
+    // and the pre-aggregated pair partials once. The sorted supplier
+    // set unrolls into its a<b combinations map-side; the pair
+    // multiset (and so every weight w) is identical to the self-join
+    // formulation. Work stays Σ(order size)², never |suppliers|².
+    // Both the threshold subquery and the pruning filter scan the
+    // weighted aggregate — cache it eagerly (a lazy cache loses the
+    // race to concurrent subtree tasks).
+    val pairs = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+      .select(explode(expr(
+        "flatten(transform(sks, (x, i) -> " +
+          "transform(slice(sks, i + 2, size(sks)), " +
+          "y -> struct(x AS sa, y AS sb))))")).as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
     val weighted = graft.CachedPlans.cache(
-      a.join(b, Seq("ok")).where(col("sa") < col("sb"))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w")))
+      pairs.groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w")))
     weighted.count()
     // exact p95 via the FREQUENCY form: a plain percentile(w, .95)
     // buffers every pair row in one aggregation buffer (the
@@ -78,7 +86,11 @@ object GraphQueries {
     * the oracles' common `deg` CTE tracks a single definition.
     */
   private def degreeTable(e: DataFrame, cnt: String): DataFrame =
-    e.select(col("sa").as("v")).unionAll(e.select(col("sb").as("v")))
+    // explode, not unionAll (r13, guide §2.4): the union form scans
+    // (and for k_core's uncached per-round subgraphs, RE-EXECUTES)
+    // the edge pipeline twice per degree build; one endpoint explode
+    // reads it once. Same (v, count) multiset.
+    e.select(explode(array(col("sa"), col("sb"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as(cnt))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,18 +109,28 @@ object GraphQueries {
       // at sf0.1; same eager-count precedent as q_dedup_clusters_lsh)
       val e = graft.CachedPlans.cache(coSupplyEdges(s, dir))
       e.count()
-      val deg = degreeTable(e, "deg")
+      // deg feeds the orientation joins (da, db) AND the stats
+      // aggregate; oriented feeds BOTH wedge sides and BOTH closing
+      // directions. Uncached, each reference re-ran the whole
+      // upstream join pipeline (the executed plan evaluated oriented
+      // 4x and deg 6x — measured 7.3 s warm at sf0.1; ~1.6 s with
+      // the two caches). Both tables are node/edge-sized, and the
+      // accurate size of a materialized cache lets the planner keep
+      // every downstream join a broadcast exactly while it fits.
+      val deg = graft.CachedPlans.cache(degreeTable(e, "deg"))
       // orient each edge from the (deg, id)-smaller endpoint
       val da = deg.select(col("v").as("sa"), col("deg").as("dega"))
       val db = deg.select(col("v").as("sb"), col("deg").as("degb"))
-      val oriented = e.join(da, "sa").join(db, "sb")
+      val oriented = graft.CachedPlans.cache(
+        e.join(da, "sa").join(db, "sb")
         .select(
           when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("sa") < col("sb")),
             col("sa")).otherwise(col("sb")).as("src"),
           when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("sa") < col("sb")),
-            col("sb")).otherwise(col("sa")).as("dst"))
+            col("sb")).otherwise(col("sa")).as("dst")))
+      oriented.count()
       // wedges u→v, u→w (v < w by id) close iff v→w or w→v oriented;
       // oriented closing edges always run low→high in (deg,id) order,
       // so checking (v,w) AND (w,v) is a plain equi-join union
@@ -209,8 +231,17 @@ object GraphQueries {
     "q_link_prediction" -> { (s, dir) =>
       val e = graft.CachedPlans.cache(coSupplyEdges(s, dir))
       e.count()
-      val adj = e.select(col("sa").as("c"), col("sb").as("v"))
-        .unionAll(e.select(col("sb").as("c"), col("sa").as("v")))
+      // adj feeds BOTH wedge-join sides and the degree table; cached
+      // (r13) so the symmetrization runs once, not once per
+      // reference, and the planner sees its exact materialized size
+      // when picking the wedge-join strategy. One explode pass, not
+      // a two-scan union (guide §2.4).
+      val adj = graft.CachedPlans.cache(
+        e.select(explode(array(
+            struct(col("sa").as("c"), col("sb").as("v")),
+            struct(col("sb").as("c"), col("sa").as("v")))).as("p"))
+          .select(col("p.c").as("c"), col("p.v").as("v")))
+      adj.count()
       val cand = adj.select(col("c"), col("v").as("a"))
         .join(adj.select(col("c").as("c2"), col("v").as("b")),
           col("c") === col("c2") && col("a") < col("b"))
@@ -270,11 +301,14 @@ object GraphQueries {
       val out = scala.collection.mutable.ArrayBuffer(stats(0, deg))
       for (r <- 1 to 3) {
         val keep = deg.where(col("d") >= k).select(col("v"))
+        // both semi joins reference the IDENTICAL broadcast subtree
+        // (same projection, different join condition), so Spark's
+        // ReuseExchange builds the survivor broadcast once per round
+        // instead of twice (r13; the old form aliased v to sa/sb
+        // inside the broadcast, defeating the reuse match)
         edges = base
-          .join(broadcast(keep.select(col("v").as("sa"))), Seq("sa"),
-            "left_semi")
-          .join(broadcast(keep.select(col("v").as("sb"))), Seq("sb"),
-            "left_semi")
+          .join(broadcast(keep), col("sa") === col("v"), "left_semi")
+          .join(broadcast(keep), col("sb") === col("v"), "left_semi")
         deg = degreeTable(edges, "d").localCheckpoint()
         out += stats(r, deg)
       }
