@@ -36,6 +36,35 @@ object Tables {
     else df
   }
 
+  /** Spread a collapsed-input DataFrame to the session's default
+    * parallelism (r13, guide §2.5 "input skew: one huge unsplittable
+    * file → repartition immediately after the read"). A
+    * single-row-group parquet file — the bench testdata's layout —
+    * scans as ONE task, so any expensive per-row work fused into the
+    * scan stage (shingling, hashing, vector math) runs
+    * single-threaded; a round-robin exchange ahead of that work buys
+    * full-core parallelism for the price of shuffling the small
+    * input once. Scale-adaptive, not a local[32] constant: the
+    * target is the session's defaultParallelism, and a source that
+    * already scans with >= that many partitions (any real multi-file
+    * corpus — at 100 TB every table has thousands of row groups)
+    * passes through untouched, so the exchange never fires at scale.
+    * Row-to-partition assignment is deterministic under retry
+    * (sortBeforeRepartition is on by default) and every consumer is
+    * order-agnostic (groupBy/join/window), so results are unchanged.
+    */
+  def fanOut(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // hash-partition on a caller-supplied high-cardinality key, NOT
+    // round-robin: a RoundRobinPartitioning subtree defeats
+    // CacheManager's sameResult match (measured live — every
+    // downstream reference recomputed the "cached" shingle pipeline),
+    // while a deterministic hash repartition canonicalizes and the
+    // cache hits.
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   /** Register every table as a temp view so queries can also be
     * expressed via `spark.sql` (exercised by the GROUPING SETS query).
     */

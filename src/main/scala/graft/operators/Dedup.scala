@@ -55,8 +55,12 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
+    // fanOut (r13): shingling fused into a single-row-group scan runs
+    // one-task; spreading the raw docs first parallelizes both the
+    // shingle build and — because the CACHE inherits the partitioning
+    // — every downstream explode/join map side. No-op at scale.
     graft.CachedPlans.cache(
-      docs.select(col(idCol).as("id"),
+      graft.Tables.fanOut(docs, col(idCol)).select(col(idCol).as("id"),
         array_distinct(wordShingles(col(textCol), n)).as("shs")))
 
   /** Exact n-gram Jaccard near-dup pairs, prefix-filtered.

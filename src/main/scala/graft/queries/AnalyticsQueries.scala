@@ -241,10 +241,18 @@ object AnalyticsQueries {
     // because the bucket hash replays in DuckDB.
     "q_agg_heavy_hitters_cms" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select(col("l_partkey"))
-      val sketch = withDigestHalves(li, col("l_partkey"))
-        .select(posexplode(cmsCells).as(Seq("j", "bucket")))
+      // r13 (guide §2.3, aggregate before the expensive work): the
+      // cell placement depends only on l_partkey, so count rows per
+      // key FIRST (cheap integer-hash aggregate, map-side partials)
+      // and md5+explode only the DISTINCT keys — ~30x less digest
+      // work at sf0.1, and the same at any scale where keys repeat.
+      // cnt per cell = Σ key-frequencies hashing there: identical.
+      val keyCounts = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("kn"))
+      val sketch = withDigestHalves(keyCounts, col("l_partkey"))
+        .select(col("kn"), posexplode(cmsCells).as(Seq("j", "bucket")))
         .groupBy(col("j"), col("bucket"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("kn")).as("cnt"))
       val probes = li.filter(col("l_partkey") < 50)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
       val probeCells = withDigestHalves(probes, col("l_partkey"))
