@@ -40,8 +40,14 @@ object Clustering {
 
   /** id + all-double vector, the working shape. */
   private def vecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // fanOut (r13): every Lloyd assign/update otherwise runs inside
+    // the single-row-group scan's one task; hash-partitioning by id
+    // parallelizes the distance math and pre-clusters the per-id
+    // min_by aggregate (no further exchange). No-op at scale.
+    graft.Tables.fanOut(
+      emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec")),
+      col("id"))
 
   private def seedOrder: Seq[Column] =
     Seq(md5(col("id").cast("string")), col("id"))

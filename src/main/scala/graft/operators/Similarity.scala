@@ -377,7 +377,13 @@ object Similarity {
     // 2·m driver jobs: measured 9 s → ~3 s warm at sf0.1). The
     // corpus-side (id, sub_idx, sub) explode is cached eagerly: it
     // feeds both training assigns and the final encode.
-    val subs = graft.CachedPlans.cache(subVecs(vecs, "id"))
+    // fanOut (r13): the exploded-subvector cache otherwise inherits
+    // the single-row-group scan's one partition, making every
+    // training assign / encode pass single-task; hash-partitioning
+    // by id parallelizes them and pre-clusters the per-(id, sub_idx)
+    // min_by aggregates. No-op at scale.
+    val subs = graft.CachedPlans.cache(
+      graft.Tables.fanOut(subVecs(vecs, "id"), col("id")))
     subs.count()
     // every subspace sees the same ids in the same md5 order, so the
     // m seed sets are the SAME k ids — selected once, sliced per

@@ -777,8 +777,15 @@ object AnalyticsQueries {
     // by the elapsed decay — the same partial-merge contract as
     // q_agg_incremental.
     "q_topk_decayed" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"))
+      // fanOut keyed on the groupBy key (r13): the pow/decimal decay
+      // work ran single-threaded in the one-row-group scan stage;
+      // hash-partitioning by l_partkey parallelizes it AND satisfies
+      // the aggregation's clustering, so no further exchange follows
+      // (guide §2.4 — operations keyed the same way share one
+      // exchange). No-op at scale.
+      val li = graft.Tables.fanOut(Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), to_date(col("l_shipdate")).as("d")),
+        col("l_partkey"))
       val wm = li.agg(max(col("d")).as("wm"))
       li.crossJoin(broadcast(wm))
         .select(col("l_partkey"),
@@ -1001,6 +1008,10 @@ object AnalyticsQueries {
     // Two scans of lineitem (week domain + per-part sums), both
     // map-side-partial aggregates; the readout is 3 rows.
     "q_demand_variability" -> { (s, dir) =>
+      // (r13: a fanOut-by-partkey variant measured SLOWER here —
+      // 1.33 → 1.67 s warm with fetch-stall outliers; the extra
+      // exchange of 600k decimal rows costs more than the scan-stage
+      // parallelism buys. Left on the single-pass plan.)
       val li = Tables(s, dir, "lineitem")
         .select(col("l_partkey"),
           expr("unix_micros(l_shipdate) div 604800000000").as("wk"),

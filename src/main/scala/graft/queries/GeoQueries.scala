@@ -186,7 +186,12 @@ object GeoQueries {
       val minDq = minStationDistQ(col("lat"), col("lon"), sts)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      withGeo(ev(s, dir))
+      // fanOut keyed on the window partition key (r13): the 25
+      // inlined haversines per row ran single-threaded in the
+      // one-row-group scan; hashing by user_id parallelizes the trig
+      // AND satisfies the lag window's clustering, so the plan still
+      // has exactly one exchange. No-op at scale.
+      graft.Tables.fanOut(withGeo(ev(s, dir)), col("user_id"))
         .withColumn("min_dq", minDq)
         .withColumn("inside", col("min_dq") <= 100000.0)
         .withColumn("pinside", lag(col("inside"), 1).over(w))

@@ -70,7 +70,13 @@ object QualityQueries {
     // documented trade for exactness; swap countDistinct for
     // approx_count_distinct when a profile tolerates ±2%.
     "q_profile_columns" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
+      // fanOut (r13): the 6-way Expand the count-distinct rewrite
+      // plants ran inside the single-task scan stage (3.6M expanded
+      // rows on one core); hashing the raw rows out by l_orderkey
+      // first parallelizes the Expand + partial aggregation. No-op
+      // at scale.
+      val li = graft.Tables.fanOut(Tables(s, dir, "lineitem"),
+        col("l_orderkey"))
       val aggs = profileCols.flatMap { c =>
         // HashAggregate demands FIXED-WIDTH aggregation buffers; a
         // min/max over a string column forces SortAggregate, which
