@@ -53,12 +53,24 @@ object SequenceQueries {
     val withN = baskets.withColumn("n_item",
         count(lit(1)).over(Window.partitionBy(col("item"))))
       .where(col("n_item") >= minSup)
-    val a = withN.select(col("basket"), col("item").as("item_a"),
-      col("n_item").as("n_a"))
-    val b = withN.select(col("basket"), col("item").as("item_b"),
-      col("n_item").as("n_b"))
-    a.join(b, Seq("basket"))
-      .where(col("item_a") < col("item_b"))
+    // Pair generation (r13, guide §2.3/§2.4, same rewrite as the
+    // co-supply graph): ONE groupBy(basket) collecting the sorted
+    // (item, support) set replaces the basket self-join — one fewer
+    // exchange, no join, and the a<b combinations unroll map-side
+    // with the supports riding in the structs, pre-aggregated before
+    // the pair shuffle. Identical pair multiset. Work stays
+    // Σ(basket size)².
+    withN
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(struct(col("item"), col("n_item"))))
+        .as("its"))
+      .select(explode(expr(
+        "flatten(transform(its, (x, i) -> " +
+          "transform(slice(its, i + 2, size(its)), " +
+          "y -> struct(x.item AS item_a, y.item AS item_b, " +
+          "x.n_item AS n_a, y.n_item AS n_b))))")).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSup)
@@ -224,8 +236,11 @@ object SequenceQueries {
       val minSup = 3
       val baskets = basketTable(s, dir)
       val pairs = supportedPairs(baskets, minSup)
-      val nBaskets = baskets.select(col("basket")).distinct()
-        .agg(count(lit(1)).as("n_baskets"))
+      // r13: count distinct orderkeys straight off the scan — the
+      // old baskets.distinct().agg path paid a full (basket, item)
+      // exchange just to count baskets. Same value.
+      val nBaskets = Tables(s, dir, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("n_baskets"))
       pairs
         .crossJoin(broadcast(nBaskets))
         .select(col("item_a"), col("item_b"), col("n_ab"),
