@@ -67,7 +67,27 @@ object Tables {
 
   /** Register every table as a temp view so queries can also be
     * expressed via `spark.sql` (exercised by the GROUPING SETS query).
+    *
+    * Memoized per (session, dir) since r13: ~14 SQL-text queries call
+    * this on every invocation, and each call re-read ten parquet
+    * footers on the driver (~0.1-0.3 s of pure plan-time latency per
+    * bench run). Registration is idempotent for a given dir; a
+    * different dir (or a fresh session) re-registers. A WeakHashMap
+    * keyed on the session object: stopped sessions aren't retained,
+    * and a fresh session can never alias a recycled key.
     */
+  private val registeredViews =
+    new java.util.WeakHashMap[SparkSession, String]
+
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    synchronized {
+      // track the session's CURRENT dir, not a seen-set: alternating
+      // dirs within one session must re-register every time the dir
+      // actually changes, or the views would silently point at the
+      // previously registered dir
+      if (registeredViews.get(spark) != dir) {
+        names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+        registeredViews.put(spark, dir)
+      }
+    }
 }
