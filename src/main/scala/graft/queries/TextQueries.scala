@@ -16,7 +16,11 @@ import graft.functions.TextFunctions._
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    // fanOut (r13): every text query's tokenize/shingle/score work
+    // otherwise runs inside the single-row-group scan's one task.
+    // Safe for all consumers — no order-sensitive aggregate
+    // (collect_list/first/last) exists in this file; no-op at scale.
+    graft.Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
 
   /** The q_dedup_substring_spans pipeline over any (doc_id, text)
     * corpus: per doc, the fraction of its 10-token spans shared with

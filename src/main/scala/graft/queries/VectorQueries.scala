@@ -17,6 +17,10 @@ import graft.functions.VectorFunctions
 object VectorQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
+    // (r13: a fanOut here measured SLOWER for the iterative
+    // consumers — power-iteration re-executes the un-cached exchange
+    // per round, 0.74 → 1.53 s — and flat for the rest; the PQ path
+    // fans out inside its own subvector cache instead.)
     Tables(s, dir, "embeddings")
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
