@@ -405,19 +405,23 @@ object Similarity {
         .select(col("sub_idx"), col("mb.cid").as("cid"),
           col("mb.sub").as("sub"))
       // exact-integer quantized means (the Clustering.update idiom —
-      // order-free, bit-identical to the oracle's per-subspace sums)
+      // order-free, bit-identical to the oracle's per-subspace sums).
+      // r13: subLen is a plan-time constant here, so the means fold
+      // as subLen FIXED-WIDTH sum columns in ONE groupBy — the old
+      // posexplode + (sub_idx, cid, p) pre-aggregate + collect_list
+      // re-assembly paid a second shuffle per round for the same
+      // integer sums (n = the group's row count, identical for every
+      // position since every subvector carries all subLen slots).
+      val sums = (0 until subLen).map(i =>
+        sum(floor(element_at(col("sub"), i + 1) * lit(1e6) + lit(0.5)))
+          .as(s"s_$i"))
       val next = assigned
-        .select(col("sub_idx"), col("cid"),
-          posexplode(col("sub")).as(Seq("p", "x")))
-        .withColumn("q", floor(col("x") * lit(1e6) + lit(0.5)))
-        .groupBy(col("sub_idx"), col("cid"), col("p"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .withColumn("mval", col("s").cast("double") /
-          (lit(1e6) * col("n").cast("double")))
         .groupBy(col("sub_idx"), col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("p"), col("mval")))),
-          e => e.getField("mval")).as("c"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("sub_idx"), col("cid"),
+          array((0 until subLen).map(i =>
+            col(s"s_$i").cast("double") /
+              (lit(1e6) * col("n").cast("double"))): _*).as("c"))
       // materialize m·k centroid rows (micro-envelope) to cut the
       // iterative lineage, as Clustering.centroidTable does
       val rows = next.collect().toSeq
