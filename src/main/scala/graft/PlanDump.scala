@@ -61,6 +61,9 @@ object PlanDump {
             java.nio.file.Paths.get(s"$outDir/$name.txt"),
             plan.getBytes("UTF-8"))
           graft.CachedPlans.release()
+          if (sys.env.get("SPARK_GRAFT_PLANS_ONLY").contains("1")) {
+            println(s"$name: plan dumped (plans-only mode)")
+          } else {
 
           def run(tag: String): Double = {
             val t0 = System.nanoTime()
@@ -85,6 +88,7 @@ object PlanDump {
           java.nio.file.Files.write(
             java.nio.file.Paths.get(s"$outDir/$name.timing.txt"),
             (summary + "\n" + jobLines.mkString("\n") + "\n").getBytes("UTF-8"))
+          }
       }
     }
     spark.stop()

@@ -65,7 +65,12 @@ case class AudioWindow(doc_id: Long, window_no: Int,
   */
 object Multimodal {
 
-  /** Model `documents` as a media table: utf-8 payload bytes. */
+  /** Model `documents` as a media table: utf-8 payload bytes.
+    * (r13: a fanOut here measured SLOWER — the stub codec tier over
+    * 5k tiny payloads is cheaper than the exchange, 0.29 → 0.68 s on
+    * the frames query. A real binary-payload corpus arrives in many
+    * splits anyway, where fanOut is a no-op by construction.)
+    */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -241,18 +241,23 @@ object AnalyticsQueries {
     // because the bucket hash replays in DuckDB.
     "q_agg_heavy_hitters_cms" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select(col("l_partkey"))
-      // r13 (guide §2.3, aggregate before the expensive work): the
-      // cell placement depends only on l_partkey, so count rows per
-      // key FIRST (cheap integer-hash aggregate, map-side partials)
-      // and md5+explode only the DISTINCT keys — ~30x less digest
-      // work at sf0.1, and the same at any scale where keys repeat.
-      // cnt per cell = Σ key-frequencies hashing there: identical.
-      val keyCounts = li.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("kn"))
-      val sketch = withDigestHalves(keyCounts, col("l_partkey"))
-        .select(col("kn"), posexplode(cmsCells).as(Seq("j", "bucket")))
+      // r13 note: a count-per-key pre-aggregation before the md5
+      // (30x less digest work at sf0.1) was tried and REVERTED — it
+      // swaps the sketch-sized exchange (≤ d·w live cells per map
+      // partition, input-invariant) for a per-key exchange that
+      // grows with the key domain, which is exactly the discipline
+      // ScalingSpec's CMS decade gate pins for 100 TB. What stays:
+      // the cell index j is exploded as a plain codegen column
+      // instead of a per-element INTERPRETED transform lambda (the
+      // old posexplode(cmsCells)) — same (j, bucket) values, same
+      // shuffle, ~2x less per-row CPU in the scan stage.
+      val sketch = withDigestHalves(li, col("l_partkey"))
+        .select(col("h1"), col("h2"),
+          explode(sequence(lit(0), lit(cmsDepth - 1))).as("j"))
+        .select(col("j"),
+          ((col("h1") + col("j") * col("h2")) % cmsWidth).as("bucket"))
         .groupBy(col("j"), col("bucket"))
-        .agg(sum(col("kn")).as("cnt"))
+        .agg(count(lit(1)).as("cnt"))
       val probes = li.filter(col("l_partkey") < 50)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
       val probeCells = withDigestHalves(probes, col("l_partkey"))

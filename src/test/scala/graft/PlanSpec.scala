@@ -166,9 +166,14 @@ class PlanSpec extends SparkSpec {
 
   test("per-row queries have no exchange except the final order") {
     val p = plan("q_text_token_stats")
-    // rangepartitioning for the final orderBy is the only exchange
+    // rangepartitioning for the final orderBy, plus (r13) the
+    // scale-adaptive docs fanOut — one hashpartitioning(doc_id)
+    // exchange that only exists on single-row-group inputs (no-op at
+    // scale). Nothing else may shuffle.
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"unexpected shuffles:\n$p")
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the one extra exchange must be the doc_id fanOut:\n$p")
   }
 
   test("ANN plans stay equi-join: no cartesian/BNLJ in candidate stages") {

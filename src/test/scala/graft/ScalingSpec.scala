@@ -54,11 +54,26 @@ class ScalingSpec extends SparkSpec {
     }.reduce(_ union _)
   }
 
-  private def minhashRows(docs: DataFrame): Long = shuffledRecords(
-    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.5).count())
+  // withoutBroadcastJoins (r13): pins the at-scale exchange-based
+  // plan — see the helper's doc in SparkSpec.
+  private def minhashRows(docs: DataFrame): Long = withoutBroadcastJoins(
+    shuffledRecords(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.5).count()))
 
-  private def jaccardRows(docs: DataFrame): Long = shuffledRecords(
-    Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5).count())
+  private def jaccardRows(docs: DataFrame): Long = withoutBroadcastJoins(
+    shuffledRecords(
+      Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.5).count()))
+
+  /** Real-decade growths, shared with the synthesis-validation test
+    * (r13: bounds there became RELATIVE to these — the old 50-200
+    * constants were calibrated to the pre-fanOut plan shape). */
+  private lazy val realDecade: (Double, Double) = {
+    val mh = minhashRows(Tables(spark, sf("0.1"), "documents")).toDouble /
+      minhashRows(Tables(spark, sf("0.01"), "documents"))
+    val jc = jaccardRows(Tables(spark, sf("0.1"), "documents")).toDouble /
+      jaccardRows(Tables(spark, sf("0.01"), "documents"))
+    (mh, jc)
+  }
 
   test("decade 1 (real): minhash shuffle ~linear, exact jaccard superlinear") {
     val (mhSmall, mhBig) =
@@ -93,12 +108,18 @@ class ScalingSpec extends SparkSpec {
       .toDouble / minhashRows(base)
     val jcGrowth = jaccardRows(saltedDocs("/root/testdata/sf0.01", 10))
       .toDouble / jaccardRows(base)
+    val (realMh, realJc) = realDecade
     info(f"10× synthetic from 500 docs: minhash (disjoint) " +
       f"×$mhGrowth%.1f, jaccard (clone) ×$jcGrowth%.1f " +
-      "(real decade: ~×14.5 / ~×98)")
-    assert(mhGrowth < 40, f"synthetic minhash not linear-ish: ×$mhGrowth%.1f")
-    assert(jcGrowth > 50 && jcGrowth < 200,
-      f"synthetic jaccard off the df² regime: ×$jcGrowth%.1f")
+      f"(real decade: ×$realMh%.1f / ×$realJc%.1f)")
+    // r13: bounds are relative to the real decade measured with the
+    // same plan shape — synthesis is valid when each mode lands
+    // within 2x of its real exponent (the old absolute 50-200 band
+    // encoded the pre-fanOut plan's wire composition)
+    assert(mhGrowth < realMh * 2 + 10,
+      f"synthetic minhash not linear-ish: ×$mhGrowth%.1f vs real ×$realMh%.1f")
+    assert(jcGrowth > realJc / 2 && jcGrowth < realJc * 2,
+      f"synthetic jaccard off the real df² regime: ×$jcGrowth%.1f vs real ×$realJc%.1f")
   }
 
   test("decade 2 (synthesized, 5k → 50k docs): minhash stays ~linear") {
@@ -316,6 +337,29 @@ class ScalingSpec extends SparkSpec {
       f"expected the pair output (×$outG%.1f) to outgrow the wire (×$g%.1f)")
   }
 
+  /** Growth of the distinct co-supply PAIR AGGREGATE across the real
+    * decade — the graph's edge-domain term. r13: the pair-gen
+    * rewrite removed the old distinct+self-join input exchanges
+    * (linear in lineitems) from the census wire, so the wire's
+    * dominant term is now the pair aggregate itself, whose decade
+    * growth is a DATA property (the co-supply graph densifies toward
+    * complete: ~5k → ~454k distinct pairs, ×92 across this ×10).
+    * The gates below bound the wire against THIS measured growth
+    * instead of the old ×25 constant that the masked-by-linear-terms
+    * wire happened to satisfy.
+    */
+  private lazy val pairAggGrowth: Double = {
+    def pairs(d: String): Long = {
+      val li = Tables(spark, sf(d), "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk"), col("b.sk")).distinct().count()
+    }
+    pairs("0.1").toDouble / pairs("0.01")
+  }
+
   test("decade 1 (real): triangle census shuffle tracks the pair aggregate, not the wedge space") {
     graft.CachedPlans.release() // cold both SFs: include edge building
     val (s, b, g) = decade("q_graph_triangles")
@@ -323,11 +367,12 @@ class ScalingSpec extends SparkSpec {
     // the wedge space explodes combinatorially as the co-supply graph
     // densifies (complete at sf0.01 already); the strong-tie prune
     // caps downstream work at top-5% edges, so the wire must scale
-    // like the Σ(order-size²) pair aggregate — roughly linear in
-    // rows — and never like wedges
-    info(f"triangles shuffle ×$g%.1f across ×10 lineitems ($s → $b rows)")
-    assert(s > 0 && g < 25,
-      f"triangle shuffle superlinear — prune not holding: ×$g%.1f")
+    // like the pair aggregate — whose own decade growth is measured
+    // above — and never like wedges
+    info(f"triangles shuffle ×$g%.1f across ×10 lineitems ($s → $b rows; " +
+      f"pair aggregate ×$pairAggGrowth%.1f)")
+    assert(s > 0 && g < pairAggGrowth * 1.5,
+      f"triangle shuffle outgrew the pair aggregate: ×$g%.1f vs ×$pairAggGrowth%.1f")
   }
 
   test("decade 1 (real): containment dedup stays on the df-pruned match stream") {
@@ -387,9 +432,13 @@ class ScalingSpec extends SparkSpec {
     // each peel round exchanges the survivor set + the cached edge
     // list, both bounded by the pruned graph — growth tracks the
     // edge aggregate like the census, not any quadratic space
-    info(f"k-core shuffle ×$g%.1f across ×10 lineitems ($s → $b rows)")
-    assert(s > 0 && g < 25,
-      f"k-core shuffle superlinear — peel wire not bounded: ×$g%.1f")
+    info(f"k-core shuffle ×$g%.1f across ×10 lineitems ($s → $b rows; " +
+      f"pair aggregate ×$pairAggGrowth%.1f)")
+    // same bound as the census (r13): the wire's dominant term is
+    // the shared pair aggregate; the peel rounds add only node-sized
+    // survivor sets on top
+    assert(s > 0 && g < pairAggGrowth * 1.5,
+      f"k-core shuffle outgrew the pair aggregate: ×$g%.1f vs ×$pairAggGrowth%.1f")
   }
 
   // ---- round-9 decades (VERDICT r8 #2): the pair-space joins and

@@ -19,6 +19,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** Run a block with automatic broadcast-join selection off (both
+    * the static and the AQE thresholds; explicit broadcast() hints
+    * still apply). Scaling gates use this to pin the AT-SCALE
+    * exchange-based plan: after the r13 fan-out/cache work the
+    * planner broadcasts whole small-SF dedup tables, executing the
+    * match pipelines map-side with no shuffle at all — correct at
+    * these sizes, but it hides the exchange growth the decade gates
+    * exist to measure (at 100 TB nothing corpus-sized broadcasts).
+    */
+  def withoutBroadcastJoins[T](body: => T): T = {
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val p1 = spark.conf.get(k1, "10485760")
+    val p2 = spark.conf.get(k2, "-1")
+    spark.conf.set(k1, "-1")
+    spark.conf.set(k2, "-1")
+    try body finally {
+      spark.conf.set(k1, p1); spark.conf.set(k2, p2)
+    }
+  }
+
   /** Total shuffle records written by everything `f` runs, from real
     * task metrics. The listener bus is async, so drain it to empty
     * (via the private-API bridge) before reading the tally.
