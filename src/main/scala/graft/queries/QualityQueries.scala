@@ -492,10 +492,14 @@ object QualityQueries {
           && col("a.id") < col("b.id"))
         .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // one explode pass (r13): the two-leg union evaluated the
+      // levenshtein blocking join TWICE — same rows, one scan
       val membership = pairs
-        .select(col("id_a").as("node"), col("id_a").as("peer"))
-        .unionAll(pairs.select(col("id_b").as("node"),
-          col("id_a").as("peer")))
+        .select(explode(array(
+          struct(col("id_a").as("node"), col("id_a").as("peer")),
+          struct(col("id_b").as("node"), col("id_a").as("peer"))))
+          .as("m"))
+        .select(col("m.node").as("node"), col("m.peer").as("peer"))
         .groupBy(col("node")).agg(min(col("peer")).as("cluster"))
       val members = keyed.join(membership,
           col("id") === col("node"), "inner")

@@ -266,13 +266,18 @@ object SequenceQueries {
       // same support/pair construction AND the same threshold as
       // q_cooccur_rules — one shared builder, no lockstep editing
       val pairs = supportedPairs(basketTable(s, dir), minSup = 3)
-      // expand to both directions so every item ranks its neighbors
-      val directed = pairs.select(col("item_a").as("item"),
-          col("item_b").as("neighbor"), col("n_ab"),
-          col("n_a").as("n_i"), col("n_b").as("n_j"))
-        .unionByName(pairs.select(col("item_b").as("item"),
-          col("item_a").as("neighbor"), col("n_ab"),
-          col("n_b").as("n_i"), col("n_a").as("n_j")))
+      // expand to both directions so every item ranks its neighbors.
+      // One explode pass (r13): the two-leg union evaluated the
+      // whole supportedPairs pipeline TWICE — same rows, one scan.
+      val directed = pairs.select(explode(array(
+          struct(col("item_a").as("item"), col("item_b").as("neighbor"),
+            col("n_ab"), col("n_a").as("n_i"), col("n_b").as("n_j")),
+          struct(col("item_b").as("item"), col("item_a").as("neighbor"),
+            col("n_ab"), col("n_b").as("n_i"), col("n_a").as("n_j"))))
+          .as("d"))
+        .select(col("d.item").as("item"), col("d.neighbor").as("neighbor"),
+          col("d.n_ab").as("n_ab"), col("d.n_i").as("n_i"),
+          col("d.n_j").as("n_j"))
         .withColumn("cosine",
           col("n_ab") / sqrt(col("n_i") * col("n_j")))
       val w = Window.partitionBy(col("item"))
